@@ -1,0 +1,104 @@
+"""MERGE INTO — the append_dedup / CDC apply operator.
+
+Semantics (north rule + SURVEY §2.8): per primary key,
+  WHEN MATCHED AND source wins AND source is tombstone  -> DELETE
+  WHEN MATCHED AND source wins                          -> UPDATE *
+  WHEN NOT MATCHED AND source is not tombstone          -> INSERT *
+where "source wins" is the reference winner ordering over
+(lsn, _ab_cdc_updated_at, _airbyte_emitted_at, _airbyte_ab_id) —
+the table's stored row carries those columns, so re-applying an old or
+overlapping batch converges (idempotent; monotone `s.lsn > t.lsn`
+guard emerges from the ordering itself).
+
+Physical plan, designed for the 10^10-event point:
+
+1. batch winners: associative max-by-ordering groupBy on url
+   (map-side partial agg => hot-key safe) — operators/dedup.winner_agg.
+2. touched buckets = distinct bucket ids of winners (metadata-sized).
+3. semi-join reduction (reference's `new_data_ids` CTE,
+   stream_processor.py:848-898): within touched buckets, rows whose
+   key is NOT in the batch are carried forward untouched (left_anti
+   against the broadcast key set); only matched rows + batch rows go
+   through winner selection again.
+4. copy-on-write: rewrite only touched buckets' files; untouched
+   buckets move to the new snapshot by reference.
+
+Schema evolution is resolved first: target schema = union-by-name with
+widening casts of (table schema, batch schema); both sides conformed
+before the union (SURVEY §2.9).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from airbyte_integrations_spark.lakehouse.table import LakeTable, bucket_expr, conform
+from airbyte_integrations_spark.operators.dedup import winner_agg
+from airbyte_integrations_spark.schema import merge_schemas
+
+CDC_ORDER_COLS = ("_ab_cdc_updated_at", "_airbyte_emitted_at")
+
+
+def merge_into(
+    table: LakeTable,
+    batch: DataFrame,
+    stream: str = "pages",
+    epoch: int | None = None,
+    epoch_meta: dict | None = None,
+    cursor: str = "_ab_cdc_lsn",
+    secondary: tuple[str, ...] = CDC_ORDER_COLS,
+    ab_id: str = "_airbyte_ab_id",
+    broadcast_keys: bool = True,
+) -> int:
+    """Apply one micro-batch; returns the committed snapshot version.
+
+    Exactly-once: if (stream, epoch) is already in the commit log the
+    call is a no-op (BufferedStreamConsumer.java:39-57 state-after-
+    commit rule, keyed by epoch instead of STATE message).
+    """
+    if epoch is not None and table.is_epoch_committed(stream, epoch):
+        return table.current_version()
+
+    if not table.exists():
+        winners = winner_agg(
+            batch, ("url",), cursor, secondary, ab_id, drop_tombstones=True
+        )
+        return table.create(winners, ("url",), 32, stream, epoch, epoch_meta)
+
+    key = table.key_cols()
+    n_buckets = table.n_buckets
+    target_schema = merge_schemas(table.schema, batch.schema)
+
+    winners = winner_agg(conform(batch, target_schema), key, cursor, secondary, ab_id)
+    winners = winners.withColumn("_bucket", bucket_expr(key, n_buckets))
+    # Touched buckets: bounded by n_buckets — metadata, not data.
+    touched = [r["_bucket"] for r in winners.select("_bucket").distinct().collect()]
+    winners = winners.drop("_bucket")
+
+    if not touched:
+        # Empty batch: still record the epoch (empty-sync state emission,
+        # CdcSourceTest.testNoData semantics).
+        return table.replace_buckets(
+            conform(batch.limit(0), target_schema),
+            [],
+            target_schema,
+            stream,
+            epoch,
+            epoch_meta,
+        )
+
+    current = conform(table.read(touched), target_schema)
+
+    keys_df = winners.select(*key).distinct()
+    if broadcast_keys:
+        keys_df = F.broadcast(keys_df)
+    carried = current.join(keys_df, list(key), "left_anti")
+    contested = current.join(keys_df, list(key), "left_semi")
+
+    merged = winner_agg(
+        contested.unionByName(winners), key, cursor, secondary, ab_id,
+        drop_tombstones=True,
+    )
+    new_data = carried.unionByName(merged)
+    return table.replace_buckets(new_data, touched, target_schema, stream, epoch, epoch_meta)

@@ -1,0 +1,258 @@
+"""LakeTable — a minimal snapshot-based table format on parquet.
+
+The sandbox has no Iceberg runtime, so the engine ships its own
+Iceberg-style format providing exactly the guarantees the reference's
+sink contract needs (BufferedStreamConsumer.java:122-194,
+JdbcBufferedConsumerFactory.java:119-197 — staged write + single
+atomic transaction + state only after commit):
+
+- immutable data files; every commit writes a new manifest
+  `_meta/v{N}.json` and atomically swaps the `_meta/VERSION` pointer
+  (os.replace — atomic on POSIX). Readers always see a complete
+  snapshot; a crashed writer leaves only orphan files.
+- hash-bucket layout: rows live in `bucket = pmod(xxhash64(key), N)`
+  directories; MERGE rewrites only touched buckets (copy-on-write) and
+  carries untouched buckets' files forward by reference — the analogue
+  of Iceberg `bucket(N, url)` partitioning + COW MERGE.
+- an epoch commit log in the manifest: `(stream, checkpoint_epoch)` ->
+  offset range. Re-committing an epoch is a no-op => exactly-once
+  effect under task/driver retries.
+- schema stored in the manifest; evolution = union-by-name + widening
+  casts resolved before MERGE (SURVEY §2.9).
+
+Single-writer (the Spark driver) by design; a multi-writer deployment
+would swap the VERSION pointer for a catalog compare-and-swap, exactly
+as Iceberg does.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from airbyte_integrations_spark.schema import merge_schemas
+
+META_DIR = "_meta"
+DATA_DIR = "data"
+
+
+def bucket_expr(key_cols: tuple[str, ...], n_buckets: int) -> Column:
+    """Deterministic bucket id from the primary key (recomputed on
+    read — never stored, so files stay pure row data)."""
+    return F.pmod(F.xxhash64(*[F.col(c) for c in key_cols]), F.lit(n_buckets)).cast("int")
+
+
+class LakeTable:
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+
+    # ---------- manifest plumbing ----------
+
+    @property
+    def _version_path(self) -> str:
+        return os.path.join(self.root, META_DIR, "VERSION")
+
+    def exists(self) -> bool:
+        return os.path.exists(self._version_path)
+
+    def current_version(self) -> int:
+        with open(self._version_path) as f:
+            return int(f.read().strip())
+
+    def manifest(self, version: int | None = None) -> dict:
+        v = self.current_version() if version is None else version
+        with open(os.path.join(self.root, META_DIR, f"v{v}.json")) as f:
+            return json.load(f)
+
+    @property
+    def schema(self) -> T.StructType:
+        return T.StructType.fromJson(self.manifest()["schema"])
+
+    @property
+    def n_buckets(self) -> int:
+        return int(self.manifest()["n_buckets"])
+
+    def key_cols(self) -> tuple[str, ...]:
+        return tuple(self.manifest()["key"])
+
+    def committed_epochs(self, stream: str) -> dict[str, dict]:
+        return self.manifest().get("committed", {}).get(stream, {})
+
+    def is_epoch_committed(self, stream: str, epoch: int) -> bool:
+        return self.exists() and str(epoch) in self.committed_epochs(stream)
+
+    def watermark(self, stream: str) -> int | None:
+        """Highest applied LSN for a stream (resume point)."""
+        if not self.exists():
+            return None
+        eps = self.committed_epochs(stream)
+        if not eps:
+            return None
+        return max(int(e["to_lsn"]) for e in eps.values())
+
+    def _commit(self, manifest: dict) -> int:
+        meta = os.path.join(self.root, META_DIR)
+        os.makedirs(meta, exist_ok=True)
+        version = (self.current_version() + 1) if self.exists() else 0
+        manifest["version"] = version
+        with open(os.path.join(meta, f"v{version}.json"), "w") as f:
+            json.dump(manifest, f)
+        tmp = self._version_path + f".tmp-{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            f.write(str(version))
+        os.replace(tmp, self._version_path)  # the atomic commit point
+        return version
+
+    # ---------- data IO ----------
+
+    def _write_files(self, df: DataFrame, n_buckets: int, key: tuple[str, ...]) -> dict[str, list[str]]:
+        """Write df as one parquet dir per bucket; returns
+        {bucket: [file paths relative to root]}. Uses hash
+        repartitioning on the bucket id so each output task writes one
+        bucket's rows (co-located with the MERGE shuffle key)."""
+        commit_id = uuid.uuid4().hex
+        rel_dir = os.path.join(DATA_DIR, commit_id)
+        out_dir = os.path.join(self.root, rel_dir)
+        (
+            df.withColumn("_bucket", bucket_expr(key, n_buckets))
+            .repartition(n_buckets, F.col("_bucket"))
+            .write.partitionBy("_bucket")
+            .mode("overwrite")
+            .parquet(out_dir)
+        )
+        files: dict[str, list[str]] = {}
+        for dirpath, _dirnames, filenames in os.walk(out_dir):
+            for fn in filenames:
+                if not fn.endswith(".parquet"):
+                    continue
+                # dirpath ends with _bucket=K
+                b = os.path.basename(dirpath).split("=", 1)[1]
+                files.setdefault(b, []).append(
+                    os.path.relpath(os.path.join(dirpath, fn), self.root)
+                )
+        return files
+
+    def read(self, buckets: list[int] | None = None) -> DataFrame:
+        """Snapshot read; optionally only the given buckets (partition
+        pruning by manifest — no directory listing at scan time)."""
+        m = self.manifest()
+        schema = T.StructType.fromJson(m["schema"])
+        file_map: dict[str, list[str]] = m["files"]
+        if buckets is None:
+            paths = [p for ps in file_map.values() for p in ps]
+        else:
+            want = {str(b) for b in buckets}
+            paths = [p for b, ps in file_map.items() if b in want for p in ps]
+        if not paths:
+            return self.spark.createDataFrame([], schema)
+        abs_paths = [os.path.join(self.root, p) for p in paths]
+        return self.spark.read.schema(schema).parquet(*abs_paths)
+
+    # ---------- table operations ----------
+
+    def create(
+        self,
+        df: DataFrame,
+        key: tuple[str, ...],
+        n_buckets: int,
+        stream: str | None = None,
+        epoch: int | None = None,
+        epoch_meta: dict | None = None,
+    ) -> int:
+        files = self._write_files(df, n_buckets, key)
+        manifest = {
+            "parent": self.current_version() if self.exists() else None,
+            "schema": df.schema.jsonValue(),
+            "key": list(key),
+            "n_buckets": n_buckets,
+            "files": files,
+            "committed": self.manifest().get("committed", {}) if self.exists() else {},
+        }
+        if stream is not None and epoch is not None:
+            manifest["committed"].setdefault(stream, {})[str(epoch)] = epoch_meta or {}
+        return self._commit(manifest)
+
+    def overwrite(self, df: DataFrame, **kw) -> int:
+        """Full-refresh + overwrite (truncate-then-copy semantics of
+        JdbcBufferedConsumerFactory.java:173, as one atomic commit)."""
+        return self.create(df, kw.pop("key", self.key_cols() if self.exists() else ("url",)),
+                           kw.pop("n_buckets", self.n_buckets if self.exists() else 32), **kw)
+
+    def append(
+        self,
+        df: DataFrame,
+        stream: str | None = None,
+        epoch: int | None = None,
+        epoch_meta: dict | None = None,
+    ) -> int:
+        """incremental + append: add files, never rewrite."""
+        if not self.exists():
+            return self.create(df, ("url",), 32, stream, epoch, epoch_meta)
+        if stream is not None and epoch is not None and self.is_epoch_committed(stream, epoch):
+            return self.current_version()
+        m = self.manifest()
+        target = merge_schemas(T.StructType.fromJson(m["schema"]), df.schema)
+        df = conform(df, target)
+        files = self._write_files(df, int(m["n_buckets"]), tuple(m["key"]))
+        new_files = {b: list(ps) for b, ps in m["files"].items()}
+        for b, ps in files.items():
+            new_files.setdefault(b, []).extend(ps)
+        manifest = {
+            "parent": m["version"],
+            "schema": target.jsonValue(),
+            "key": m["key"],
+            "n_buckets": m["n_buckets"],
+            "files": new_files,
+            "committed": m.get("committed", {}),
+        }
+        if stream is not None and epoch is not None:
+            manifest["committed"].setdefault(stream, {})[str(epoch)] = epoch_meta or {}
+        return self._commit(manifest)
+
+    def replace_buckets(
+        self,
+        new_data: DataFrame,
+        touched: list[int],
+        schema: T.StructType,
+        stream: str | None = None,
+        epoch: int | None = None,
+        epoch_meta: dict | None = None,
+    ) -> int:
+        """Copy-on-write commit: new files for `touched` buckets,
+        untouched buckets carried forward by reference."""
+        m = self.manifest()
+        files = self._write_files(new_data, int(m["n_buckets"]), tuple(m["key"]))
+        new_files = {b: ps for b, ps in m["files"].items() if int(b) not in set(touched)}
+        for b, ps in files.items():
+            new_files.setdefault(b, []).extend(ps)
+        manifest = {
+            "parent": m["version"],
+            "schema": schema.jsonValue(),
+            "key": m["key"],
+            "n_buckets": m["n_buckets"],
+            "files": new_files,
+            "committed": m.get("committed", {}),
+        }
+        if stream is not None and epoch is not None:
+            manifest["committed"].setdefault(stream, {})[str(epoch)] = epoch_meta or {}
+        return self._commit(manifest)
+
+
+def conform(df: DataFrame, target: T.StructType) -> DataFrame:
+    """Project df onto `target`: missing columns null-backfilled,
+    types widened by cast (star_intersect.sql:9-47 semantics)."""
+    cols = []
+    have = {f.name: f for f in df.schema.fields}
+    for f in target.fields:
+        if f.name in have:
+            src = F.col(f.name)
+            cols.append(src.cast(f.dataType).alias(f.name) if have[f.name].dataType != f.dataType else src)
+        else:
+            cols.append(F.lit(None).cast(f.dataType).alias(f.name))
+    return df.select(*cols)

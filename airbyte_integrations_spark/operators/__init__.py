@@ -1,0 +1,5 @@
+from airbyte_integrations_spark.operators.dedup import (  # noqa: F401
+    winner_agg,
+    winner_salted,
+    winner_window,
+)

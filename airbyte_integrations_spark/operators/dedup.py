@@ -1,0 +1,158 @@
+"""Per-key winner selection — the heart of append_dedup / CDC apply.
+
+Reference semantics (must match byte-exactly): the SCD window
+`row_number() over (partition by <PK> order by cursor IS NULL ASC,
+cursor DESC, _ab_cdc_updated_at DESC, [_ab_cdc_log_pos DESC,]
+_airbyte_emitted_at DESC) = 1` — stream_processor.py:698-706, 727-754,
+832-846; cursor resolution :961-972; final tie broken deterministically
+by `_airbyte_ab_id` (the reference uses ab_id ordering for its
+exact-duplicate collapse, :921-956 — we pin ab_id DESC so winner =
+max over the full ordering tuple, which makes the rule associative).
+
+Three interchangeable implementations, equivalence-tested:
+
+- winner_window: literal window translation (clearest; one shuffle,
+  full sort within key partitions).
+- winner_agg: `max(struct(order..., payload))` groupBy aggregation.
+  Struct comparison is lexicographic, the tuple is made total (nulls
+  coalesced below any real value, with an explicit IS NOT NULL flag
+  first — matching `cursor IS NULL ... DESC` null ordering), so the
+  reduce is associative+commutative => Spark does map-side partial
+  aggregation: every mapper emits at most one row per hot url before
+  the shuffle. This is the 10^10-scale default — hot-key skew costs
+  O(n_mappers) rows per key, not O(n_events).
+- winner_salted: explicit two-phase salted variant
+  (groupBy(key, salt) -> groupBy(key)) demonstrating SURVEY §4's
+  salted pre-aggregation; used when upstream aggregation is disabled
+  or for cross-checking.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+# Sort key: (cursor IS NULL last, cursor DESC, *secondary DESC, ab_id DESC)
+LONG_MIN = -(2**63)
+
+
+def _order_cols_desc(cursor: str, secondary: tuple[str, ...], ab_id: str) -> list[Column]:
+    cols: list[Column] = [
+        F.col(cursor).isNull().asc(),  # nulls last under DESC (Postgres default parity)
+        F.col(cursor).desc(),
+    ]
+    for c in secondary:
+        cols.append(F.col(c).desc())
+    cols.append(F.col(ab_id).desc())
+    return cols
+
+
+def winner_window(
+    df: DataFrame,
+    key: tuple[str, ...] = ("url",),
+    cursor: str = "_ab_cdc_lsn",
+    secondary: tuple[str, ...] = ("_ab_cdc_updated_at", "_airbyte_emitted_at"),
+    ab_id: str = "_airbyte_ab_id",
+    drop_tombstones: bool = False,
+) -> DataFrame:
+    """row_number()==1 per key under the reference ordering."""
+    w = Window.partitionBy(*key).orderBy(*_order_cols_desc(cursor, secondary, ab_id))
+    out = (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    if drop_tombstones:
+        out = out.filter(F.col("_ab_cdc_deleted_at").isNull())
+    return out
+
+
+def _rank_struct(
+    df: DataFrame,
+    cursor: str,
+    secondary: tuple[str, ...],
+    ab_id: str,
+) -> Column:
+    """Total-order struct whose max == the window winner.
+
+    Field order mirrors the ORDER BY; every field is non-null:
+    (cursor IS NOT NULL, coalesce(cursor, MIN), *coalesce(secondary,
+    epoch0), ab_id, payload...). Timestamps are compared as-is after
+    coalescing to a floor value.
+    """
+    dtypes = dict(df.dtypes)
+
+    def _floor(dt: str) -> Column:
+        if dt == "timestamp":
+            return F.lit("0001-01-01 00:00:00").cast("timestamp")
+        if dt == "date":
+            return F.lit("0001-01-01").cast("date")
+        if dt == "string":
+            return F.lit("")
+        return F.lit(LONG_MIN).cast(dt)
+
+    fields: list[Column] = [
+        F.col(cursor).isNotNull().alias("_nn"),
+        F.coalesce(F.col(cursor), _floor(dtypes[cursor])).alias("_cur"),
+    ]
+    for i, c in enumerate(secondary):
+        fields.append(F.coalesce(F.col(c), _floor(dtypes[c])).alias(f"_s{i}"))
+    fields.append(F.col(ab_id).alias("_ab"))
+    payload = [c for c in df.columns if c != ab_id]
+    fields.append(F.struct(*[F.col(c) for c in payload]).alias("_row"))
+    return F.struct(*fields)
+
+
+def _unpack_winner(agg: DataFrame, df_columns: list[str], ab_id: str) -> DataFrame:
+    cols = []
+    for c in df_columns:
+        src = "_w._ab" if c == ab_id else f"_w._row.{c}"
+        cols.append(F.col(src).alias(c))
+    return agg.select(*cols)
+
+
+def winner_agg(
+    df: DataFrame,
+    key: tuple[str, ...] = ("url",),
+    cursor: str = "_ab_cdc_lsn",
+    secondary: tuple[str, ...] = ("_ab_cdc_updated_at", "_airbyte_emitted_at"),
+    ab_id: str = "_airbyte_ab_id",
+    drop_tombstones: bool = False,
+) -> DataFrame:
+    """Associative max-by-ordering-tuple aggregation (scale default)."""
+    rs = _rank_struct(df, cursor, secondary, ab_id)
+    agg = df.groupBy(*[F.col(k) for k in key]).agg(F.max(rs).alias("_w"))
+    out = _unpack_winner(agg, df.columns, ab_id)
+    if drop_tombstones:
+        out = out.filter(F.col("_ab_cdc_deleted_at").isNull())
+    return out
+
+
+def winner_salted(
+    df: DataFrame,
+    key: tuple[str, ...] = ("url",),
+    cursor: str = "_ab_cdc_lsn",
+    secondary: tuple[str, ...] = ("_ab_cdc_updated_at", "_airbyte_emitted_at"),
+    ab_id: str = "_airbyte_ab_id",
+    n_salts: int = 16,
+    drop_tombstones: bool = False,
+) -> DataFrame:
+    """Explicit two-phase salted reduce (SURVEY §4 item 1).
+
+    Phase 1 shuffles on (key, salt) — a hot key fans out over n_salts
+    reducers, each keeping one candidate; phase 2 reduces <= n_salts
+    rows per key. Correct because the ordering-tuple max is associative
+    (tests/test_dedup.py cross-checks vs winner_window).
+    """
+    rs = _rank_struct(df, cursor, secondary, ab_id)
+    salt = F.pmod(F.xxhash64(*[F.col(c) for c in (ab_id,)]), F.lit(n_salts)).alias("_salt")
+    phase1 = (
+        df.withColumn("_salt", salt)
+        .groupBy(*[F.col(k) for k in key], F.col("_salt"))
+        .agg(F.max(rs).alias("_w"))
+    )
+    phase2 = phase1.groupBy(*[F.col(k) for k in key]).agg(F.max("_w").alias("_w"))
+    out = _unpack_winner(phase2, df.columns, ab_id)
+    if drop_tombstones:
+        out = out.filter(F.col("_ab_cdc_deleted_at").isNull())
+    return out

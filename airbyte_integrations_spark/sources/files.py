@@ -1,0 +1,65 @@
+"""File sources (csv / json / parquet) with mtime-cursor incrementality.
+
+Reference: source-s3 format parsers (formats/{csv,parquet,avro}_parser.py)
+and the `_ab_source_file_last_modified` cursor — files sorted ascending
+by mtime, skip mtime <= state (stream.py:47-48, 158, 329, 431-464).
+
+Spark-first: `spark.read.<format>` does the parsing (JVM, vectorized);
+we only add the two system columns and the mtime predicate, which
+prunes at file granularity before any bytes are read.
+"""
+
+from __future__ import annotations
+
+import os
+from datetime import datetime, timezone
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+CURSOR_COL = "_ab_source_file_last_modified"
+URL_COL = "_ab_source_file_url"
+
+
+def list_files(root: str, suffix: str = "") -> list[tuple[str, datetime]]:
+    out = []
+    for dirpath, _d, fns in os.walk(root):
+        for fn in fns:
+            if fn.endswith(suffix) and not fn.startswith(("_", ".")):
+                p = os.path.join(dirpath, fn)
+                mtime = datetime.fromtimestamp(os.path.getmtime(p), tz=timezone.utc)
+                out.append((p, mtime))
+    return sorted(out, key=lambda t: (t[1], t[0]))
+
+
+def read_files_incremental(
+    spark: SparkSession,
+    root: str,
+    fmt: str = "parquet",
+    state: datetime | None = None,
+    suffix: str = "",
+    **options,
+) -> tuple[DataFrame | None, datetime | None]:
+    """Read files with mtime > state; returns (df | None, new state).
+
+    df carries `_ab_source_file_url` + `_ab_source_file_last_modified`.
+    """
+    files = list_files(root, suffix)
+    if state is not None:
+        files = [(p, m) for p, m in files if m > state]
+    if not files:
+        return None, state
+    new_state = max(m for _p, m in files)
+    mtime_map = {p: m for p, m in files}
+    reader = spark.read
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    df = reader.format(fmt).load([p for p, _m in files])
+    mtime_expr = F.create_map(
+        *[x for p, m in mtime_map.items() for x in (F.lit(p), F.lit(m))]
+    )
+    df = df.withColumn(URL_COL, F.input_file_name()).withColumn(
+        CURSOR_COL,
+        mtime_expr[F.regexp_replace(F.col(URL_COL), "^file:/+", "/")],
+    )
+    return df, new_state

@@ -1,0 +1,67 @@
+"""Winner rule: window == associative agg == salted two-phase ==
+independent DuckDB oracle (SURVEY §7.5 associativity risk)."""
+
+from airbyte_integrations_spark.gen import gen_change_events
+from airbyte_integrations_spark.operators.dedup import (
+    winner_agg,
+    winner_salted,
+    winner_window,
+)
+from tests.util import assert_frames_equal, duckdb_winners
+
+COLS = [
+    "url",
+    "lang",
+    "text",
+    "_ab_cdc_lsn",
+    "_ab_cdc_updated_at",
+    "_ab_cdc_deleted_at",
+    "_airbyte_ab_id",
+    "_airbyte_emitted_at",
+]
+
+
+def _events(spark, n=3000, n_urls=80):
+    # few urls + heavy skew => hot keys, many updates and deletes per key
+    return gen_change_events(spark, n, n_urls=n_urls, skew_alpha=2.5).select(*COLS)
+
+
+def test_window_matches_duckdb_oracle(spark):
+    ev = _events(spark)
+    got = winner_window(ev, drop_tombstones=True).toPandas()
+    want = duckdb_winners(ev.toPandas())
+    assert_frames_equal(got, want)
+
+
+def test_agg_matches_window(spark):
+    ev = _events(spark)
+    a = winner_agg(ev, drop_tombstones=True).toPandas()
+    w = winner_window(ev, drop_tombstones=True).toPandas()
+    assert_frames_equal(a, w)
+
+
+def test_salted_matches_window(spark):
+    ev = _events(spark)
+    s = winner_salted(ev, n_salts=7, drop_tombstones=True).toPandas()
+    w = winner_window(ev, drop_tombstones=True).toPandas()
+    assert_frames_equal(s, w)
+
+
+def test_null_cursor_ordering(spark):
+    """cursor IS NULL sorts last (a null-lsn row only wins if alone)."""
+    import datetime as dt
+
+    rows = [
+        ("u", None, dt.datetime(2021, 1, 2), None, "b", dt.datetime(2021, 1, 2)),
+        ("u", 5, dt.datetime(2021, 1, 1), None, "a", dt.datetime(2021, 1, 1)),
+        ("v", None, dt.datetime(2021, 1, 1), None, "c", dt.datetime(2021, 1, 1)),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "url string, _ab_cdc_lsn long, _ab_cdc_updated_at timestamp, "
+        "_ab_cdc_deleted_at timestamp, _airbyte_ab_id string, "
+        "_airbyte_emitted_at timestamp",
+    )
+    for impl in (winner_window, winner_agg, winner_salted):
+        got = {r["url"]: r["_airbyte_ab_id"] for r in impl(df).collect()}
+        assert got == {"u": "a", "v": "c"}, impl.__name__

@@ -1,0 +1,68 @@
+"""Source contracts: incremental cursor scan (SAT
+test_two_sequential_reads / abnormally-large-state), file-source mtime
+cursor, CDC target position + snapshot-then-tail."""
+
+import datetime as dt
+import os
+import time
+
+from airbyte_integrations_spark.gen import gen_change_events, gen_pages
+from airbyte_integrations_spark.sources.cdc import LogTailSource
+from airbyte_integrations_spark.sources.files import read_files_incremental
+from airbyte_integrations_spark.sources.incremental import read_incremental
+
+
+def test_incremental_two_sequential_reads(spark):
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    first, state = read_incremental(events, "event_id", None)
+    assert first.count() == events.count()
+    second, state2 = read_incremental(events, "event_id", state)
+    assert second.count() == 0  # nothing new => no records (SAT rule)
+    assert state2 == state  # state echoed
+
+
+def test_incremental_future_state_returns_nothing(spark):
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    got, state = read_incremental(events, "event_id", 10**15)
+    assert got.count() == 0 and state == 10**15
+
+
+def test_incremental_partial_resume(spark):
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    mid = events.approxQuantile("event_id", [0.5], 0.0)[0]
+    got, state = read_incremental(events, "event_id", int(mid))
+    assert got.count() == events.filter(f"event_id > {int(mid)}").count()
+
+
+def test_file_source_mtime_cursor(spark, tmp_path):
+    d = str(tmp_path / "in")
+    os.makedirs(d)
+    gen_pages(spark, 10).select("url", "lang").write.parquet(d + "/f1")
+    df1, s1 = read_files_incremental(spark, d, "parquet", None, suffix=".parquet")
+    assert df1.count() == 10
+    assert df1.filter("_ab_source_file_last_modified IS NULL").count() == 0
+    # no new files => no data
+    df2, s2 = read_files_incremental(spark, d, "parquet", s1, suffix=".parquet")
+    assert df2 is None and s2 == s1
+    time.sleep(1.1)
+    gen_pages(spark, 5).select("url", "lang").write.parquet(d + "/f2")
+    df3, s3 = read_files_incremental(spark, d, "parquet", s1, suffix=".parquet")
+    assert df3.count() == 5 and s3 > s1
+
+
+def test_cdc_target_position_bounds_sync(spark):
+    ev = gen_change_events(spark, 500, n_urls=40)
+    src = LogTailSource(ev)
+    target = src.target_position()
+    assert target == 500
+    sl = src.slice(100, target)
+    assert sl.count() == 400
+
+
+def test_snapshot_then_tail(spark):
+    pages = gen_pages(spark, 30)
+    ev = gen_change_events(spark, 100, n_urls=30)
+    src = LogTailSource(ev)
+    merged = src.snapshot_then_tail(pages, snapshot_lsn=0)
+    assert merged.count() == 130
+    assert merged.filter("_ab_cdc_lsn = 0").count() == 30
