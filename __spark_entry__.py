@@ -1,38 +1,645 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+queries() exercises the engine's operator inventory (SURVEY.md §2) over
+the driver's parquet tables; every CDC query runs on a change-event log
+derived deterministically from the `events` table by
+airbyte_integrations_spark.testdata (one derivation, implemented
+identically as a DataFrame builder and as the SQL CTE embedded in each
+oracle). Timestamps are surfaced as epoch microseconds (unix_micros /
+epoch_us) and doubles as floor(x*1000) integers so value hashes are
+exact across engines.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from airbyte_integrations_spark.operators.dedup import winner_agg, winner_window
+from airbyte_integrations_spark.operators.scd import scd2
+from airbyte_integrations_spark.session import tune_session
+from airbyte_integrations_spark.testdata import CE_SQL, change_events, load
+
+def _us(col: str) -> F.Column:
+    """Epoch microseconds of a (possibly NTZ) timestamp column; the
+    session is UTC so this matches DuckDB's epoch_us on naive ts."""
+    return F.unix_micros(F.col(col).cast("timestamp"))
+
+
+# Reference winner ordering (stream_processor.py:832-846 + ab_id tiebreak)
+ORDER_SQL = (
+    "_ab_cdc_lsn IS NULL ASC, _ab_cdc_lsn DESC, _ab_cdc_updated_at DESC, "
+    "_airbyte_emitted_at DESC, _airbyte_ab_id DESC"
+)
+
+WINNERS_SQL = f"""
+w AS (
+  SELECT *, row_number() OVER (PARTITION BY url ORDER BY {ORDER_SQL}) AS rn
+  FROM ce
+)
+"""
+
+
+# ---------------------------------------------------------------- CDC core
+
+def q_cdc_latest_wins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-replay final table: per-url winner, tombstones removed
+    (the MERGE-apply end state; SURVEY §2.6/2.8)."""
+    tune_session(spark)
+    ce = change_events(spark, sf_dir)
+    w = winner_window(ce, drop_tombstones=True)
+    return w.select(
+        "url",
+        "_ab_cdc_lsn",
+        _us("_ab_cdc_updated_at").alias("updated_us"),
+        "event_type",
+        "value_m",
+    )
+
+
+O_CDC_LATEST_WINS = f"""
+WITH {CE_SQL}, {WINNERS_SQL}
+SELECT url, _ab_cdc_lsn, epoch_us(_ab_cdc_updated_at) AS updated_us,
+       event_type, value_m
+FROM w WHERE rn = 1 AND _ab_cdc_deleted_at IS NULL
+"""
+
+
+def q_cdc_winner_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same final state computed by the associative/salted aggregation
+    path (the 10^10-scale plan) — proves agg == window == oracle."""
+    tune_session(spark)
+    ce = change_events(spark, sf_dir)
+    w = winner_agg(ce, drop_tombstones=True)
+    return w.select("url", "_ab_cdc_lsn", "event_type", "value_m")
+
+
+O_CDC_WINNER_AGG = f"""
+WITH {CE_SQL}, {WINNERS_SQL}
+SELECT url, _ab_cdc_lsn, event_type, value_m
+FROM w WHERE rn = 1 AND _ab_cdc_deleted_at IS NULL
+"""
+
+
+def q_cdc_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type 2 history table: validity intervals + active-row flag
+    (stream_processor.py:698-959)."""
+    tune_session(spark)
+    ce = change_events(spark, sf_dir)
+    s = scd2(ce)
+    return s.select(
+        "url",
+        F.col("_airbyte_start_at").alias("start_lsn"),
+        F.col("_airbyte_end_at").alias("end_lsn"),
+        F.col("_airbyte_active_row").alias("active_row"),
+        _us("_airbyte_emitted_at").alias("emitted_us"),
+    )
+
+
+O_CDC_SCD2 = f"""
+WITH {CE_SQL}
+SELECT url,
+       _ab_cdc_lsn AS start_lsn,
+       lag(_ab_cdc_lsn) OVER (PARTITION BY url ORDER BY {ORDER_SQL}) AS end_lsn,
+       CASE WHEN row_number() OVER (PARTITION BY url ORDER BY {ORDER_SQL}) = 1
+                 AND _ab_cdc_deleted_at IS NULL THEN 1 ELSE 0 END AS active_row,
+       epoch_us(_airbyte_emitted_at) AS emitted_us
+FROM ce
+"""
+
+
+def q_cdc_tombstone_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delivery accounting: raw/delete counts and final-table size
+    (row-count oracles, simple_streams_first_run_row_counts.sql)."""
+    tune_session(spark)
+    ce = change_events(spark, sf_dir)
+    w = winner_window(ce)
+    return (
+        w.agg(
+            F.count("*").alias("n_urls"),
+            F.sum(F.col("_ab_cdc_deleted_at").isNotNull().cast("long")).alias("n_dead"),
+            F.sum(F.col("_ab_cdc_deleted_at").isNull().cast("long")).alias("n_live"),
+        )
+        .crossJoin(
+            ce.agg(
+                F.count("*").alias("n_events"),
+                F.sum(F.col("_ab_cdc_deleted_at").isNotNull().cast("long")).alias(
+                    "n_delete_events"
+                ),
+            )
+        )
+        .select("n_events", "n_delete_events", "n_urls", "n_live", "n_dead")
+    )
+
+
+O_CDC_TOMBSTONE_STATS = f"""
+WITH {CE_SQL}, {WINNERS_SQL}
+SELECT
+  (SELECT count(*) FROM ce) AS n_events,
+  (SELECT count(*) FROM ce WHERE _ab_cdc_deleted_at IS NOT NULL) AS n_delete_events,
+  count(*) AS n_urls,
+  sum(CASE WHEN _ab_cdc_deleted_at IS NULL THEN 1 ELSE 0 END) AS n_live,
+  sum(CASE WHEN _ab_cdc_deleted_at IS NOT NULL THEN 1 ELSE 0 END) AS n_dead
+FROM w WHERE rn = 1
+"""
+
+
+def q_cdc_idempotent_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """At-least-once transport: the log delivered twice (UNION ALL)
+    converges to the same final state (BufferedStreamConsumer.java:39-57
+    idempotence)."""
+    tune_session(spark)
+    ce = change_events(spark, sf_dir)
+    doubled = ce.unionByName(ce)
+    return winner_agg(doubled, drop_tombstones=True).select(
+        "url", "_ab_cdc_lsn", "event_type", "value_m"
+    )
+
+
+O_CDC_IDEMPOTENT_REPLAY = f"""
+WITH {CE_SQL},
+dbl AS (SELECT * FROM ce UNION ALL SELECT * FROM ce),
+w AS (
+  SELECT *, row_number() OVER (PARTITION BY url ORDER BY {ORDER_SQL}) AS rn
+  FROM dbl
+)
+SELECT url, _ab_cdc_lsn, event_type, value_m
+FROM w WHERE rn = 1 AND _ab_cdc_deleted_at IS NULL
+"""
+
+
+def q_cdc_incremental_cursor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cursor scan: strictly-greater filter + new max-cursor state
+    (AbstractJdbcSource.java:261-286, StateDecoratingIterator.java:50-60).
+    State = floor(max(lsn)/2) so the query is scale-independent."""
+    tune_session(spark)
+    ce = change_events(spark, sf_dir)
+    state = ce.agg(F.floor(F.max("_ab_cdc_lsn") / 2).cast("long").alias("s"))
+    new = ce.join(state, ce["_ab_cdc_lsn"] > state["s"], "inner")
+    return new.agg(
+        F.count("*").alias("n_new"),
+        F.max("_ab_cdc_lsn").alias("new_state"),
+        F.min("_ab_cdc_lsn").alias("first_lsn"),
+    )
+
+
+O_CDC_INCREMENTAL_CURSOR = f"""
+WITH {CE_SQL},
+st AS (SELECT CAST(floor(max(_ab_cdc_lsn) / 2.0) AS BIGINT) AS s FROM ce)
+SELECT count(*) AS n_new, max(_ab_cdc_lsn) AS new_state, min(_ab_cdc_lsn) AS first_lsn
+FROM ce, st WHERE ce._ab_cdc_lsn > st.s
+"""
+
+
+def q_cdc_epoch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic epoch slicing `(from, to]` of the log into
+    1000-lsn micro-batches (streaming/microbatch.plan_epochs semantics;
+    CdcTargetPosition bounding)."""
+    tune_session(spark)
+    ce = change_events(spark, sf_dir)
+    epoch = (F.floor((F.col("_ab_cdc_lsn") - 1) / 1000) * 1000).cast("long")
+    return (
+        ce.groupBy(epoch.alias("epoch_from"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min("_ab_cdc_lsn").alias("min_lsn"),
+            F.max("_ab_cdc_lsn").alias("max_lsn"),
+            F.sum(F.col("_ab_cdc_deleted_at").isNotNull().cast("long")).alias("n_deletes"),
+        )
+    )
+
+
+O_CDC_EPOCH_PLAN = f"""
+WITH {CE_SQL}
+SELECT CAST(floor((_ab_cdc_lsn - 1) / 1000.0) * 1000 AS BIGINT) AS epoch_from,
+       count(*) AS n_events, min(_ab_cdc_lsn) AS min_lsn,
+       max(_ab_cdc_lsn) AS max_lsn,
+       sum(CASE WHEN _ab_cdc_deleted_at IS NOT NULL THEN 1 ELSE 0 END) AS n_deletes
+FROM ce GROUP BY 1
+"""
+
+
+def q_cdc_lineage_offsets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(epoch, shard) offset ranges + counts — the lineage/metrics
+    table shape (DefaultReplicationWorker.java:197-228)."""
+    tune_session(spark)
+    ce = change_events(spark, sf_dir)
+    epoch = (F.floor((F.col("_ab_cdc_lsn") - 1) / 1000) * 1000).cast("long")
+    shard = (F.col("_ab_cdc_lsn") % 8).cast("long")
+    return ce.groupBy(epoch.alias("epoch_from"), shard.alias("shard")).agg(
+        F.min("_ab_cdc_lsn").alias("from_lsn"),
+        F.max("_ab_cdc_lsn").alias("to_lsn"),
+        F.count("*").alias("n_events"),
+        F.sum(F.col("_ab_cdc_deleted_at").isNotNull().cast("long")).alias("n_deletes"),
+    )
+
+
+O_CDC_LINEAGE_OFFSETS = f"""
+WITH {CE_SQL}
+SELECT CAST(floor((_ab_cdc_lsn - 1) / 1000.0) * 1000 AS BIGINT) AS epoch_from,
+       _ab_cdc_lsn % 8 AS shard,
+       min(_ab_cdc_lsn) AS from_lsn, max(_ab_cdc_lsn) AS to_lsn,
+       count(*) AS n_events,
+       sum(CASE WHEN _ab_cdc_deleted_at IS NOT NULL THEN 1 ELSE 0 END) AS n_deletes
+FROM ce GROUP BY 1, 2
+"""
+
+
+def q_cdc_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mid-stream schema change: odd-lsn slice has the OLD schema (no
+    event_type/value_m), even-lsn slice the NEW one; union-by-name
+    null-backfills, then the winner rule applies (star_intersect.sql:9-47;
+    FIXTURES.md F3.5)."""
+    tune_session(spark)
+    ce = change_events(spark, sf_dir)
+    old = ce.filter(F.col("_ab_cdc_lsn") % 2 == 1).drop("event_type", "value_m")
+    new = ce.filter(F.col("_ab_cdc_lsn") % 2 == 0)
+    both = old.unionByName(new, allowMissingColumns=True)
+    return winner_window(both, drop_tombstones=True).select(
+        "url", "_ab_cdc_lsn", "event_type", "value_m"
+    )
+
+
+O_CDC_SCHEMA_EVOLUTION = f"""
+WITH {CE_SQL},
+u AS (
+  SELECT url, _ab_cdc_lsn, _ab_cdc_updated_at, _ab_cdc_deleted_at,
+         _airbyte_ab_id, _airbyte_emitted_at,
+         CAST(NULL AS VARCHAR) AS event_type, CAST(NULL AS BIGINT) AS value_m
+  FROM ce WHERE _ab_cdc_lsn % 2 = 1
+  UNION ALL
+  SELECT * FROM ce WHERE _ab_cdc_lsn % 2 = 0
+),
+w AS (
+  SELECT *, row_number() OVER (PARTITION BY url ORDER BY {ORDER_SQL}) AS rn
+  FROM u
+)
+SELECT url, _ab_cdc_lsn, event_type, value_m
+FROM w WHERE rn = 1 AND _ab_cdc_deleted_at IS NULL
+"""
+
+
+def q_cdc_snapshot_plus_log(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Initial snapshot (lsn=0 image per url) + log tail in one sync;
+    log events win over the snapshot (DebeziumRecordIterator snapshot
+    phase; sources/cdc.snapshot_then_tail)."""
+    tune_session(spark)
+    ce = change_events(spark, sf_dir)
+    t0 = F.lit("2020-01-01 00:00:00").cast("timestamp")
+    snap = ce.select("url").distinct().select(
+        "url",
+        F.lit(0).cast("long").alias("_ab_cdc_lsn"),
+        t0.alias("_ab_cdc_updated_at"),
+        F.lit(None).cast("timestamp").alias("_ab_cdc_deleted_at"),
+        F.md5(F.col("url")).alias("_airbyte_ab_id"),
+        t0.alias("_airbyte_emitted_at"),
+        F.lit("snapshot").alias("event_type"),
+        F.lit(0).cast("long").alias("value_m"),
+    )
+    both = snap.unionByName(ce)
+    return winner_window(both, drop_tombstones=True).select(
+        "url", "_ab_cdc_lsn", "event_type"
+    )
+
+
+O_CDC_SNAPSHOT_PLUS_LOG = f"""
+WITH {CE_SQL},
+snap AS (
+  SELECT DISTINCT url, CAST(0 AS BIGINT) AS _ab_cdc_lsn,
+         TIMESTAMP '2020-01-01 00:00:00' AS _ab_cdc_updated_at,
+         CAST(NULL AS TIMESTAMP) AS _ab_cdc_deleted_at,
+         md5(url) AS _airbyte_ab_id,
+         TIMESTAMP '2020-01-01 00:00:00' AS _airbyte_emitted_at,
+         'snapshot' AS event_type, CAST(0 AS BIGINT) AS value_m
+  FROM ce
+),
+u AS (SELECT * FROM snap UNION ALL SELECT * FROM ce),
+w AS (
+  SELECT *, row_number() OVER (PARTITION BY url ORDER BY {ORDER_SQL}) AS rn
+  FROM u
+)
+SELECT url, _ab_cdc_lsn, event_type FROM w WHERE rn = 1 AND _ab_cdc_deleted_at IS NULL
+"""
+
+
+def q_cdc_composite_pk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-CDC incremental dedup with a composite PK and a non-lsn
+    cursor — the dedup_exchange_rate shape (FIXTURES.md F3.3): key
+    (url, event_type), cursor _ab_cdc_updated_at."""
+    tune_session(spark)
+    ce = change_events(spark, sf_dir)
+    w = winner_window(
+        ce,
+        key=("url", "event_type"),
+        cursor="_ab_cdc_updated_at",
+        secondary=("_airbyte_emitted_at",),
+    )
+    return w.select(
+        "url",
+        "event_type",
+        _us("_ab_cdc_updated_at").alias("updated_us"),
+        "_ab_cdc_lsn",
+    )
+
+
+O_CDC_COMPOSITE_PK_DEDUP = f"""
+WITH {CE_SQL},
+w AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY url, event_type
+    ORDER BY _ab_cdc_updated_at IS NULL ASC, _ab_cdc_updated_at DESC,
+             _airbyte_emitted_at DESC, _airbyte_ab_id DESC
+  ) AS rn
+  FROM ce
+)
+SELECT url, event_type, epoch_us(_ab_cdc_updated_at) AS updated_us, _ab_cdc_lsn
+FROM w WHERE rn = 1
+"""
+
+
+# ------------------------------------------------- training-data pipeline
+
+def q_docs_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by content hash over documents (hash-groupBy)."""
+    tune_session(spark)
+    docs = load(spark, sf_dir, "documents")
+    return (
+        docs.groupBy(F.md5(F.col("text")).alias("text_md5"))
+        .agg(F.count("*").alias("n_copies"), F.min("doc_id").alias("canonical_id"))
+    )
+
+
+O_DOCS_EXACT_DEDUP = """
+SELECT md5(text) AS text_md5, count(*) AS n_copies, min(doc_id) AS canonical_id
+FROM documents GROUP BY 1
+"""
+
+
+def q_docs_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalized document fingerprint: md5(lower + whitespace-collapse)."""
+    tune_session(spark)
+    docs = load(spark, sf_dir, "documents")
+    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+    return docs.select("doc_id", F.md5(norm).alias("fingerprint"), "n_chars")
+
+
+O_DOCS_FINGERPRINT = r"""
+SELECT doc_id,
+       md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint,
+       n_chars
+FROM documents
+"""
+
+
+def q_docs_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: token count, punctuation count, punct ratio
+    (per-mille) — the length/punct heuristics of a webtext filter."""
+    tune_session(spark)
+    docs = load(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    t = F.col("text")
+    n_tokens = F.size(F.split(F.trim(t), r"\s+"))
+    n_punct = F.length(t) - F.length(F.regexp_replace(t, r"[.,!?;:]", ""))
+    return docs.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        n_punct.alias("n_punct"),
+        F.floor(n_punct * 1000.0 / F.length(t)).cast("long").alias("punct_ratio_pm"),
+        F.length(t).alias("n_chars_live"),
+    )
+
+
+O_DOCS_QUALITY = r"""
+SELECT doc_id,
+       len(string_split_regex(trim(text), '\s+')) AS n_tokens,
+       length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS n_punct,
+       CAST(floor((length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')))
+            * 1000.0 / length(text)) AS BIGINT) AS punct_ratio_pm,
+       length(text) AS n_chars_live
+FROM documents WHERE n_chars > 0
+"""
+
+
+_LANG_MARKERS = [("en", " the "), ("de", " der "), ("fr", " le "), ("es", " los ")]
+
+
+def q_docs_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-word language ID heuristic, scored against the labeled
+    lang column."""
+    tune_session(spark)
+    docs = load(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    low = F.lower(F.col("text"))
+    counts = {}
+    for code, marker in _LANG_MARKERS:
+        c = (F.length(low) - F.length(F.replace(low, F.lit(marker), F.lit("")))) / len(marker)
+        counts[code] = c.cast("long")
+    guess = F.lit("other")
+    best = F.lit(0).cast("long")
+    for code, _m in _LANG_MARKERS:
+        cond = counts[code] > best
+        guess = F.when(cond, F.lit(code)).otherwise(guess)
+        best = F.when(cond, counts[code]).otherwise(best)
+    return docs.select(
+        "doc_id",
+        "lang",
+        guess.alias("lang_guess"),
+        (guess == F.col("lang")).cast("int").alias("correct"),
+    )
+
+
+def _o_lang_sql() -> str:
+    cnt = {
+        code: (
+            f"CAST((length(lower(text)) - length(replace(lower(text), '{m}', '')))"
+            f" / {len(m)} AS BIGINT)"
+        )
+        for code, m in _LANG_MARKERS
+    }
+    # sequential argmax with strict > , same priority order as the Spark side
+    guess = "'other'"
+    best = "CAST(0 AS BIGINT)"
+    for code, _m in _LANG_MARKERS:
+        guess = f"CASE WHEN {cnt[code]} > {best} THEN '{code}' ELSE {guess} END"
+        best = f"CASE WHEN {cnt[code]} > {best} THEN {cnt[code]} ELSE {best} END"
+    return f"""
+SELECT doc_id, lang, {guess} AS lang_guess,
+       CASE WHEN {guess} = lang THEN 1 ELSE 0 END AS correct
+FROM documents WHERE n_chars > 0
+"""
+
+
+def q_emb_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-LSH bucketing of embeddings (8 fixed hyperplane axes) — the
+    scale path for ANN candidate generation."""
+    tune_session(spark)
+    emb = load(spark, sf_dir, "embeddings")
+    dims = [1, 9, 17, 25, 33, 41, 49, 57]
+    bits = [
+        F.when(F.element_at(F.col("embedding"), d) >= 0, F.lit("1")).otherwise(F.lit("0"))
+        for d in dims
+    ]
+    return (
+        emb.groupBy(F.concat(*bits).alias("bucket"))
+        .agg(F.count("*").alias("n_vecs"), F.min("vec_id").alias("min_vec_id"))
+    )
+
+
+O_EMB_LSH_BUCKETS = """
+SELECT (CASE WHEN embedding[1] >= 0 THEN '1' ELSE '0' END ||
+        CASE WHEN embedding[9] >= 0 THEN '1' ELSE '0' END ||
+        CASE WHEN embedding[17] >= 0 THEN '1' ELSE '0' END ||
+        CASE WHEN embedding[25] >= 0 THEN '1' ELSE '0' END ||
+        CASE WHEN embedding[33] >= 0 THEN '1' ELSE '0' END ||
+        CASE WHEN embedding[41] >= 0 THEN '1' ELSE '0' END ||
+        CASE WHEN embedding[49] >= 0 THEN '1' ELSE '0' END ||
+        CASE WHEN embedding[57] >= 0 THEN '1' ELSE '0' END) AS bucket,
+       count(*) AS n_vecs, min(vec_id) AS min_vec_id
+FROM embeddings GROUP BY 1
+"""
+
+
+def q_emb_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 neighbors for every 50th vector.
+    Similarity coarsened to floor(cos*100) and ranked by
+    (sim_c DESC, neighbor id ASC) so ordering is float-rounding-proof
+    across engines."""
+    tune_session(spark)
+    emb = load(spark, sf_dir, "embeddings")
+    dbl = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    base = emb.select(
+        F.col("vec_id"),
+        dbl.alias("v"),
+        F.sqrt(F.aggregate(dbl, F.lit(0.0), lambda a, x: a + x * x)).alias("nrm"),
+    )
+    q = base.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("qid"), F.col("v").alias("qv"), F.col("nrm").alias("qn")
+    )
+    c = base.select(
+        F.col("vec_id").alias("cid"), F.col("v").alias("cv"), F.col("nrm").alias("cn")
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("qv"), F.col("cv"), lambda a, b: a * b),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    pairs = (
+        q.crossJoin(c)
+        .filter(F.col("qid") != F.col("cid"))
+        .select(
+            "qid",
+            "cid",
+            F.floor(dot / (F.col("qn") * F.col("cn")) * 100).cast("long").alias("sim_c"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("sim_c").desc(), F.col("cid").asc())
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("qid", "cid", "sim_c", "rank")
+    )
+
+
+O_EMB_KNN_COSINE = """
+WITH base AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+base2 AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM base),
+q AS (SELECT vec_id AS qid, v AS qv, nrm AS qn FROM base2 WHERE vec_id % 50 = 0),
+pairs AS (
+  SELECT q.qid, c.vec_id AS cid,
+         CAST(floor(list_dot_product(q.qv, c.v) / (q.qn * c.nrm) * 100) AS BIGINT) AS sim_c
+  FROM q, base2 c WHERE q.qid != c.vec_id
+)
+SELECT qid, cid, sim_c, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY sim_c DESC, cid ASC) AS rank
+  FROM pairs
+) WHERE rank <= 5
+"""
+
+
+def q_multimodal_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing: documents as opaque binary payloads run
+    through an Arrow mapInPandas metadata extractor (the decode step a
+    real image/audio pipeline would plug in here — see
+    functions/multimodal.py for the stubbed decoder)."""
+    tune_session(spark)
+    import pandas as pd
+
+    docs = load(spark, sf_dir, "documents")
+    payload = docs.select("doc_id", F.encode(F.col("text"), "UTF-8").alias("blob"))
+
+    def meta(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_bytes": pdf["blob"].map(lambda b: len(b) if b is not None else 0),
+                }
+            )
+
+    return payload.mapInPandas(meta, "doc_id long, n_bytes long")
+
+
+O_MULTIMODAL_BINARY_META = """
+SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes FROM documents
+"""
+
+
+# ------------------------------------------------------------- contract
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full CDC replay -> final table on sf0.001."""
+    return q_cdc_latest_wins(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "cdc_latest_wins": q_cdc_latest_wins,
+        "cdc_winner_agg": q_cdc_winner_agg,
+        "cdc_scd2_history": q_cdc_scd2_history,
+        "cdc_tombstone_stats": q_cdc_tombstone_stats,
+        "cdc_idempotent_replay": q_cdc_idempotent_replay,
+        "cdc_incremental_cursor": q_cdc_incremental_cursor,
+        "cdc_epoch_plan": q_cdc_epoch_plan,
+        "cdc_lineage_offsets": q_cdc_lineage_offsets,
+        "cdc_schema_evolution": q_cdc_schema_evolution,
+        "cdc_snapshot_plus_log": q_cdc_snapshot_plus_log,
+        "cdc_composite_pk_dedup": q_cdc_composite_pk_dedup,
+        "docs_exact_dedup": q_docs_exact_dedup,
+        "docs_fingerprint": q_docs_fingerprint,
+        "docs_quality": q_docs_quality,
+        "docs_lang_id": q_docs_lang_id,
+        "emb_lsh_buckets": q_emb_lsh_buckets,
+        "emb_knn_cosine": q_emb_knn_cosine,
+        "multimodal_binary_meta": q_multimodal_binary_meta,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "cdc_latest_wins": O_CDC_LATEST_WINS,
+        "cdc_winner_agg": O_CDC_WINNER_AGG,
+        "cdc_scd2_history": O_CDC_SCD2,
+        "cdc_tombstone_stats": O_CDC_TOMBSTONE_STATS,
+        "cdc_idempotent_replay": O_CDC_IDEMPOTENT_REPLAY,
+        "cdc_incremental_cursor": O_CDC_INCREMENTAL_CURSOR,
+        "cdc_epoch_plan": O_CDC_EPOCH_PLAN,
+        "cdc_lineage_offsets": O_CDC_LINEAGE_OFFSETS,
+        "cdc_schema_evolution": O_CDC_SCHEMA_EVOLUTION,
+        "cdc_snapshot_plus_log": O_CDC_SNAPSHOT_PLUS_LOG,
+        "cdc_composite_pk_dedup": O_CDC_COMPOSITE_PK_DEDUP,
+        "docs_exact_dedup": O_DOCS_EXACT_DEDUP,
+        "docs_fingerprint": O_DOCS_FINGERPRINT,
+        "docs_quality": O_DOCS_QUALITY,
+        "docs_lang_id": _o_lang_sql(),
+        "emb_lsh_buckets": O_EMB_LSH_BUCKETS,
+        "emb_knn_cosine": O_EMB_KNN_COSINE,
+        "multimodal_binary_meta": O_MULTIMODAL_BINARY_META,
+    }

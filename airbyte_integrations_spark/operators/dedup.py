@@ -83,8 +83,8 @@ def _rank_struct(
     dtypes = dict(df.dtypes)
 
     def _floor(dt: str) -> Column:
-        if dt == "timestamp":
-            return F.lit("0001-01-01 00:00:00").cast("timestamp")
+        if dt in ("timestamp", "timestamp_ntz"):
+            return F.lit("0001-01-01 00:00:00").cast(dt)
         if dt == "date":
             return F.lit("0001-01-01").cast("date")
         if dt == "string":
