@@ -113,6 +113,7 @@ def gen_change_events(
     lsn_start: int = 1,
     seed: str = "cdc",
     n_partitions: int | None = None,
+    body_words: int = 24,
 ) -> DataFrame:
     """WAL/binlog-tail event log: strictly-increasing `_ab_cdc_lsn`,
     Zipf-ish hot urls, ~delete_pct% tombstones, out-of-order
@@ -142,7 +143,7 @@ def gen_change_events(
     ab_id = F.md5(F.concat(F.lit(seed + ":ab:"), seq.cast("string")))
 
     ident = F.xxhash64(F.lit(seed + ":content"), seq)
-    html, text = page_content(ident, url, lang)
+    html, text = page_content(ident, url, lang, body_words=body_words)
     # Deletes carry the before image per DebeziumEventUtils.java:46-65;
     # content payload is irrelevant for tombstones downstream.
     return df.select(

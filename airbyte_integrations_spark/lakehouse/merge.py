@@ -34,7 +34,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from airbyte_integrations_spark.lakehouse.table import LakeTable, bucket_expr, conform
-from airbyte_integrations_spark.operators.dedup import winner_agg
+from airbyte_integrations_spark.operators.dedup import winner_join, winner_window
 from airbyte_integrations_spark.schema import merge_schemas
 
 CDC_ORDER_COLS = ("_ab_cdc_updated_at", "_airbyte_emitted_at")
@@ -61,7 +61,7 @@ def merge_into(
         return table.current_version()
 
     if not table.exists():
-        winners = winner_agg(
+        winners = winner_join(
             batch, ("url",), cursor, secondary, ab_id, drop_tombstones=True
         )
         return table.create(winners, ("url",), 32, stream, epoch, epoch_meta)
@@ -70,11 +70,12 @@ def merge_into(
     n_buckets = table.n_buckets
     target_schema = merge_schemas(table.schema, batch.schema)
 
-    winners = winner_agg(conform(batch, target_schema), key, cursor, secondary, ab_id)
-    winners = winners.withColumn("_bucket", bucket_expr(key, n_buckets))
+    winners = winner_join(conform(batch, target_schema), key, cursor, secondary, ab_id)
+    # One row per key after dedup — small relative to the batch; cache it
+    # so touched-bucket discovery and the merge share one computation.
+    winners = winners.withColumn("_bucket", bucket_expr(key, n_buckets)).persist()
     # Touched buckets: bounded by n_buckets — metadata, not data.
     touched = [r["_bucket"] for r in winners.select("_bucket").distinct().collect()]
-    winners = winners.drop("_bucket")
 
     if not touched:
         # Empty batch: still record the epoch (empty-sync state emission,
@@ -90,15 +91,23 @@ def merge_into(
 
     current = conform(table.read(touched), target_schema)
 
-    keys_df = winners.select(*key).distinct()
+    wb = winners.drop("_bucket")
+    keys_df = wb.select(*key).distinct()
     if broadcast_keys:
         keys_df = F.broadcast(keys_df)
     carried = current.join(keys_df, list(key), "left_anti")
     contested = current.join(keys_df, list(key), "left_semi")
 
-    merged = winner_agg(
-        contested.unionByName(winners), key, cursor, secondary, ab_id,
+    # contested + batch winners are <= 2 rows per contested key — the
+    # exact window is cheap here and resolves ordering ties precisely.
+    merged = winner_window(
+        contested.unionByName(wb), key, cursor, secondary, ab_id,
         drop_tombstones=True,
     )
     new_data = carried.unionByName(merged)
-    return table.replace_buckets(new_data, touched, target_schema, stream, epoch, epoch_meta)
+    try:
+        return table.replace_buckets(
+            new_data, touched, target_schema, stream, epoch, epoch_meta
+        )
+    finally:
+        winners.unpersist()

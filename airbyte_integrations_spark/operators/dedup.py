@@ -128,6 +128,47 @@ def winner_agg(
     return out
 
 
+def winner_join(
+    df: DataFrame,
+    key: tuple[str, ...] = ("url",),
+    cursor: str = "_ab_cdc_lsn",
+    secondary: tuple[str, ...] = ("_ab_cdc_updated_at", "_airbyte_emitted_at"),
+    ab_id: str = "_airbyte_ab_id",
+    drop_tombstones: bool = False,
+) -> DataFrame:
+    """Max-cursor semi-join reduction, then window the residue — the
+    high-throughput path.
+
+    Phase 1 is a plain `max(cursor)` hash aggregation: fixed-width agg
+    buffer => HashAggregate with map-side partial aggregation (skew-safe
+    — each mapper emits one row per hot key). Phase 2 joins the max back
+    (null-safe equality, so all-null-cursor keys keep their rows and are
+    resolved by the window, preserving `cursor IS NULL last`); Catalyst
+    broadcasts the max side when small, so the wide payload never
+    shuffles. Phase 3 is the exact reference window over the candidate
+    set (ties on the cursor only — tiny). Equivalent to winner_window by
+    construction; cross-checked in tests/test_dedup.py.
+
+    Unlike winner_agg, rows never get duplicated into an ordering
+    struct and nothing sorts the full batch — at 10^10 events this is
+    one scan + one narrow shuffle + one candidate-sized shuffle.
+    """
+    maxes = (
+        df.groupBy(*[F.col(k) for k in key])
+        .agg(F.max(cursor).alias("__mc"))
+        .select(*[F.col(k).alias(f"__k{i}") for i, k in enumerate(key)], "__mc")
+    )
+    cond = [F.col(k) == F.col(f"__k{i}") for i, k in enumerate(key)]
+    cond.append(F.col(cursor).eqNullSafe(F.col("__mc")))
+    pred = cond[0]
+    for c in cond[1:]:
+        pred = pred & c
+    cand = df.join(maxes, pred, "inner").drop(
+        "__mc", *[f"__k{i}" for i in range(len(key))]
+    )
+    return winner_window(cand, key, cursor, secondary, ab_id, drop_tombstones)
+
+
 def winner_salted(
     df: DataFrame,
     key: tuple[str, ...] = ("url",),

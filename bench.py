@@ -1,0 +1,104 @@
+"""Per-round benchmark (driver contract).
+
+Headline metric (BASELINE.json): sustained change-events/sec of the
+MERGE-apply CDC replay — a multi-epoch run_sync of generator events
+(same code path as the 10^10 design point) into a LakeTable. Also
+times every queries() entry at $SPARK_GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": events_per_sec, "unit": "events/sec",
+   "queries": {name: sec, ...}, "sf": ...}
+
+Knobs: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+SPARK_GRAFT_CPUS (default 32), SPARK_GRAFT_BENCH_EVENTS (default 4M),
+SPARK_GRAFT_BENCH_EPOCHS (default 4).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import __spark_entry__ as ent
+from airbyte_integrations_spark.config import SyncConfig
+from airbyte_integrations_spark.gen import gen_change_events
+from airbyte_integrations_spark.lakehouse.table import LakeTable
+from airbyte_integrations_spark.session import get_spark
+from airbyte_integrations_spark.streaming.microbatch import run_sync
+
+BENCH_COLS = [
+    "url", "warc_ts", "text", "lang",
+    "_ab_cdc_lsn", "_ab_cdc_updated_at", "_ab_cdc_deleted_at",
+    "_airbyte_ab_id", "_airbyte_emitted_at",
+]
+
+
+def bench_merge_apply(spark, n_events: int, n_epochs: int, n_urls: int) -> dict:
+    """Generate -> materialize the log -> timed multi-epoch MERGE replay."""
+    root = tempfile.mkdtemp(prefix="bench_lake_")
+    log_dir = os.path.join(root, "log")
+    # Materialize the event log first (parquet), so the timed section
+    # measures the ingest pipeline, not the generator.
+    gen_change_events(
+        spark, n_events, n_urls=n_urls, skew_alpha=2.5,
+        n_partitions=int(os.environ.get("SPARK_GRAFT_CPUS", "32")) * 2,
+    ).select(*BENCH_COLS).write.mode("overwrite").parquet(log_dir)
+    events = spark.read.parquet(log_dir)
+
+    table = LakeTable(spark, os.path.join(root, "pages"))
+    cfg = SyncConfig(stream="pages", n_buckets=64)
+    t0 = time.perf_counter()
+    run_sync(
+        spark, events, table, cfg,
+        max_events_per_epoch=max(n_events // n_epochs, 1),
+        extract_missing_text=False,
+    )
+    dt = time.perf_counter() - t0
+    n_final = table.read().count()
+    shutil.rmtree(root, ignore_errors=True)
+    return {"sec": dt, "events_per_sec": n_events / dt, "final_rows": n_final}
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    n_events = int(os.environ.get("SPARK_GRAFT_BENCH_EVENTS", str(4_000_000)))
+    n_epochs = int(os.environ.get("SPARK_GRAFT_BENCH_EPOCHS", "4"))
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+
+    spark = get_spark("bench", cores=cpus, shuffle_partitions=cpus)
+
+    timings: dict[str, float] = {}
+    for name, fn in ent.queries().items():
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    merge = bench_merge_apply(spark, n_events, n_epochs, n_urls=max(n_events // 20, 1000))
+    timings["merge_apply_replay"] = round(merge["sec"], 3)
+
+    print(
+        json.dumps(
+            {
+                "metric": "change-events/sec sustained MERGE-apply (CDC replay into lake table)",
+                "value": round(merge["events_per_sec"], 1),
+                "unit": "events/sec",
+                "queries": timings,
+                "sf": sf,
+                "bench_events": n_events,
+                "bench_epochs": n_epochs,
+                "final_rows": merge["final_rows"],
+                "cpus": cpus,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -4,6 +4,7 @@ independent DuckDB oracle (SURVEY §7.5 associativity risk)."""
 from airbyte_integrations_spark.gen import gen_change_events
 from airbyte_integrations_spark.operators.dedup import (
     winner_agg,
+    winner_join,
     winner_salted,
     winner_window,
 )
@@ -40,6 +41,23 @@ def test_agg_matches_window(spark):
     assert_frames_equal(a, w)
 
 
+def test_join_matches_window(spark):
+    ev = _events(spark)
+    j = winner_join(ev, drop_tombstones=True).toPandas()
+    w = winner_window(ev, drop_tombstones=True).toPandas()
+    assert_frames_equal(j, w)
+
+
+def test_join_with_duplicate_events(spark):
+    """Redelivered identical events (same lsn) must not break the
+    candidate-join path."""
+    ev = _events(spark, 1000, 30)
+    doubled = ev.unionByName(ev)
+    j = winner_join(doubled, drop_tombstones=True).toPandas()
+    w = winner_window(ev, drop_tombstones=True).toPandas()
+    assert_frames_equal(j, w)
+
+
 def test_salted_matches_window(spark):
     ev = _events(spark)
     s = winner_salted(ev, n_salts=7, drop_tombstones=True).toPandas()
@@ -62,6 +80,6 @@ def test_null_cursor_ordering(spark):
         "_ab_cdc_deleted_at timestamp, _airbyte_ab_id string, "
         "_airbyte_emitted_at timestamp",
     )
-    for impl in (winner_window, winner_agg, winner_salted):
+    for impl in (winner_window, winner_agg, winner_salted, winner_join):
         got = {r["url"]: r["_airbyte_ab_id"] for r in impl(df).collect()}
         assert got == {"u": "a", "v": "c"}, impl.__name__
