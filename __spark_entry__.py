@@ -592,6 +592,190 @@ SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes FROM docume
 """
 
 
+def q_docs_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signatures (4 lexicographic-min md5 'permutations' over
+    distinct 3-word shingles) — engine-independent by construction;
+    the LSH building block for near-dup dedup at 100TB."""
+    tune_session(spark)
+    from airbyte_integrations_spark.functions.neardup import minhash_signature
+
+    docs = load(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    return minhash_signature(docs, "doc_id", "text", k=3, n_hashes=4)
+
+
+O_DOCS_MINHASH = r"""
+WITH w AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS ws
+  FROM documents WHERE n_chars > 0
+),
+sh AS (
+  SELECT DISTINCT doc_id, array_to_string(ws[p:p + 2], ' ') AS shingle
+  FROM (
+    SELECT doc_id, ws,
+           unnest(generate_series(1, greatest(len(ws) - 2, 1))) AS p
+    FROM w
+  )
+)
+SELECT doc_id,
+       min(md5(shingle || '#0')) AS mh0, min(md5(shingle || '#1')) AS mh1,
+       min(md5(shingle || '#2')) AS mh2, min(md5(shingle || '#3')) AS mh3
+FROM sh GROUP BY doc_id
+"""
+
+
+def q_docs_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full near-dup pipeline: minhash -> LSH banding -> candidate
+    pairs -> exact-Jaccard verification (>= 0.5). Not SQL-oracled (the
+    banding self-join is the non-relational part); the driver records a
+    rows-only check, and minhash itself is oracled by docs_minhash."""
+    tune_session(spark)
+    from airbyte_integrations_spark.functions.neardup import (
+        jaccard_pairs,
+        lsh_candidate_pairs,
+        minhash_signature,
+    )
+
+    docs = load(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    sig = minhash_signature(docs, "doc_id", "text")
+    pairs = lsh_candidate_pairs(sig, "doc_id")
+    jac = jaccard_pairs(docs, pairs, "doc_id", "text")
+    return jac.filter(F.col("jaccard") >= 0.5).select(
+        "id_a", "id_b", F.floor(F.col("jaccard") * 1000).cast("long").alias("jaccard_m")
+    )
+
+
+def q_docs_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash sketches (vectorized pandas UDF) — rows-only check; the
+    UDF is pinned against a pure-Python reference in tests."""
+    tune_session(spark)
+    from airbyte_integrations_spark.functions.neardup import simhash64
+
+    docs = load(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    return docs.select("doc_id", simhash64("text").alias("simhash"))
+
+
+_BPE_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def q_docs_token_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish pre-tokenization counts (letters / digit runs /
+    punctuation singletons) — the token-budget estimator of a
+    training-data pipeline."""
+    tune_session(spark)
+    docs = load(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    toks = F.regexp_extract_all(F.col("text"), F.lit(_BPE_RE), 0)
+    return docs.select(
+        "doc_id",
+        F.size(toks).alias("n_bpe_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_unique_tokens"),
+    )
+
+
+O_DOCS_TOKEN_BPE = rf"""
+SELECT doc_id,
+       len(regexp_extract_all(text, '{_BPE_RE}')) AS n_bpe_tokens,
+       len(list_distinct(regexp_extract_all(text, '{_BPE_RE}'))) AS n_unique_tokens
+FROM documents WHERE n_chars > 0
+"""
+
+
+def q_emb_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN via LSH bucketing: top-3 cosine neighbors searched only
+    within the query's sign-LSH bucket (the scale path: candidate set
+    shrinks ~2^bits-fold vs brute force; same rounding-proof ranking
+    as emb_knn_cosine)."""
+    tune_session(spark)
+    emb = load(spark, sf_dir, "embeddings")
+    dims = [1, 9, 17, 25, 33, 41, 49, 57]
+    dbl = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    bits = [
+        F.when(F.element_at(F.col("embedding"), d) >= 0, F.lit("1")).otherwise(F.lit("0"))
+        for d in dims
+    ]
+    base = emb.select(
+        "vec_id",
+        dbl.alias("v"),
+        F.sqrt(F.aggregate(dbl, F.lit(0.0), lambda a, x: a + x * x)).alias("nrm"),
+        F.concat(*bits).alias("bucket"),
+    )
+    q = base.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("qid"), F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"), F.col("bucket"),
+    )
+    c = base.select(
+        F.col("vec_id").alias("cid"), F.col("v").alias("cv"),
+        F.col("nrm").alias("cn"), F.col("bucket"),
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("qv"), F.col("cv"), lambda a, b: a * b),
+        F.lit(0.0), lambda a, x: a + x,
+    )
+    pairs = (
+        q.join(c, "bucket")
+        .filter(F.col("qid") != F.col("cid"))
+        .select(
+            "qid", "cid",
+            F.floor(dot / (F.col("qn") * F.col("cn")) * 100).cast("long").alias("sim_c"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("sim_c").desc(), F.col("cid").asc())
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("qid", "cid", "sim_c", "rank")
+    )
+
+
+O_EMB_ANN_LSH_TOPK = """
+WITH base AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+         (CASE WHEN embedding[1] >= 0 THEN '1' ELSE '0' END ||
+          CASE WHEN embedding[9] >= 0 THEN '1' ELSE '0' END ||
+          CASE WHEN embedding[17] >= 0 THEN '1' ELSE '0' END ||
+          CASE WHEN embedding[25] >= 0 THEN '1' ELSE '0' END ||
+          CASE WHEN embedding[33] >= 0 THEN '1' ELSE '0' END ||
+          CASE WHEN embedding[41] >= 0 THEN '1' ELSE '0' END ||
+          CASE WHEN embedding[49] >= 0 THEN '1' ELSE '0' END ||
+          CASE WHEN embedding[57] >= 0 THEN '1' ELSE '0' END) AS bucket
+  FROM embeddings
+),
+base2 AS (SELECT vec_id, v, bucket, sqrt(list_dot_product(v, v)) AS nrm FROM base),
+q AS (SELECT vec_id AS qid, v AS qv, nrm AS qn, bucket FROM base2 WHERE vec_id % 50 = 0),
+pairs AS (
+  SELECT q.qid, c.vec_id AS cid,
+         CAST(floor(list_dot_product(q.qv, c.v) / (q.qn * c.nrm) * 100) AS BIGINT) AS sim_c
+  FROM q JOIN base2 c USING (bucket) WHERE q.qid != c.vec_id
+)
+SELECT qid, cid, sim_c, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY sim_c DESC, cid ASC) AS rank
+  FROM pairs
+) WHERE rank <= 3
+"""
+
+
+def q_multimodal_image_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image-decode plumbing over synthetic binary payloads derived
+    from doc_ids (functions/multimodal.py; decode stubbed — rows-only
+    check, structure tested in tests/test_multimodal.py)."""
+    tune_session(spark)
+    from airbyte_integrations_spark.functions.multimodal import (
+        decode_image_meta,
+        fake_image_payload,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    payloads = docs.select(
+        "doc_id",
+        fake_image_payload(
+            F.col("doc_id"),
+            (F.col("doc_id") % 512 + 1).cast("int"),
+            (F.col("doc_id") % 384 + 1).cast("int"),
+        ).alias("blob"),
+    )
+    return decode_image_meta(payloads, strict=False)
+
+
 # ------------------------------------------------------------- contract
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -618,7 +802,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_lang_id": q_docs_lang_id,
         "emb_lsh_buckets": q_emb_lsh_buckets,
         "emb_knn_cosine": q_emb_knn_cosine,
+        "emb_ann_lsh_topk": q_emb_ann_lsh_topk,
+        "docs_minhash": q_docs_minhash,
+        "docs_neardup_pairs": q_docs_neardup_pairs,
+        "docs_simhash": q_docs_simhash,
+        "docs_token_bpe": q_docs_token_bpe,
         "multimodal_binary_meta": q_multimodal_binary_meta,
+        "multimodal_image_meta": q_multimodal_image_meta,
     }
 
 
@@ -641,5 +831,12 @@ def oracle_sql() -> dict[str, str]:
         "docs_lang_id": _o_lang_sql(),
         "emb_lsh_buckets": O_EMB_LSH_BUCKETS,
         "emb_knn_cosine": O_EMB_KNN_COSINE,
+        "emb_ann_lsh_topk": O_EMB_ANN_LSH_TOPK,
+        "docs_minhash": O_DOCS_MINHASH,
+        "docs_token_bpe": O_DOCS_TOKEN_BPE,
         "multimodal_binary_meta": O_MULTIMODAL_BINARY_META,
+        # docs_neardup_pairs / docs_simhash / multimodal_image_meta:
+        # intentionally no oracle (non-relational banding self-join,
+        # bit-arithmetic UDF, stubbed decoder) -> rows-only check;
+        # each is pinned by unit tests instead.
     }

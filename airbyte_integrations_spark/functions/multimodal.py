@@ -1,0 +1,89 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+Image/audio/video travel as `binary` columns with a small typed
+metadata struct; decode / feature-extract / resize / frame-sample are
+Arrow `mapInPandas` stages so payload bytes move in columnar batches
+and the Python stage scales with cores.
+
+The actual codecs (PIL/librosa/ffmpeg) are NOT in this container, so
+the decode step is STUBBED: `decode_image_meta(strict=True)` raises
+NotImplementedError where a real decoder would run, and the default
+deterministic fake parses our own tiny header format so the Spark-side
+plumbing (schema, batch shape, partitioning) is real and tested.
+
+Fake payload format (gen side): b"IMG1" + width:4BE + height:4BE + raw.
+"""
+
+from __future__ import annotations
+
+import struct
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+IMAGE_META_SCHEMA = (
+    "doc_id long, n_bytes long, format string, width int, height int"
+)
+
+
+def fake_image_payload(ident: Column, width: Column, height: Column) -> Column:
+    """Deterministic synthetic binary image payload (JVM-side)."""
+    hdr = F.concat(
+        F.encode(F.lit("IMG1"), "UTF-8"),
+        F.encode(F.lpad(width.cast("string"), 4, "0"), "UTF-8"),
+        F.encode(F.lpad(height.cast("string"), 4, "0"), "UTF-8"),
+        F.encode(F.md5(ident.cast("string")), "UTF-8"),
+    )
+    return hdr
+
+
+def _parse_one(b: bytes | None, strict: bool) -> tuple[int, str, int, int]:
+    if b is None:
+        return 0, "null", 0, 0
+    if bytes(b[:4]) == b"IMG1":
+        w = int(bytes(b[4:8]))
+        h = int(bytes(b[8:12]))
+        return len(b), "img1", w, h
+    if strict:
+        # a real build would dispatch to PIL.Image.open here
+        raise NotImplementedError(
+            "real image codecs are not available in this environment"
+        )
+    return len(b), "unknown", 0, 0
+
+
+def decode_image_meta(
+    df: DataFrame, id_col: str = "doc_id", blob_col: str = "blob", strict: bool = False
+) -> DataFrame:
+    """mapInPandas metadata extraction over binary payloads."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            meta = pdf[blob_col].map(lambda b: _parse_one(b, strict))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "n_bytes": meta.map(lambda m: m[0]),
+                    "format": meta.map(lambda m: m[1]),
+                    "width": meta.map(lambda m: m[2]),
+                    "height": meta.map(lambda m: m[3]),
+                }
+            )
+
+    return df.mapInPandas(gen, IMAGE_META_SCHEMA)
+
+
+def resize_stub(df: DataFrame, blob_col: str = "blob", max_side: int = 256) -> DataFrame:
+    """Resize stage shape: passes payloads through mapInPandas with the
+    real batch plumbing; the pixel work raises until codecs exist."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            raise NotImplementedError(
+                "resize requires an image codec not present in this container"
+            )
+            yield pdf  # pragma: no cover
+
+    return df.mapInPandas(gen, df.schema)

@@ -1,0 +1,166 @@
+"""Near-duplicate detection for webtext at scale.
+
+Techniques (standard MinHash/LSH and SimHash constructions from the
+public literature — Broder '97 resemblance sketches, Charikar '02
+similarity estimation — expressed Spark-first):
+
+- MinHash: k-word shingles; "permutation" i realized as the
+  lexicographic MIN of md5(shingle || '#' || i) hex strings. md5 is
+  identical everywhere, so signatures are engine- and
+  parallelism-independent (and DuckDB-oracle-checkable). Banding
+  groups signature slices; docs sharing a band bucket are candidate
+  pairs — the classic LSH join, implemented as groupBy(band) which
+  Spark executes as a hash shuffle with map-side combine.
+- SimHash: 64-bit sketch from per-token md5 bits, vectorized in a
+  pandas UDF (bit arithmetic is awkward as SQL, cheap in numpy).
+- Exact n-gram Jaccard on candidate pairs (verification stage).
+
+All operators take/return DataFrames and never collect.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+TOKEN_SPLIT = r"\s+"
+
+
+def words(text_col: str | Column) -> Column:
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    return F.split(F.trim(F.lower(c)), TOKEN_SPLIT)
+
+
+def shingles(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> DataFrame:
+    """(id, shingle) pairs — distinct k-word shingles per doc."""
+    w = words(text_col)
+    n = F.size(w)
+    positions = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1)))
+    sh = F.transform(
+        positions, lambda p: F.concat_ws(" ", F.slice(w, p, k))
+    )
+    return df.select(F.col(id_col), F.explode(F.array_distinct(sh)).alias("shingle"))
+
+
+def minhash_signature(
+    df: DataFrame, id_col: str, text_col: str, k: int = 3, n_hashes: int = 8
+) -> DataFrame:
+    """One row per doc: mh0..mh{n-1} columns of lexicographic-min md5
+    hex digests; groupBy min() is associative => map-side combine,
+    skew-safe on huge docs."""
+    sh = shingles(df, id_col, text_col, k)
+    aggs = [
+        F.min(F.md5(F.concat(F.col("shingle"), F.lit(f"#{i}")))).alias(f"mh{i}")
+        for i in range(n_hashes)
+    ]
+    return sh.groupBy(id_col).agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame,
+    id_col: str,
+    n_hashes: int = 8,
+    band_size: int = 2,
+) -> DataFrame:
+    """Docs sharing any band bucket, as (id_a < id_b) pairs.
+
+    bands = n_hashes / band_size; band key = md5(concat of its rows).
+    Self-join per band via groupBy(band_key) + pair explosion keeps the
+    shuffle keyed on band buckets (no cartesian)."""
+    n_bands = n_hashes // band_size
+    pairs = None
+    for b in range(n_bands):
+        cols = [F.col(f"mh{b * band_size + j}") for j in range(band_size)]
+        banded = signatures.select(
+            F.col(id_col), F.md5(F.concat_ws("|", *cols)).alias("band")
+        )
+        lhs = banded.alias("l")
+        rhs = banded.alias("r")
+        p = (
+            lhs.join(rhs, on="band")
+            .filter(F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
+            .select(
+                F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b")
+            )
+        )
+        pairs = p if pairs is None else pairs.unionByName(p)
+    return pairs.distinct()
+
+
+def jaccard_pairs(
+    df: DataFrame, pairs: DataFrame, id_col: str, text_col: str, k: int = 3
+) -> DataFrame:
+    """Exact shingle-Jaccard for candidate pairs (verification)."""
+    sh = shingles(df, id_col, text_col, k)
+    a = sh.select(F.col(id_col).alias("id_a"), F.col("shingle"))
+    b = sh.select(F.col(id_col).alias("id_b"), F.col("shingle"))
+    inter = (
+        pairs.join(a, "id_a")
+        .join(b, ["id_b", "shingle"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+    return (
+        inter.join(sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("na")), "id_a")
+        .join(sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("nb")), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (F.col("n_inter") / (F.col("na") + F.col("nb") - F.col("n_inter"))).alias(
+                "jaccard"
+            ),
+        )
+    )
+
+
+@F.pandas_udf(T.LongType())
+def simhash64(text: pd.Series) -> pd.Series:
+    """64-bit SimHash over whitespace tokens (Charikar '02), vectorized.
+
+    Deterministic: token weight 1, bit source = first 8 bytes of
+    md5(token)."""
+    import numpy as np
+
+    shifts = np.arange(64, dtype=np.uint64)
+
+    def one(t):
+        if t is None:
+            return None
+        acc = np.zeros(64, dtype=np.int64)
+        for tok in t.lower().split():
+            h = np.uint64(
+                int.from_bytes(hashlib.md5(tok.encode()).digest()[:8], "big")
+            )
+            bits = ((h >> shifts) & np.uint64(1)).astype(np.int64)
+            acc += np.where(bits == 1, 1, -1)
+        v = 0
+        for i in range(64):
+            if acc[i] > 0:
+                v |= 1 << i
+        return v - (1 << 64) if v >= (1 << 63) else v
+
+    return text.map(one)
+
+
+def hamming64(a: str | Column, b: str | Column) -> Column:
+    """Hamming distance between two signed-64-bit simhash columns."""
+    ca = F.col(a) if isinstance(a, str) else a
+    cb = F.col(b) if isinstance(b, str) else b
+    return F.bit_count(ca.bitwiseXOR(cb))
+
+
+def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Exact dedup: one canonical row per distinct content hash
+    (lowest id wins — deterministic)."""
+    h = F.md5(F.col(text_col))
+    w = Window.partitionBy(h).orderBy(F.col(id_col).asc())
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )

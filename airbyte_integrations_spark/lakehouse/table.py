@@ -138,10 +138,12 @@ class LakeTable:
                 )
         return files
 
-    def read(self, buckets: list[int] | None = None) -> DataFrame:
+    def read(self, buckets: list[int] | None = None, version: int | None = None) -> DataFrame:
         """Snapshot read; optionally only the given buckets (partition
-        pruning by manifest — no directory listing at scan time)."""
-        m = self.manifest()
+        pruning by manifest — no directory listing at scan time) and/or
+        a historical snapshot (time travel — every manifest is
+        retained, like Iceberg snapshots)."""
+        m = self.manifest(version)
         schema = T.StructType.fromJson(m["schema"])
         file_map: dict[str, list[str]] = m["files"]
         if buckets is None:
@@ -242,6 +244,41 @@ class LakeTable:
         if stream is not None and epoch is not None:
             manifest["committed"].setdefault(stream, {})[str(epoch)] = epoch_meta or {}
         return self._commit(manifest)
+
+
+    def compact(self, max_files_per_bucket: int = 1) -> int:
+        """Maintenance: rewrite buckets whose file count exceeds the
+        threshold into one file each (Iceberg rewrite_data_files
+        analogue). Data-identical; committed as a new snapshot."""
+        m = self.manifest()
+        fragmented = [
+            int(b) for b, ps in m["files"].items() if len(ps) > max_files_per_bucket
+        ]
+        if not fragmented:
+            return m["version"]
+        data = self.read(fragmented)
+        return self.replace_buckets(
+            data, fragmented, T.StructType.fromJson(m["schema"])
+        )
+
+    def history(self) -> list[dict]:
+        """Commit log across snapshots: version, parent, files per
+        bucket, committed epochs."""
+        out = []
+        for v in range(self.current_version() + 1):
+            m = self.manifest(v)
+            out.append(
+                {
+                    "version": v,
+                    "parent": m.get("parent"),
+                    "n_files": sum(len(ps) for ps in m["files"].values()),
+                    "committed": {
+                        s: sorted(int(e) for e in eps)
+                        for s, eps in m.get("committed", {}).items()
+                    },
+                }
+            )
+        return out
 
 
 def conform(df: DataFrame, target: T.StructType) -> DataFrame:

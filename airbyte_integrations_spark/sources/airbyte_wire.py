@@ -1,0 +1,81 @@
+"""Airbyte wire-format (JSONL message envelope) source.
+
+The reference's only transport is one `AirbyteMessage` JSON per line on
+stdout (airbyte_protocol.yaml:13-49): `{"type": "RECORD", "record":
+{"stream": ..., "emitted_at": epoch_millis, "data": {...}}}` plus STATE
+messages carrying opaque checkpoint blobs (:71-108).
+
+Spark-first: `spark.read.text` -> `from_json` for the envelope, then a
+per-stream `from_json(data, stream_schema)` projection — all JVM-side;
+the schemaless `data` blob stays a raw JSON string until a stream
+schema is applied (the destination's _airbyte_data column,
+JavaBaseConstants.java:19-21).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+ENVELOPE = T.StructType(
+    [
+        T.StructField("type", T.StringType()),
+        T.StructField(
+            "record",
+            T.StructType(
+                [
+                    T.StructField("stream", T.StringType()),
+                    T.StructField("namespace", T.StringType()),
+                    T.StructField("emitted_at", T.LongType()),
+                    # `data` is schemaless at transport time; keep raw JSON
+                ]
+            ),
+        ),
+        T.StructField("state", T.StringType()),
+    ]
+)
+
+
+def read_messages(spark: SparkSession, path: str) -> DataFrame:
+    """Parse a JSONL message file into the raw landing shape:
+    (_airbyte_ab_id, _airbyte_emitted_at, _airbyte_data, stream, type).
+
+    _airbyte_ab_id is a deterministic md5 of the line (the reference
+    uses a random uuid, JavaBaseConstants.java:19; determinism keeps
+    replays idempotent, which the uuid version only achieves via the
+    content-keyed scd collapse)."""
+    lines = spark.read.text(path).filter(F.length(F.trim("value")) > 0)
+    env = lines.select(
+        F.col("value"),
+        F.from_json("value", ENVELOPE).alias("m"),
+        F.get_json_object("value", "$.record.data").alias("_airbyte_data"),
+    )
+    return env.select(
+        F.md5("value").alias("_airbyte_ab_id"),
+        F.timestamp_millis(
+            F.when(
+                F.col("m.record.emitted_at") < F.lit(10**11),
+                F.col("m.record.emitted_at") * 1000,
+            ).otherwise(F.col("m.record.emitted_at"))
+        ).alias("_airbyte_emitted_at"),
+        F.col("_airbyte_data"),
+        F.col("m.record.stream").alias("stream"),
+        F.col("m.type").alias("type"),
+    )
+
+
+def records_for_stream(
+    messages: DataFrame, stream: str, schema: T.StructType
+) -> DataFrame:
+    """Typed records of one stream: ab1 (JSON parse) + ab2 (cast) of the
+    normalization pipeline (stream_processor.py:234-311) in one
+    from_json, since the schema is explicit."""
+    recs = messages.filter(
+        (F.col("type") == "RECORD") & (F.col("stream") == stream)
+    )
+    parsed = recs.withColumn("_d", F.from_json("_airbyte_data", schema))
+    cols = [F.col(f"_d.{f.name}").alias(f.name) for f in schema.fields]
+    return parsed.select(
+        *cols, "_airbyte_ab_id", "_airbyte_emitted_at"
+    )

@@ -1,0 +1,81 @@
+"""Multimodal binary plumbing: schema, batch shape, stub gating."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from airbyte_integrations_spark.functions.multimodal import (
+    decode_image_meta,
+    fake_image_payload,
+    resize_stub,
+)
+
+
+def _payloads(spark, n=50):
+    df = spark.range(n)
+    return df.select(
+        F.col("id").alias("doc_id"),
+        fake_image_payload(
+            F.col("id"), (F.col("id") % 100 + 1).cast("int"), F.lit(64).cast("int")
+        ).alias("blob"),
+    )
+
+
+def test_decode_meta_roundtrip(spark):
+    meta = decode_image_meta(_payloads(spark), strict=False)
+    rows = {r["doc_id"]: r for r in meta.collect()}
+    assert len(rows) == 50
+    assert rows[7]["format"] == "img1"
+    assert rows[7]["width"] == 8 and rows[7]["height"] == 64
+    assert rows[7]["n_bytes"] == 4 + 4 + 4 + 32
+
+
+def test_decode_handles_null_and_unknown(spark):
+    df = spark.createDataFrame(
+        [(1, None), (2, bytearray(b"GARBAGE"))], "doc_id long, blob binary"
+    )
+    rows = {r["doc_id"]: r for r in decode_image_meta(df, strict=False).collect()}
+    assert rows[1]["format"] == "null"
+    assert rows[2]["format"] == "unknown"
+
+
+def test_strict_decode_raises_until_codecs_exist(spark):
+    df = spark.createDataFrame([(2, bytearray(b"GARBAGE"))], "doc_id long, blob binary")
+    with pytest.raises(Exception, match="NotImplementedError|not available"):
+        decode_image_meta(df, strict=True).collect()
+
+
+def test_resize_stub_is_gated(spark):
+    with pytest.raises(Exception, match="NotImplementedError|codec"):
+        resize_stub(_payloads(spark, 5)).collect()
+
+
+def test_compaction_and_time_travel(spark, tmp_path):
+    """Lake maintenance ops introduced with this batch of features."""
+    import datetime as dt
+
+    from airbyte_integrations_spark.lakehouse.merge import merge_into
+    from airbyte_integrations_spark.lakehouse.table import LakeTable
+
+    ts = dt.datetime(2021, 6, 1)
+    schema = (
+        "url string, _ab_cdc_lsn long, _ab_cdc_updated_at timestamp, "
+        "_ab_cdc_deleted_at timestamp, _airbyte_ab_id string, "
+        "_airbyte_emitted_at timestamp"
+    )
+    t = LakeTable(spark, str(tmp_path / "t"))
+    for i in range(3):
+        b = spark.createDataFrame(
+            [(f"u{j}", 10 * i + j, ts, None, f"a{i}{j}", ts) for j in range(5)], schema
+        )
+        merge_into(t, b, epoch=i)
+    v_before = t.current_version()
+    rows_before = sorted(r["url"] for r in t.read().collect())
+    n_files_before = sum(len(ps) for ps in t.manifest()["files"].values())
+    t.compact(max_files_per_bucket=1)
+    assert sum(len(ps) for ps in t.manifest()["files"].values()) <= n_files_before
+    assert sorted(r["url"] for r in t.read().collect()) == rows_before
+    # time travel: older snapshot still readable and smaller
+    assert t.read(version=0).count() == 5
+    assert t.read(version=v_before).count() == t.read().count()
+    hist = t.history()
+    assert hist[0]["version"] == 0 and len(hist) == t.current_version() + 1

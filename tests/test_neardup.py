@@ -1,0 +1,87 @@
+"""Near-dup operators: minhash determinism, LSH candidate recall on
+known dups, jaccard verification, simhash properties, exact dedup."""
+
+import hashlib
+
+from pyspark.sql import functions as F
+
+from airbyte_integrations_spark.functions.neardup import (
+    exact_dedup,
+    hamming64,
+    jaccard_pairs,
+    lsh_candidate_pairs,
+    minhash_signature,
+    simhash64,
+)
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the cat watches "
+    "from a warm windowsill in the late afternoon sun"
+)
+NEAR = BASE.replace("lazy", "sleepy")
+FAR = "completely different content about spark shuffle partitioning and iceberg commits"
+
+
+def _docs(spark):
+    rows = [(1, BASE), (2, BASE), (3, NEAR), (4, FAR)]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_minhash_identical_docs_identical_signatures(spark):
+    sig = minhash_signature(_docs(spark), "doc_id", "text").collect()
+    by_id = {r["doc_id"]: tuple(r[f"mh{i}"] for i in range(8)) for r in sig}
+    assert by_id[1] == by_id[2]
+    assert by_id[1] != by_id[4]
+    # near-dup shares most minhashes
+    shared = sum(a == b for a, b in zip(by_id[1], by_id[3]))
+    assert shared >= 4
+
+
+def test_lsh_finds_dup_pair_and_jaccard_verifies(spark):
+    docs = _docs(spark)
+    sig = minhash_signature(docs, "doc_id", "text")
+    pairs = lsh_candidate_pairs(sig, "doc_id")
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert (1, 2) in got
+    assert (1, 4) not in got and (2, 4) not in got
+    jac = {(r["id_a"], r["id_b"]): r["jaccard"] for r in jaccard_pairs(docs, pairs, "doc_id", "text").collect()}
+    assert jac[(1, 2)] == 1.0
+    if (1, 3) in jac:
+        assert 0.5 < jac[(1, 3)] < 1.0
+
+
+def test_simhash_matches_python_reference(spark):
+    df = spark.createDataFrame([(1, BASE)], "doc_id long, text string")
+    got = df.select(simhash64("text").alias("h")).collect()[0]["h"]
+
+    acc = [0] * 64
+    for tok in BASE.lower().split():
+        h = int.from_bytes(hashlib.md5(tok.encode()).digest()[:8], "big")
+        for i in range(64):
+            acc[i] += 1 if (h >> i) & 1 else -1
+    v = 0
+    for i in range(64):
+        if acc[i] > 0:
+            v |= 1 << i
+    want = v - (1 << 64) if v >= (1 << 63) else v
+    assert got == want
+
+
+def test_simhash_hamming_properties(spark):
+    df = _docs(spark).withColumn("h", simhash64("text"))
+    a = df.alias("a").select(F.col("doc_id").alias("ia"), F.col("h").alias("ha"))
+    b = df.alias("b").select(F.col("doc_id").alias("ib"), F.col("h").alias("hb"))
+    d = (
+        a.crossJoin(b)
+        .withColumn("dist", hamming64("ha", "hb"))
+        .collect()
+    )
+    dist = {(r["ia"], r["ib"]): r["dist"] for r in d}
+    assert dist[(1, 2)] == 0  # identical docs
+    assert dist[(1, 3)] < dist[(1, 4)]  # near-dup closer than unrelated
+
+
+def test_exact_dedup(spark):
+    out = exact_dedup(_docs(spark), "doc_id", "text")
+    ids = sorted(r["doc_id"] for r in out.collect())
+    assert ids == [1, 3, 4]  # doc 2 collapsed onto canonical doc 1

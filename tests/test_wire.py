@@ -1,0 +1,65 @@
+"""Airbyte wire-format replay: JSONL envelope -> typed records -> SCD,
+reproducing the reference row-count oracles end-to-end from the wire."""
+
+import json
+
+from pyspark.sql import types as T
+
+from airbyte_integrations_spark.operators.scd import final_from_scd, scd2
+from airbyte_integrations_spark.sources.airbyte_wire import (
+    read_messages,
+    records_for_stream,
+)
+
+MSGS = [
+    {"type": "RECORD", "record": {"stream": "dedup_cdc_excluded", "data": {"id": 1, "name": "mazda", "_ab_cdc_updated_at": 1623849130530, "_ab_cdc_lsn": 26971624, "_ab_cdc_deleted_at": None}, "emitted_at": 1623859926}},
+    {"type": "RECORD", "record": {"stream": "dedup_cdc_excluded", "data": {"id": 2, "name": "toyata", "_ab_cdc_updated_at": 1623849130549, "_ab_cdc_lsn": 26971624, "_ab_cdc_deleted_at": None}, "emitted_at": 1623859926}},
+    {"type": "RECORD", "record": {"stream": "dedup_cdc_excluded", "data": {"id": 4, "name": "bmw", "_ab_cdc_updated_at": 1623849314535, "_ab_cdc_lsn": 26974776, "_ab_cdc_deleted_at": None}, "emitted_at": 1623860160}},
+    {"type": "RECORD", "record": {"stream": "dedup_cdc_excluded", "data": {"id": 5, "name": "vw", "_ab_cdc_updated_at": 1623849314663, "_ab_cdc_lsn": 26975264, "_ab_cdc_deleted_at": None}, "emitted_at": 1623860160}},
+    {"type": "RECORD", "record": {"stream": "dedup_cdc_excluded", "data": {"id": 4, "name": None, "_ab_cdc_updated_at": 1623849314791, "_ab_cdc_lsn": 26975440, "_ab_cdc_deleted_at": 1623849314791}, "emitted_at": 1623860160}},
+    {"type": "RECORD", "record": {"stream": "dedup_cdc_excluded", "data": {"id": 6, "name": "opel", "_ab_cdc_updated_at": 1623850868109, "_ab_cdc_lsn": 27009440, "_ab_cdc_deleted_at": None}, "emitted_at": 1623861660}},
+    {"type": "RECORD", "record": {"stream": "dedup_cdc_excluded", "data": {"id": 7, "name": "lotus", "_ab_cdc_updated_at": 1623850868237, "_ab_cdc_lsn": 27010048, "_ab_cdc_deleted_at": None}, "emitted_at": 1623861660}},
+    {"type": "RECORD", "record": {"stream": "dedup_cdc_excluded", "data": {"id": 6, "name": None, "_ab_cdc_updated_at": 1623850868371, "_ab_cdc_lsn": 27010232, "_ab_cdc_deleted_at": 1623850868371}, "emitted_at": 1623861660}},
+    {"type": "RECORD", "record": {"stream": "other_stream", "data": {"id": 9}, "emitted_at": 1623861661}},
+    {"type": "STATE", "state": {"data": {"cdc": {"lsn": 27010232}}}},
+]
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.IntegerType()),
+        T.StructField("name", T.StringType()),
+        T.StructField("_ab_cdc_updated_at", T.LongType()),
+        T.StructField("_ab_cdc_lsn", T.LongType()),
+        T.StructField("_ab_cdc_deleted_at", T.LongType()),
+    ]
+)
+
+
+def _write(tmp_path):
+    p = tmp_path / "messages.jsonl"
+    p.write_text("\n".join(json.dumps(m) for m in MSGS) + "\n\n")
+    return str(p)
+
+
+def test_envelope_parsing(spark, tmp_path):
+    msgs = read_messages(spark, _write(tmp_path))
+    assert msgs.count() == 10
+    assert msgs.filter("type = 'RECORD'").count() == 9
+    assert msgs.filter("type = 'STATE'").count() == 1
+    # raw data blob preserved verbatim for the landing table
+    assert msgs.filter("type = 'RECORD' AND _airbyte_data IS NULL").count() == 0
+
+
+def test_wire_to_final_counts(spark, tmp_path):
+    msgs = read_messages(spark, _write(tmp_path))
+    recs = records_for_stream(msgs, "dedup_cdc_excluded", SCHEMA)
+    assert recs.count() == 8
+    scd = scd2(
+        recs,
+        key=("id",),
+        cursor="_ab_cdc_lsn",
+        secondary=("_ab_cdc_updated_at", "_airbyte_emitted_at"),
+    )
+    assert scd.count() == 8
+    final = final_from_scd(scd)
+    assert {r["id"] for r in final.collect()} == {1, 2, 5, 7}
