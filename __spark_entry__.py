@@ -363,6 +363,38 @@ FROM w WHERE rn = 1
 """
 
 
+def q_json_extract_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON blob field extraction + cast + empty-string-to-null — the
+    ab1/ab2 normalization steps (stream_processor.py:382-463, 499-569;
+    json_operations.sql) over the events.props JSON column."""
+    tune_session(spark)
+    ev = load(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k")
+    k = F.when(k == "", None).otherwise(k).cast("long")  # empty_string_to_null
+    return (
+        ev.select(F.col("event_type"), k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
+O_JSON_EXTRACT_CAST = """
+SELECT event_type, count(*) AS n,
+       sum(k) AS sum_k, min(k) AS min_k, max(k) AS max_k
+FROM (
+  SELECT event_type,
+         CAST(nullif(json_extract_string(props, '$.k'), '') AS BIGINT) AS k
+  FROM events
+)
+GROUP BY event_type
+"""
+
+
 # ------------------------------------------------- training-data pipeline
 
 def q_docs_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -796,6 +828,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_schema_evolution": q_cdc_schema_evolution,
         "cdc_snapshot_plus_log": q_cdc_snapshot_plus_log,
         "cdc_composite_pk_dedup": q_cdc_composite_pk_dedup,
+        "json_extract_cast": q_json_extract_cast,
         "docs_exact_dedup": q_docs_exact_dedup,
         "docs_fingerprint": q_docs_fingerprint,
         "docs_quality": q_docs_quality,
@@ -825,6 +858,7 @@ def oracle_sql() -> dict[str, str]:
         "cdc_schema_evolution": O_CDC_SCHEMA_EVOLUTION,
         "cdc_snapshot_plus_log": O_CDC_SNAPSHOT_PLUS_LOG,
         "cdc_composite_pk_dedup": O_CDC_COMPOSITE_PK_DEDUP,
+        "json_extract_cast": O_JSON_EXTRACT_CAST,
         "docs_exact_dedup": O_DOCS_EXACT_DEDUP,
         "docs_fingerprint": O_DOCS_FINGERPRINT,
         "docs_quality": O_DOCS_QUALITY,

@@ -50,6 +50,7 @@ def merge_into(
     secondary: tuple[str, ...] = CDC_ORDER_COLS,
     ab_id: str = "_airbyte_ab_id",
     broadcast_keys: bool = True,
+    transform_winners=None,
 ) -> int:
     """Apply one micro-batch; returns the committed snapshot version.
 
@@ -64,6 +65,8 @@ def merge_into(
         winners = winner_join(
             batch, ("url",), cursor, secondary, ab_id, drop_tombstones=True
         )
+        if transform_winners is not None:
+            winners = transform_winners(winners)
         return table.create(winners, ("url",), 32, stream, epoch, epoch_meta)
 
     key = table.key_cols()
@@ -71,6 +74,10 @@ def merge_into(
     target_schema = merge_schemas(table.schema, batch.schema)
 
     winners = winner_join(conform(batch, target_schema), key, cursor, secondary, ab_id)
+    if transform_winners is not None:
+        # Expensive row transforms (e.g. html->text extraction) run here,
+        # AFTER dedup: only winners pay, losers are never materialized.
+        winners = conform(transform_winners(winners), target_schema)
     # One row per key after dedup — small relative to the batch; cache it
     # so touched-bucket discovery and the merge share one computation.
     winners = winners.withColumn("_bucket", bucket_expr(key, n_buckets)).persist()

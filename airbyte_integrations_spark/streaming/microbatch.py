@@ -93,8 +93,14 @@ def run_sync(
         batch = events.filter(
             (F.col(lsn_col) > F.lit(ep.from_lsn)) & (F.col(lsn_col) <= F.lit(ep.to_lsn))
         )
-        if extract_missing_text and "html" in batch.columns:
-            batch = with_extracted_text(batch)
+        # html->text extraction is applied to the per-key WINNERS inside
+        # merge_into, not to the raw slice: the ordering columns don't
+        # depend on text, so losers of the dedup never reach the UDF.
+        transform = (
+            with_extracted_text
+            if extract_missing_text and "html" in batch.columns
+            else None
+        )
         lineage = compute_lineage(batch, config.stream, ep.epoch_id, lsn_col)
         write_lineage(lineage, table.root, ep.epoch_id)
         merge_into(
@@ -105,5 +111,6 @@ def run_sync(
             epoch_meta={"from_lsn": ep.from_lsn, "to_lsn": ep.to_lsn},
             cursor=lsn_col,
             secondary=config.secondary_order,
+            transform_winners=transform,
         )
     return epochs
