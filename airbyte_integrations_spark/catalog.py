@@ -127,13 +127,23 @@ def run_catalog_sync(
 ) -> dict[str, int]:
     """One sync over a configured catalog: incremental streams first,
     then full-refresh (AbstractDbSource.java:135-140), each applied to
-    its own LakeTable under lake_root. Returns {stream: version}."""
+    its own LakeTable under lake_root (namespaced streams nest under
+    `<namespace>/<stream>`, the reference's ${NAMESPACE}/${STREAM}
+    path template, S3DestinationConstants.java:19). Returns
+    {qualified stream: version}."""
     ordered = sorted(
         streams, key=lambda s: 0 if s[0].config.sync_mode == SyncMode.INCREMENTAL else 1
     )
     versions: dict[str, int] = {}
     for cs, df in ordered:
         cfg = cs.config
-        table = LakeTable(spark, f"{lake_root}/{normalize_name(cfg.stream)}")
-        versions[cfg.stream] = apply_batch(table, df, cfg, epoch=epoch)
+        ns = cfg.properties.get("namespace")
+        rel = (
+            f"{normalize_name(ns)}/{normalize_name(cfg.stream)}"
+            if ns
+            else normalize_name(cfg.stream)
+        )
+        table = LakeTable(spark, f"{lake_root}/{rel}")
+        key = f"{ns}.{cfg.stream}" if ns else cfg.stream
+        versions[key] = apply_batch(table, df, cfg, epoch=epoch)
     return versions

@@ -32,6 +32,9 @@ def list_files(root: str, suffix: str = "") -> list[tuple[str, datetime]]:
     return sorted(out, key=lambda t: (t[1], t[0]))
 
 
+SUPPORTED_FORMATS = ("parquet", "csv", "json", "text", "avro")
+
+
 def read_files_incremental(
     spark: SparkSession,
     root: str,
@@ -43,7 +46,12 @@ def read_files_incremental(
     """Read files with mtime > state; returns (df | None, new state).
 
     df carries `_ab_source_file_url` + `_ab_source_file_last_modified`.
+    Formats map 1:1 to `spark.read.format(...)`; avro additionally
+    needs the spark-avro jar on the classpath (runtime config, not
+    code — absent in this sandbox, so it raises a clear error).
     """
+    if fmt not in SUPPORTED_FORMATS:
+        raise ValueError(f"unsupported format {fmt!r}; one of {SUPPORTED_FORMATS}")
     files = list_files(root, suffix)
     if state is not None:
         files = [(p, m) for p, m in files if m > state]

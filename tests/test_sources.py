@@ -66,3 +66,69 @@ def test_snapshot_then_tail(spark):
     merged = src.snapshot_then_tail(pages, snapshot_lsn=0)
     assert merged.count() == 130
     assert merged.filter("_ab_cdc_lsn = 0").count() == 30
+
+
+def test_file_source_csv_and_json(spark, tmp_path):
+    d = str(tmp_path / "multi")
+    os.makedirs(d)
+    pages = gen_pages(spark, 8).select("url", "lang")
+    pages.write.option("header", True).csv(d + "/c")
+    df_csv, s = read_files_incremental(
+        spark, d + "/c", "csv", None, suffix=".csv", header=True
+    )
+    assert df_csv.count() == 8 and "url" in df_csv.columns
+    pages.write.json(d + "/j")
+    df_json, _ = read_files_incremental(spark, d + "/j", "json", None, suffix=".json")
+    assert df_json.count() == 8
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="unsupported format"):
+        read_files_incremental(spark, d, "orc2", None)
+
+
+def test_namespaced_catalog_sync(spark, tmp_path):
+    import datetime as dt
+
+    from airbyte_integrations_spark.catalog import ConfiguredStream, run_catalog_sync
+    from airbyte_integrations_spark.config import (
+        DestinationSyncMode,
+        SyncConfig,
+        SyncMode,
+    )
+    from airbyte_integrations_spark.lakehouse.table import LakeTable
+
+    df = spark.createDataFrame([("k1", 1.0)], "k string, v double")
+    cfg = SyncConfig(
+        stream="rates",
+        primary_key=("k",),
+        sync_mode=SyncMode.FULL_REFRESH,
+        destination_sync_mode=DestinationSyncMode.OVERWRITE,
+        properties={"namespace": "Public Schema"},
+    )
+    versions = run_catalog_sync(spark, [(ConfiguredStream(cfg), df)], str(tmp_path / "lake"))
+    assert "Public Schema.rates" in versions
+    t = LakeTable(spark, str(tmp_path / "lake/public_schema/rates"))
+    assert t.read().count() == 1
+
+
+def test_very_large_record_roundtrip(spark, tmp_path):
+    """DestinationAcceptanceTest 'very large records' (:680) analogue:
+    a multi-MB text payload survives dedup + MERGE byte-identically."""
+    import datetime as dt
+
+    from airbyte_integrations_spark.lakehouse.merge import merge_into
+    from airbyte_integrations_spark.lakehouse.table import LakeTable
+
+    ts = dt.datetime(2021, 6, 1)
+    big = "x" * (5 * 1024 * 1024) + "END"
+    schema = (
+        "url string, text string, _ab_cdc_lsn long, _ab_cdc_updated_at timestamp, "
+        "_ab_cdc_deleted_at timestamp, _airbyte_ab_id string, _airbyte_emitted_at timestamp"
+    )
+    t = LakeTable(spark, str(tmp_path / "t"))
+    merge_into(t, spark.createDataFrame([("u", big, 1, ts, None, "a", ts)], schema), epoch=1)
+    merge_into(t, spark.createDataFrame([("u", big + "2", 2, ts, None, "b", ts)], schema), epoch=2)
+    rows = t.read().collect()
+    assert len(rows) == 1
+    assert rows[0]["text"] == big + "2"
+    assert len(rows[0]["text"]) == 5 * 1024 * 1024 + 4
