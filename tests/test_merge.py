@@ -83,3 +83,34 @@ def test_out_of_order_lsn_update_loses(spark, tmp_path):
     merge_into(table, b2, epoch=2)
     rows = table.read().collect()
     assert len(rows) == 1 and rows[0]["text"] == "new" and rows[0]["_ab_cdc_lsn"] == 10
+
+
+def test_empty_batch_still_commits_epoch(spark, tmp_path):
+    """testNoData/testNoDataOnSecondSync: an empty sync still records
+    its checkpoint (state emitted), with no data change."""
+    import datetime as dt
+
+    ts = dt.datetime(2021, 6, 1)
+    schema = (
+        "url string, _ab_cdc_lsn long, _ab_cdc_updated_at timestamp, "
+        "_ab_cdc_deleted_at timestamp, _airbyte_ab_id string, _airbyte_emitted_at timestamp"
+    )
+    t = LakeTable(spark, str(tmp_path / "t"))
+    merge_into(t, spark.createDataFrame([("u", 1, ts, None, "a", ts)], schema), epoch=1)
+    merge_into(t, spark.createDataFrame([], schema), epoch=2)
+    assert t.is_epoch_committed("pages", 2)
+    assert t.read().count() == 1
+
+
+def test_tombstone_for_absent_key_does_not_insert(spark, tmp_path):
+    import datetime as dt
+
+    ts = dt.datetime(2021, 6, 1)
+    schema = (
+        "url string, _ab_cdc_lsn long, _ab_cdc_updated_at timestamp, "
+        "_ab_cdc_deleted_at timestamp, _airbyte_ab_id string, _airbyte_emitted_at timestamp"
+    )
+    t = LakeTable(spark, str(tmp_path / "t"))
+    merge_into(t, spark.createDataFrame([("u", 1, ts, None, "a", ts)], schema), epoch=1)
+    merge_into(t, spark.createDataFrame([("zzz", 5, ts, ts, "b", ts)], schema), epoch=2)
+    assert [r["url"] for r in t.read().collect()] == ["u"]
