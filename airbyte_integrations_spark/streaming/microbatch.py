@@ -76,6 +76,7 @@ def run_sync(
     max_events_per_epoch: int = 1_000_000,
     extract_missing_text: bool = True,
     max_epochs: int | None = None,
+    compact_threshold: int | None = 8,
 ) -> list[Epoch]:
     """One bounded sync: plan epochs past the committed watermark and
     apply each as dedup -> MERGE -> atomic commit (+ lineage).
@@ -113,4 +114,9 @@ def run_sync(
             secondary=config.secondary_order,
             transform_winners=transform,
         )
+    # Maintenance: bound small files (COW keeps touched buckets at ~1
+    # file, but skewed batches and appends fragment; at the 10^10 point
+    # this is the rewrite_data_files compaction an operator would cron).
+    if compact_threshold is not None and table.exists():
+        table.compact(max_files_per_bucket=compact_threshold)
     return epochs

@@ -83,3 +83,19 @@ def test_null_cursor_ordering(spark):
     for impl in (winner_window, winner_agg, winner_salted, winner_join):
         got = {r["url"]: r["_airbyte_ab_id"] for r in impl(df).collect()}
         assert got == {"u": "a", "v": "c"}, impl.__name__
+
+
+def test_hot_key_skew(spark):
+    """One url owns ~half of all events (the Zipf head at 10^10):
+    the join path must agree with the window truth and not collapse
+    onto a single reducer (hash-agg partial aggregation)."""
+    from pyspark.sql import functions as F
+
+    ev = gen_change_events(spark, 40_000, n_urls=400, skew_alpha=8.0).select(*COLS)
+    top = (
+        ev.groupBy("url").count().orderBy(F.desc("count")).limit(1).collect()[0]
+    )
+    assert top["count"] > 10_000  # genuinely hot
+    j = winner_join(ev, drop_tombstones=True).toPandas()
+    w = winner_window(ev, drop_tombstones=True).toPandas()
+    assert_frames_equal(j, w)
