@@ -41,28 +41,31 @@ def scd2(
     order.append(F.col(ab_id).desc())
     w = Window.partitionBy(*key).orderBy(*order)
 
+    is_cdc = deleted_at in df.columns
+    active = F.row_number().over(w) == 1
+    if is_cdc:
+        active = active & F.col(deleted_at).isNull()
     out = (
         df.withColumn("_airbyte_unique_key", surrogate_key(*key))
         .withColumn("_airbyte_start_at", F.col(cursor))
         .withColumn("_airbyte_end_at", F.lag(F.col(cursor), 1).over(w))
-        .withColumn(
-            "_airbyte_active_row",
-            (
-                (F.row_number().over(w) == 1) & F.col(deleted_at).isNull()
-            ).cast("int"),
-        )
+        .withColumn("_airbyte_active_row", active.cast("int"))
     )
     # exact-duplicate collapse (idempotent re-apply of overlapping
-    # batches produces identical unique_key_scd => one survivor)
-    # When the stream carries _ab_cdc_log_pos it joins the collapse key
-    # and the scd surrogate (golden pos_dedup_cdcx_scd.sql:94-106).
+    # batches produces identical unique_key_scd => one survivor).
+    # The CDC columns join the collapse key only when the stream has
+    # them (non-CDC scd models hash just key/start/emitted); when
+    # _ab_cdc_log_pos exists it joins too
+    # (golden pos_dedup_cdcx_scd.sql:94-106).
     dedup_cols = [
         F.col("_airbyte_unique_key"),
         F.col("_airbyte_start_at"),
         F.col(emitted_at),
-        F.col(deleted_at).cast("string"),
-        F.col(updated_at).cast("string"),
     ]
+    if is_cdc:
+        dedup_cols.append(F.col(deleted_at).cast("string"))
+    if updated_at in df.columns:
+        dedup_cols.append(F.col(updated_at).cast("string"))
     if log_pos in df.columns:
         dedup_cols.append(F.col(log_pos).cast("string"))
     w2 = Window.partitionBy(*dedup_cols).orderBy(
