@@ -164,3 +164,24 @@ def test_run3_schema_change_counts(spark, tmp_path, table):
     assert scd.filter("new_column IS NULL").count() == 16
     # the dropped column survives on old rows, null on new ones
     assert scd.filter("HKD_special___characters IS NULL").count() == 4
+
+
+def test_exchange_rate_overwrite_stream(spark, tmp_path):
+    """F3.4: same corpus, incremental/OVERWRITE destination — the
+    table is replaced per sync: 12 -> 6 -> 4 rows."""
+    from airbyte_integrations_spark.config import DestinationSyncMode, SyncConfig
+    from airbyte_integrations_spark.pipeline import apply_batch
+
+    cfg = SyncConfig(
+        stream="exchange_rate",
+        primary_key=("id", "currency", "NZD"),
+        destination_sync_mode=DestinationSyncMode.OVERWRITE,
+    )
+    t = LakeTable(spark, str(tmp_path / "xr"))
+    for i, (msgs, schema, n) in enumerate(
+        [(RUN1, SCHEMA_V1, 12), (RUN2, SCHEMA_V1, 6), (RUN3, SCHEMA_V3, 4)], start=1
+    ):
+        batch = _batch(spark, tmp_path, msgs, schema, f"xr{i}")
+        apply_batch(t, batch, cfg, epoch=i)
+        assert t.read().count() == n, f"run {i}"
+    assert dict(t.read().dtypes)["id"] == "double"  # run-3 schema wins
