@@ -83,6 +83,8 @@ def main() -> None:
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
 
     spark = get_spark("bench", cores=cpus, shuffle_partitions=cpus)
+    # JVM/codegen warmup so the first timed query isn't penalized
+    spark.read.parquet(f"{sf_dir}/events.parquet").groupBy("event_type").count().collect()
 
     timings: dict[str, float] = {}
     for name, fn in ent.queries().items():
