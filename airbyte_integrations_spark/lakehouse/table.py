@@ -122,6 +122,10 @@ class LakeTable:
         (
             df.withColumn("_bucket", bucket_expr(key, n_buckets))
             .repartition(n_buckets, F.col("_bucket"))
+            # Iceberg sort-order analogue: cluster rows by key within
+            # each bucket file — better parquet RLE/stats and locality
+            # for the MERGE's key joins.
+            .sortWithinPartitions("_bucket", *key)
             .write.partitionBy("_bucket")
             .mode("overwrite")
             .parquet(out_dir)
