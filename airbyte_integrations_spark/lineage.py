@@ -50,6 +50,36 @@ def write_lineage(lineage: DataFrame, table_root: str, epoch: int) -> None:
     lineage.drop("epoch").write.mode("overwrite").parquet(out)
 
 
+def sync_summary(spark: SparkSession, table) -> DataFrame:
+    """Per-stream emitted/committed accounting, the replication
+    worker's output stats (DefaultReplicationWorker.java:197-228):
+    committed epochs x (events, deletes, offset range) joined from the
+    commit log and the lineage table."""
+    from pyspark.sql import functions as F
+
+    lin = read_lineage(spark, table.root)
+    per_epoch = lin.groupBy("stream", "epoch").agg(
+        F.min("from_lsn").alias("from_lsn"),
+        F.max("to_lsn").alias("to_lsn"),
+        F.sum("n_events").alias("n_emitted"),
+        F.sum("n_deletes").alias("n_deletes"),
+        F.count("*").alias("n_partitions"),
+    )
+    committed = [
+        (s, int(e))
+        for s, eps in table.manifest().get("committed", {}).items()
+        for e in eps
+    ]
+    if not committed:
+        return per_epoch.withColumn("committed", F.lit(False))
+    cdf = spark.createDataFrame(committed, "stream string, epoch long").withColumn(
+        "committed", F.lit(True)
+    )
+    return per_epoch.join(F.broadcast(cdf), ["stream", "epoch"], "left").fillna(
+        {"committed": False}
+    )
+
+
 def read_lineage(spark: SparkSession, table_root: str) -> DataFrame:
     return spark.read.option("basePath", os.path.join(table_root, LINEAGE_DIR)).parquet(
         os.path.join(table_root, LINEAGE_DIR)

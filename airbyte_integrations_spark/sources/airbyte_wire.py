@@ -50,6 +50,8 @@ def read_messages(spark: SparkSession, path: str) -> DataFrame:
         F.col("value"),
         F.from_json("value", ENVELOPE).alias("m"),
         F.get_json_object("value", "$.record.data").alias("_airbyte_data"),
+        F.get_json_object("value", "$.state").alias("_state_blob"),
+        F.monotonically_increasing_id().alias("_line_id"),
     )
     return env.select(
         F.md5("value").alias("_airbyte_ab_id"),
@@ -62,7 +64,22 @@ def read_messages(spark: SparkSession, path: str) -> DataFrame:
         F.col("_airbyte_data"),
         F.col("m.record.stream").alias("stream"),
         F.col("m.type").alias("type"),
+        F.col("_state_blob"),
+        F.col("_line_id"),
     )
+
+
+def latest_state(messages: DataFrame) -> str | None:
+    """The last STATE blob in the message stream — the checkpoint the
+    platform retains (DefaultReplicationWorker.java:389-428 keeps only
+    the latest committed STATE; ordering = file/line order)."""
+    rows = (
+        messages.filter(F.col("type") == "STATE")
+        .orderBy(F.col("_line_id").desc())
+        .limit(1)
+        .collect()
+    )
+    return rows[0]["_state_blob"] if rows else None
 
 
 def records_for_stream(

@@ -1,0 +1,68 @@
+"""Connector lifecycle verbs (spec/check/discover), STATE retention,
+sync metrics summary."""
+
+import json
+
+from airbyte_integrations_spark.config import SyncConfig
+from airbyte_integrations_spark.connector import check, discover, spec
+from airbyte_integrations_spark.gen import gen_change_events
+from airbyte_integrations_spark.lakehouse.table import LakeTable
+from airbyte_integrations_spark.lineage import sync_summary
+from airbyte_integrations_spark.sources.airbyte_wire import latest_state, read_messages
+from airbyte_integrations_spark.streaming.microbatch import run_sync
+
+
+def test_spec_shape():
+    s = spec()
+    assert s["connectionSpecification"]["required"] == ["log_path"]
+
+
+def test_check_and_discover(spark, tmp_path):
+    assert check(spark, {"log_path": str(tmp_path / "nope")})["status"] == "FAILED"
+    log = str(tmp_path / "log")
+    gen_change_events(spark, 200, n_urls=30).write.parquet(log)
+    assert check(spark, {"log_path": log})["status"] == "SUCCEEDED"
+    cat = discover(spark, {"log_path": log})
+    st = cat["streams"][0]
+    assert st["default_cursor_field"] == ["_ab_cdc_lsn"]
+    assert st["source_defined_primary_key"] == [["url"]]
+    props = st["json_schema"]["properties"]
+    assert props["_ab_cdc_lsn"]["type"] == ["null", "integer"]
+    assert props["html"].get("contentEncoding") == "base64"
+    assert props["warc_ts"]["format"] == "date-time"
+    # missing CDC columns => FAILED
+    gen_change_events(spark, 10, n_urls=5).drop("_ab_cdc_lsn").write.parquet(
+        str(tmp_path / "bad")
+    )
+    assert "missing CDC" in check(spark, {"log_path": str(tmp_path / "bad")})["message"]
+
+
+def test_latest_state(spark, tmp_path):
+    p = tmp_path / "m.jsonl"
+    p.write_text(
+        "\n".join(
+            [
+                json.dumps({"type": "RECORD", "record": {"stream": "s", "emitted_at": 1, "data": {"a": 1}}}),
+                json.dumps({"type": "STATE", "state": {"lsn": 10}}),
+                json.dumps({"type": "RECORD", "record": {"stream": "s", "emitted_at": 2, "data": {"a": 2}}}),
+                json.dumps({"type": "STATE", "state": {"lsn": 20}}),
+            ]
+        )
+    )
+    msgs = read_messages(spark, str(p))
+    blob = latest_state(msgs)
+    assert json.loads(blob) == {"lsn": 20}
+    assert latest_state(msgs.filter("type = 'RECORD'")) is None
+
+
+def test_sync_summary(spark, tmp_path):
+    ev = gen_change_events(spark, 600, n_urls=40).drop("html")
+    t = LakeTable(spark, str(tmp_path / "t"))
+    run_sync(spark, ev, t, SyncConfig(stream="pages"), max_events_per_epoch=200,
+             extract_missing_text=False)
+    summ = sync_summary(spark, t)
+    rows = {r["epoch"]: r for r in summ.collect()}
+    assert len(rows) == 3
+    assert all(r["committed"] for r in rows.values())
+    assert sum(r["n_emitted"] for r in rows.values()) == 600
+    assert rows[0]["from_lsn"] == 1 and rows[0]["to_lsn"] == 200
