@@ -51,6 +51,7 @@ def merge_into(
     ab_id: str = "_airbyte_ab_id",
     broadcast_keys: bool = True,
     transform_winners=None,
+    keep_tombstones: bool = False,
 ) -> int:
     """Apply one micro-batch; returns the committed snapshot version.
 
@@ -63,11 +64,15 @@ def merge_into(
 
     if not table.exists():
         winners = winner_join(
-            batch, ("url",), cursor, secondary, ab_id, drop_tombstones=True
+            batch, ("url",), cursor, secondary, ab_id,
+            drop_tombstones=not keep_tombstones,
         )
         if transform_winners is not None:
             winners = transform_winners(winners)
-        return table.create(winners, ("url",), 32, stream, epoch, epoch_meta)
+        return table.create(
+            winners, ("url",), 32, stream, epoch, epoch_meta,
+            props={"keep_tombstones": True} if keep_tombstones else None,
+        )
 
     key = table.key_cols()
     n_buckets = table.n_buckets
@@ -107,9 +112,13 @@ def merge_into(
 
     # contested + batch winners are <= 2 rows per contested key — the
     # exact window is cheap here and resolves ordering ties precisely.
+    # keep_tombstones mode (or a table created in it) retains delete
+    # rows physically so even NON-monotone redelivery of a pre-delete
+    # image cannot resurrect a key; read_live() hides them.
+    retain = keep_tombstones or bool(table.props().get("keep_tombstones"))
     merged = winner_window(
         contested.unionByName(wb), key, cursor, secondary, ab_id,
-        drop_tombstones=True,
+        drop_tombstones=not retain,
     )
     new_data = carried.unionByName(merged)
     try:

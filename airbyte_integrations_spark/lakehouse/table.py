@@ -162,6 +162,17 @@ class LakeTable:
 
     # ---------- table operations ----------
 
+    def props(self) -> dict:
+        return self.manifest().get("props", {}) if self.exists() else {}
+
+    def read_live(self, **kw) -> DataFrame:
+        """Visible rows: filters retained tombstones when the table was
+        written with keep_tombstones."""
+        df = self.read(**kw)
+        if self.props().get("keep_tombstones") and "_ab_cdc_deleted_at" in df.columns:
+            return df.filter(F.col("_ab_cdc_deleted_at").isNull())
+        return df
+
     def create(
         self,
         df: DataFrame,
@@ -170,6 +181,7 @@ class LakeTable:
         stream: str | None = None,
         epoch: int | None = None,
         epoch_meta: dict | None = None,
+        props: dict | None = None,
     ) -> int:
         files = self._write_files(df, n_buckets, key)
         manifest = {
@@ -179,6 +191,7 @@ class LakeTable:
             "n_buckets": n_buckets,
             "files": files,
             "committed": self.manifest().get("committed", {}) if self.exists() else {},
+            "props": props if props is not None else self.props(),
         }
         if stream is not None and epoch is not None:
             manifest["committed"].setdefault(stream, {})[str(epoch)] = epoch_meta or {}
@@ -216,6 +229,7 @@ class LakeTable:
             "n_buckets": m["n_buckets"],
             "files": new_files,
             "committed": m.get("committed", {}),
+            "props": m.get("props", {}),
         }
         if stream is not None and epoch is not None:
             manifest["committed"].setdefault(stream, {})[str(epoch)] = epoch_meta or {}
@@ -244,6 +258,7 @@ class LakeTable:
             "n_buckets": m["n_buckets"],
             "files": new_files,
             "committed": m.get("committed", {}),
+            "props": m.get("props", {}),
         }
         if stream is not None and epoch is not None:
             manifest["committed"].setdefault(stream, {})[str(epoch)] = epoch_meta or {}

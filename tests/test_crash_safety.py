@@ -66,3 +66,32 @@ def test_winner_implementations_agree_on_adversarial_ties(spark, events):
             for r in impl(df, drop_tombstones=True).collect()
         }
         assert got == want, impl.__name__
+
+
+def test_keep_tombstones_prevents_resurrection(spark, tmp_path):
+    """With keep_tombstones=True, a NON-monotone redelivery of a
+    pre-delete image (lsn 5 arriving after the delete at lsn 10 was
+    applied) cannot resurrect the key — the retained tombstone row wins
+    the merge; read_live() hides it."""
+    t = LakeTable(spark, str(tmp_path / "t"))
+    ins = spark.createDataFrame([("u", 1, TS, None, "a", TS)], SCHEMA)
+    merge_into(t, ins, epoch=1, keep_tombstones=True)
+    dele = spark.createDataFrame([("u", 10, TS, TS, "b", TS)], SCHEMA)
+    merge_into(t, dele, epoch=2, keep_tombstones=True)
+    assert t.read().count() == 1  # tombstone retained physically
+    assert t.read_live().count() == 0
+    stale = spark.createDataFrame([("u", 5, TS, None, "c", TS)], SCHEMA)
+    merge_into(t, stale, epoch=3, keep_tombstones=True)
+    rows = t.read().collect()
+    assert len(rows) == 1 and rows[0]["_ab_cdc_lsn"] == 10  # delete still wins
+    assert t.read_live().count() == 0
+
+
+def test_default_mode_monotone_epochs_unaffected(spark, tmp_path):
+    """Default (drop) mode keeps the lean table: tombstoned keys are
+    physically absent and read_live == read."""
+    t = LakeTable(spark, str(tmp_path / "t"))
+    merge_into(t, spark.createDataFrame([("u", 1, TS, None, "a", TS)], SCHEMA), epoch=1)
+    merge_into(t, spark.createDataFrame([("u", 10, TS, TS, "b", TS)], SCHEMA), epoch=2)
+    assert t.read().count() == 0
+    assert t.read_live().count() == 0
