@@ -95,21 +95,36 @@ def main() -> None:
     merge = bench_merge_apply(spark, n_events, n_epochs, n_urls=max(n_events // 20, 1000))
     timings["merge_apply_replay"] = round(merge["sec"], 3)
 
-    print(
-        json.dumps(
-            {
-                "metric": "change-events/sec sustained MERGE-apply (CDC replay into lake table)",
-                "value": round(merge["events_per_sec"], 1),
-                "unit": "events/sec",
-                "queries": timings,
-                "sf": sf,
-                "bench_events": n_events,
-                "bench_epochs": n_epochs,
-                "final_rows": merge["final_rows"],
-                "cpus": cpus,
-            }
-        )
-    )
+    out = {
+        "metric": "change-events/sec sustained MERGE-apply (CDC replay into lake table)",
+        "value": round(merge["events_per_sec"], 1),
+        "unit": "events/sec",
+        "queries": timings,
+        "sf": sf,
+        "bench_events": n_events,
+        "bench_epochs": n_epochs,
+        "final_rows": merge["final_rows"],
+        "cpus": cpus,
+    }
+    # Attach the last recorded N->4N scaling evidence (protocol +
+    # analysis in BASELINE.md; regenerate with tools/bench_scaling.py).
+    scaling_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                "bench_out", "scaling.json")
+    if os.path.exists(scaling_path):
+        with open(scaling_path) as f:
+            s = json.load(f)
+        out["scaling_N_to_4N"] = {
+            k: s.get(k)
+            for k in (
+                "protocol",
+                "events_per_sec_N",
+                "events_per_sec_4N",
+                "scaling_efficiency_N_to_4N",
+                "extract_scaling_efficiency",
+                "raw_cpu_control_efficiency",
+            )
+        }
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
