@@ -457,12 +457,20 @@ FROM documents WHERE n_chars > 0
 """
 
 
-_LANG_MARKERS = [("en", " the "), ("de", " der "), ("fr", " le "), ("es", " los ")]
+_LANG_MARKERS = [
+    ("en", " the "),
+    ("de", " der "),
+    ("fr", " le "),
+    ("es", " los "),
+    ("zh", "的"),
+]
 
 
 def q_docs_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Marker-word language ID heuristic, scored against the labeled
-    lang column."""
+    lang column. (The driver's synthetic documents carry English-ish
+    token soup under every label, so absolute accuracy is meaningless
+    here — the gate is Spark/DuckDB parity of the heuristic itself.)"""
     tune_session(spark)
     docs = load(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
     low = F.lower(F.col("text"))
@@ -593,6 +601,72 @@ SELECT qid, cid, sim_c, rank FROM (
   SELECT *, row_number() OVER (PARTITION BY qid ORDER BY sim_c DESC, cid ASC) AS rank
   FROM pairs
 ) WHERE rank <= 5
+"""
+
+
+def q_emb_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: candidates restricted to
+    the same sign-LSH bucket, kept when floor(cos*100) >= 35 (the synthetic
+    embeddings are near-orthogonal — max pairwise cos ~0.45 — so the
+    threshold sits in the real tail) — the
+    embedding-space analogue of MinHash near-dup dedup."""
+    tune_session(spark)
+    emb = load(spark, sf_dir, "embeddings")
+    dims = [1, 9, 17, 25, 33, 41, 49, 57]
+    dbl = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    bits = [
+        F.when(F.element_at(F.col("embedding"), d) >= 0, F.lit("1")).otherwise(F.lit("0"))
+        for d in dims
+    ]
+    base = emb.select(
+        "vec_id",
+        dbl.alias("v"),
+        F.sqrt(F.aggregate(dbl, F.lit(0.0), lambda a, x: a + x * x)).alias("nrm"),
+        F.concat(*bits).alias("bucket"),
+    )
+    a = base.select(
+        F.col("vec_id").alias("id_a"), F.col("v").alias("va"),
+        F.col("nrm").alias("na"), "bucket",
+    )
+    b = base.select(
+        F.col("vec_id").alias("id_b"), F.col("v").alias("vb"),
+        F.col("nrm").alias("nb"), "bucket",
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("va"), F.col("vb"), lambda x, y: x * y),
+        F.lit(0.0), lambda acc, x: acc + x,
+    )
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a", "id_b",
+            F.floor(dot / (F.col("na") * F.col("nb")) * 100).cast("long").alias("sim_c"),
+        )
+        .filter(F.col("sim_c") >= 35)
+    )
+
+
+O_EMB_COSINE_NEARDUP = """
+WITH base AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+         (CASE WHEN embedding[1] >= 0 THEN '1' ELSE '0' END ||
+          CASE WHEN embedding[9] >= 0 THEN '1' ELSE '0' END ||
+          CASE WHEN embedding[17] >= 0 THEN '1' ELSE '0' END ||
+          CASE WHEN embedding[25] >= 0 THEN '1' ELSE '0' END ||
+          CASE WHEN embedding[33] >= 0 THEN '1' ELSE '0' END ||
+          CASE WHEN embedding[41] >= 0 THEN '1' ELSE '0' END ||
+          CASE WHEN embedding[49] >= 0 THEN '1' ELSE '0' END ||
+          CASE WHEN embedding[57] >= 0 THEN '1' ELSE '0' END) AS bucket
+  FROM embeddings
+),
+base2 AS (SELECT vec_id, v, bucket, sqrt(list_dot_product(v, v)) AS nrm FROM base)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       CAST(floor(list_dot_product(a.v, b.v) / (a.nrm * b.nrm) * 100) AS BIGINT) AS sim_c
+FROM base2 a JOIN base2 b USING (bucket)
+WHERE a.vec_id < b.vec_id
+  AND CAST(floor(list_dot_product(a.v, b.v) / (a.nrm * b.nrm) * 100) AS BIGINT) >= 35
 """
 
 
@@ -836,6 +910,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_lsh_buckets": q_emb_lsh_buckets,
         "emb_knn_cosine": q_emb_knn_cosine,
         "emb_ann_lsh_topk": q_emb_ann_lsh_topk,
+        "emb_cosine_neardup": q_emb_cosine_neardup,
         "docs_minhash": q_docs_minhash,
         "docs_neardup_pairs": q_docs_neardup_pairs,
         "docs_simhash": q_docs_simhash,
@@ -866,6 +941,7 @@ def oracle_sql() -> dict[str, str]:
         "emb_lsh_buckets": O_EMB_LSH_BUCKETS,
         "emb_knn_cosine": O_EMB_KNN_COSINE,
         "emb_ann_lsh_topk": O_EMB_ANN_LSH_TOPK,
+        "emb_cosine_neardup": O_EMB_COSINE_NEARDUP,
         "docs_minhash": O_DOCS_MINHASH,
         "docs_token_bpe": O_DOCS_TOKEN_BPE,
         "multimodal_binary_meta": O_MULTIMODAL_BINARY_META,
