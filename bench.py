@@ -37,10 +37,12 @@ BENCH_COLS = [
     "_ab_cdc_lsn", "_ab_cdc_updated_at", "_ab_cdc_deleted_at",
     "_airbyte_ab_id", "_airbyte_emitted_at",
 ]
+EXTRACT_COLS = [c if c != "text" else "html" for c in BENCH_COLS]
 
 
 def bench_merge_apply(
-    spark, n_events: int, n_epochs: int, n_urls: int, repeats: int = 2
+    spark, n_events: int, n_epochs: int, n_urls: int, repeats: int = 2,
+    with_extraction: bool = False,
 ) -> dict:
     """Generate -> materialize the log -> timed multi-epoch MERGE replay.
 
@@ -50,10 +52,11 @@ def bench_merge_apply(
     is a shared box with noisy neighbors — see BASELINE.md)."""
     root = tempfile.mkdtemp(prefix="bench_lake_")
     log_dir = os.path.join(root, "log")
+    cols = EXTRACT_COLS if with_extraction else BENCH_COLS
     gen_change_events(
         spark, n_events, n_urls=n_urls, skew_alpha=2.5,
         n_partitions=int(os.environ.get("SPARK_GRAFT_CPUS", "32")) * 2,
-    ).select(*BENCH_COLS).write.mode("overwrite").parquet(log_dir)
+    ).select(*cols).write.mode("overwrite").parquet(log_dir)
     events = spark.read.parquet(log_dir)
     events.count()  # warm page cache + file index
 
@@ -65,7 +68,7 @@ def bench_merge_apply(
         run_sync(
             spark, events, table, cfg,
             max_events_per_epoch=max(n_events // n_epochs, 1),
-            extract_missing_text=False,
+            extract_missing_text=with_extraction,
         )
         dt = time.perf_counter() - t0
         best = dt if best is None else min(best, dt)
@@ -95,6 +98,14 @@ def main() -> None:
     merge = bench_merge_apply(spark, n_events, n_epochs, n_urls=max(n_events // 20, 1000))
     timings["merge_apply_replay"] = round(merge["sec"], 3)
 
+    # full north-rule pipeline incl. html->text extraction (winners-only)
+    nx = max(n_events // 4, 100_000)
+    merge_x = bench_merge_apply(
+        spark, nx, max(n_epochs // 2, 1), n_urls=max(nx // 20, 1000),
+        repeats=1, with_extraction=True,
+    )
+    timings["merge_apply_with_extraction"] = round(merge_x["sec"], 3)
+
     out = {
         "metric": "change-events/sec sustained MERGE-apply (CDC replay into lake table)",
         "value": round(merge["events_per_sec"], 1),
@@ -104,6 +115,7 @@ def main() -> None:
         "bench_events": n_events,
         "bench_epochs": n_epochs,
         "final_rows": merge["final_rows"],
+        "events_per_sec_with_extraction": round(merge_x["events_per_sec"], 1),
         "cpus": cpus,
     }
     # Attach the last recorded N->4N scaling evidence (protocol +
