@@ -730,10 +730,9 @@ FROM sh GROUP BY doc_id
 
 
 def q_docs_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Full near-dup pipeline: minhash -> LSH banding -> candidate
-    pairs -> exact-Jaccard verification (>= 0.5). Not SQL-oracled (the
-    banding self-join is the non-relational part); the driver records a
-    rows-only check, and minhash itself is oracled by docs_minhash."""
+    """Full near-dup pipeline: minhash (8 hashes) -> LSH banding
+    (4 bands of 2) -> candidate pairs -> exact-Jaccard verification,
+    keeping pairs with jaccard_m = floor(j*1000) >= 500."""
     tune_session(spark)
     from airbyte_integrations_spark.functions.neardup import (
         jaccard_pairs,
@@ -745,9 +744,54 @@ def q_docs_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     sig = minhash_signature(docs, "doc_id", "text")
     pairs = lsh_candidate_pairs(sig, "doc_id")
     jac = jaccard_pairs(docs, pairs, "doc_id", "text")
-    return jac.filter(F.col("jaccard") >= 0.5).select(
+    return jac.select(
         "id_a", "id_b", F.floor(F.col("jaccard") * 1000).cast("long").alias("jaccard_m")
-    )
+    ).filter(F.col("jaccard_m") >= 500)
+
+
+_MH = ", ".join(f"min(md5(shingle || '#{i}')) AS mh{i}" for i in range(8))
+_BANDS = "\n  UNION ALL ".join(
+    f"SELECT doc_id, {b} AS idx, md5(mh{2*b} || '|' || mh{2*b+1}) AS band FROM sig"
+    for b in range(4)
+)
+
+O_DOCS_NEARDUP_PAIRS = rf"""
+WITH w AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS ws
+  FROM documents WHERE n_chars > 0
+),
+sh AS (
+  SELECT DISTINCT doc_id, array_to_string(ws[p:p + 2], ' ') AS shingle
+  FROM (
+    SELECT doc_id, ws,
+           unnest(generate_series(1, greatest(len(ws) - 2, 1))) AS p
+    FROM w
+  )
+),
+sig AS (SELECT doc_id, {_MH} FROM sh GROUP BY doc_id),
+bands AS (
+  {_BANDS}
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b ON a.idx = b.idx AND a.band = b.band
+  WHERE a.doc_id < b.doc_id
+),
+inter AS (
+  SELECT p.id_a, p.id_b, count(*) AS n_inter
+  FROM pairs p
+  JOIN sh sa ON sa.doc_id = p.id_a
+  JOIN sh sb ON sb.doc_id = p.id_b AND sb.shingle = sa.shingle
+  GROUP BY 1, 2
+),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1)
+SELECT id_a, id_b,
+       CAST(floor(n_inter * 1000.0 / (za.n_sh + zb.n_sh - n_inter)) AS BIGINT) AS jaccard_m
+FROM inter
+JOIN sizes za ON za.doc_id = id_a
+JOIN sizes zb ON zb.doc_id = id_b
+WHERE CAST(floor(n_inter * 1000.0 / (za.n_sh + zb.n_sh - n_inter)) AS BIGINT) >= 500
+"""
 
 
 def q_docs_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -943,10 +987,10 @@ def oracle_sql() -> dict[str, str]:
         "emb_ann_lsh_topk": O_EMB_ANN_LSH_TOPK,
         "emb_cosine_neardup": O_EMB_COSINE_NEARDUP,
         "docs_minhash": O_DOCS_MINHASH,
+        "docs_neardup_pairs": O_DOCS_NEARDUP_PAIRS,
         "docs_token_bpe": O_DOCS_TOKEN_BPE,
         "multimodal_binary_meta": O_MULTIMODAL_BINARY_META,
-        # docs_neardup_pairs / docs_simhash / multimodal_image_meta:
-        # intentionally no oracle (non-relational banding self-join,
-        # bit-arithmetic UDF, stubbed decoder) -> rows-only check;
+        # docs_simhash / multimodal_image_meta: intentionally no oracle
+        # (bit-arithmetic UDF, stubbed decoder) -> rows-only check;
         # each is pinned by unit tests instead.
     }
