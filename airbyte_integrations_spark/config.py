@@ -61,4 +61,10 @@ class SyncConfig:
     # point this would be sized so each bucket's active rows fit an
     # executor task (e.g. 4096+); tests use small values.
     n_buckets: int = 32
+    # Physical apply layout: "cow" (copy-on-write, rewrite touched
+    # buckets; cheapest reads) or "mor" (merge-on-read, append winner
+    # deltas as equality-delete markers; O(batch) writes — the
+    # sustained-throughput layout for continuous CDC). Same live state
+    # either way.
+    write_mode: str = "cow"
     properties: dict = field(default_factory=dict)

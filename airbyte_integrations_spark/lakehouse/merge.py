@@ -52,15 +52,39 @@ def merge_into(
     broadcast_keys: bool = True,
     transform_winners=None,
     keep_tombstones: bool = False,
+    mode: str = "cow",
 ) -> int:
     """Apply one micro-batch; returns the committed snapshot version.
 
     Exactly-once: if (stream, epoch) is already in the commit log the
     call is a no-op (BufferedStreamConsumer.java:39-57 state-after-
     commit rule, keyed by epoch instead of STATE message).
+
+    mode:
+      "cow" — copy-on-write: touched buckets rewritten; reads are raw
+              file scans. Write cost O(table-in-touched-buckets)/epoch.
+      "mor" — merge-on-read: batch winners (tombstones included, as
+              equality-delete markers) appended as per-bucket delta
+              files; reads resolve the winner rule over base ∪ deltas;
+              compaction folds. Write cost O(batch)/epoch — the
+              sustained-CDC-throughput layout at the 10^10 point.
+    Both modes converge to identical live state (tests/test_mor.py).
     """
     if epoch is not None and table.is_epoch_committed(stream, epoch):
         return table.current_version()
+
+    if mode == "mor" and table.exists():
+        key = table.key_cols()
+        target_schema = merge_schemas(table.schema, batch.schema)
+        winners = winner_join(
+            conform(batch, target_schema), key, cursor, secondary, ab_id
+        )
+        if transform_winners is not None:
+            winners = conform(transform_winners(winners), target_schema)
+        return table.append_deltas(
+            winners, stream, epoch, epoch_meta,
+            order={"cursor": cursor, "secondary": list(secondary), "ab_id": ab_id},
+        )
 
     if not table.exists():
         winners = winner_join(
@@ -69,9 +93,15 @@ def merge_into(
         )
         if transform_winners is not None:
             winners = transform_winners(winners)
+        props: dict | None = {"keep_tombstones": True} if keep_tombstones else None
+        if mode == "mor":
+            props = {
+                **(props or {}),
+                "mor": True,
+                "order": {"cursor": cursor, "secondary": list(secondary), "ab_id": ab_id},
+            }
         return table.create(
-            winners, ("url",), 32, stream, epoch, epoch_meta,
-            props={"keep_tombstones": True} if keep_tombstones else None,
+            winners, ("url",), 32, stream, epoch, epoch_meta, props=props
         )
 
     key = table.key_cols()
@@ -101,7 +131,14 @@ def merge_into(
             epoch_meta,
         )
 
-    current = conform(table.read(touched), target_schema)
+    has_deltas = bool(table.manifest().get("deltas"))
+    # A COW merge over a table carrying MoR deltas first resolves them
+    # (the rewrite folds the touched buckets' deltas into the new base;
+    # replace_buckets drops their manifest entries).
+    current = conform(
+        table.read_resolved(touched) if has_deltas else table.read(touched),
+        target_schema,
+    )
 
     wb = winners.drop("_bucket")
     keys_df = wb.select(*key).distinct()
@@ -120,10 +157,15 @@ def merge_into(
         contested.unionByName(wb), key, cursor, secondary, ab_id,
         drop_tombstones=not retain,
     )
-    new_data = carried.unionByName(merged)
+    # Two-part commit: the carried table payload is scanned out of
+    # bucket-pure files and written back WITHOUT a shuffle
+    # (aligned=True); only the merged rows — O(batch keys) — pay the
+    # repartition. This halves the MERGE's disk traffic: the dominant
+    # cost at scale is moving the carried payload once, not twice.
+    parts = [(carried, not has_deltas), (merged, False)]
     try:
         return table.replace_buckets(
-            new_data, touched, target_schema, stream, epoch, epoch_meta
+            parts, touched, target_schema, stream, epoch, epoch_meta
         )
     finally:
         winners.unpersist()

@@ -111,22 +111,39 @@ class LakeTable:
 
     # ---------- data IO ----------
 
-    def _write_files(self, df: DataFrame, n_buckets: int, key: tuple[str, ...]) -> dict[str, list[str]]:
+    def _write_files(
+        self,
+        df: DataFrame,
+        n_buckets: int,
+        key: tuple[str, ...],
+        aligned: bool = False,
+    ) -> dict[str, list[str]]:
         """Write df as one parquet dir per bucket; returns
         {bucket: [file paths relative to root]}. Uses hash
         repartitioning on the bucket id so each output task writes one
-        bucket's rows (co-located with the MERGE shuffle key)."""
+        bucket's rows (co-located with the MERGE shuffle key).
+
+        aligned=True skips the repartition+sort: the caller asserts the
+        input partitions are already bucket-pure and key-clustered
+        (true for rows scanned out of this table's own bucket files,
+        e.g. the carried side of a COW merge — narrow scan->filter->
+        write, no shuffle). At 10^10 events this halves the MERGE's
+        disk traffic: the table payload is written once, not
+        shuffled + written."""
         commit_id = uuid.uuid4().hex
         rel_dir = os.path.join(DATA_DIR, commit_id)
         out_dir = os.path.join(self.root, rel_dir)
+        bucketed = df.withColumn("_bucket", bucket_expr(key, n_buckets))
+        if not aligned:
+            bucketed = (
+                bucketed.repartition(n_buckets, F.col("_bucket"))
+                # Iceberg sort-order analogue: cluster rows by key within
+                # each bucket file — better parquet RLE/stats and locality
+                # for the MERGE's key joins.
+                .sortWithinPartitions("_bucket", *key)
+            )
         (
-            df.withColumn("_bucket", bucket_expr(key, n_buckets))
-            .repartition(n_buckets, F.col("_bucket"))
-            # Iceberg sort-order analogue: cluster rows by key within
-            # each bucket file — better parquet RLE/stats and locality
-            # for the MERGE's key joins.
-            .sortWithinPartitions("_bucket", *key)
-            .write.partitionBy("_bucket")
+            bucketed.write.partitionBy("_bucket")
             .mode("overwrite")
             .parquet(out_dir)
         )
@@ -166,8 +183,11 @@ class LakeTable:
         return self.manifest().get("props", {}) if self.exists() else {}
 
     def read_live(self, **kw) -> DataFrame:
-        """Visible rows: filters retained tombstones when the table was
-        written with keep_tombstones."""
+        """Visible rows: winner-resolves merge-on-read deltas and
+        filters retained tombstones when the table was written with
+        keep_tombstones."""
+        if self.manifest(kw.get("version")).get("deltas"):
+            return self.read_resolved(**kw)
         df = self.read(**kw)
         if self.props().get("keep_tombstones") and "_ab_cdc_deleted_at" in df.columns:
             return df.filter(F.col("_ab_cdc_deleted_at").isNull())
@@ -228,6 +248,7 @@ class LakeTable:
             "key": m["key"],
             "n_buckets": m["n_buckets"],
             "files": new_files,
+            "deltas": m.get("deltas", {}),
             "committed": m.get("committed", {}),
             "props": m.get("props", {}),
         }
@@ -237,7 +258,7 @@ class LakeTable:
 
     def replace_buckets(
         self,
-        new_data: DataFrame,
+        new_data: DataFrame | list[tuple[DataFrame, bool]],
         touched: list[int],
         schema: T.StructType,
         stream: str | None = None,
@@ -245,18 +266,38 @@ class LakeTable:
         epoch_meta: dict | None = None,
     ) -> int:
         """Copy-on-write commit: new files for `touched` buckets,
-        untouched buckets carried forward by reference."""
+        untouched buckets carried forward by reference.
+
+        new_data is either one DataFrame or a list of
+        (df, aligned) parts written as separate jobs into the same
+        snapshot — the COW merge passes (carried, aligned=True) and
+        (merged, aligned=False) so the carried table payload is never
+        shuffled (see _write_files)."""
         m = self.manifest()
-        files = self._write_files(new_data, int(m["n_buckets"]), tuple(m["key"]))
+        parts = new_data if isinstance(new_data, list) else [(new_data, False)]
+        files: dict[str, list[str]] = {}
+        for df, aligned in parts:
+            for b, ps in self._write_files(
+                df, int(m["n_buckets"]), tuple(m["key"]), aligned=aligned
+            ).items():
+                files.setdefault(b, []).extend(ps)
         new_files = {b: ps for b, ps in m["files"].items() if int(b) not in set(touched)}
         for b, ps in files.items():
             new_files.setdefault(b, []).extend(ps)
+        # Deltas (merge-on-read) of rewritten buckets are folded into the
+        # new base files by the caller; untouched buckets keep theirs.
+        new_deltas = {
+            b: ps
+            for b, ps in m.get("deltas", {}).items()
+            if int(b) not in set(touched) and ps
+        }
         manifest = {
             "parent": m["version"],
             "schema": schema.jsonValue(),
             "key": m["key"],
             "n_buckets": m["n_buckets"],
             "files": new_files,
+            "deltas": new_deltas,
             "committed": m.get("committed", {}),
             "props": m.get("props", {}),
         }
@@ -265,17 +306,138 @@ class LakeTable:
         return self._commit(manifest)
 
 
-    def compact(self, max_files_per_bucket: int = 1) -> int:
-        """Maintenance: rewrite buckets whose file count exceeds the
-        threshold into one file each (Iceberg rewrite_data_files
-        analogue). Data-identical; committed as a new snapshot."""
+    # ---------- merge-on-read (Iceberg v2 equality-delete analogue) ----------
+
+    def append_deltas(
+        self,
+        winners: DataFrame,
+        stream: str | None = None,
+        epoch: int | None = None,
+        epoch_meta: dict | None = None,
+        order: dict | None = None,
+    ) -> int:
+        """Merge-on-read commit: the batch's per-key winners — tombstone
+        rows INCLUDED, acting as Iceberg v2 equality-delete markers on
+        `key` — land as per-bucket delta files; the base is never
+        rewritten. Per-epoch write cost is O(batch winners), not
+        O(table) — the streaming-upsert layout (Hudi MoR / Paimon /
+        Iceberg v2) for the 10^10-event point. Readers resolve the
+        winner rule across base+deltas (`read_resolved`); `compact`
+        folds deltas into the base.
+
+        `order` (stored in props on first commit) names the winner
+        ordering: {"cursor", "secondary", "ab_id"}."""
+        if stream is not None and epoch is not None and self.exists() and self.is_epoch_committed(stream, epoch):
+            return self.current_version()
+        if not self.exists():
+            props = {"mor": True}
+            if order:
+                props["order"] = order
+            # Epoch 0: winners ARE the base; tombstones need no marker
+            # (there is nothing underneath to mask).
+            base = winners
+            if "_ab_cdc_deleted_at" in winners.columns:
+                base = winners.filter(F.col("_ab_cdc_deleted_at").isNull())
+            return self.create(base, ("url",), 32, stream, epoch, epoch_meta, props=props)
         m = self.manifest()
-        fragmented = [
-            int(b) for b, ps in m["files"].items() if len(ps) > max_files_per_bucket
-        ]
+        target = merge_schemas(T.StructType.fromJson(m["schema"]), winners.schema)
+        files = self._write_files(
+            conform(winners, target), int(m["n_buckets"]), tuple(m["key"])
+        )
+        deltas = {b: list(ps) for b, ps in m.get("deltas", {}).items()}
+        for b, ps in files.items():
+            deltas.setdefault(b, []).extend(ps)
+        manifest = {
+            "parent": m["version"],
+            "schema": target.jsonValue(),
+            "key": m["key"],
+            "n_buckets": m["n_buckets"],
+            "files": m["files"],
+            "deltas": deltas,
+            "committed": m.get("committed", {}),
+            "props": m.get("props", {}),
+        }
+        if stream is not None and epoch is not None:
+            manifest["committed"].setdefault(stream, {})[str(epoch)] = epoch_meta or {}
+        return self._commit(manifest)
+
+    def read_deltas(self, buckets: list[int] | None = None, version: int | None = None) -> DataFrame:
+        m = self.manifest(version)
+        schema = T.StructType.fromJson(m["schema"])
+        dmap: dict[str, list[str]] = m.get("deltas", {})
+        if buckets is None:
+            paths = [p for ps in dmap.values() for p in ps]
+        else:
+            want = {str(b) for b in buckets}
+            paths = [p for b, ps in dmap.items() if b in want for p in ps]
+        if not paths:
+            return self.spark.createDataFrame([], schema)
+        return self.spark.read.schema(schema).parquet(
+            *[os.path.join(self.root, p) for p in paths]
+        )
+
+    def _order(self) -> dict:
+        return self.props().get("order") or {
+            "cursor": "_ab_cdc_lsn",
+            "secondary": ["_ab_cdc_updated_at", "_airbyte_emitted_at"],
+            "ab_id": "_airbyte_ab_id",
+        }
+
+    def read_resolved(self, buckets: list[int] | None = None, version: int | None = None) -> DataFrame:
+        """Winner-resolved live view of a merge-on-read table: the
+        reference ordering applied across base ∪ deltas per key, delete
+        markers dropped. Base rows and delta rows both carry the full
+        ordering tuple, so resolution is the same associative rule the
+        writer uses — duplicated or re-delivered deltas converge."""
+        from airbyte_integrations_spark.operators.dedup import winner_window
+
+        m = self.manifest(version)
+        base = self.read(buckets, version)
+        if not m.get("deltas"):
+            out = base
+        else:
+            o = self._order()
+            out = winner_window(
+                base.unionByName(self.read_deltas(buckets, version)),
+                tuple(m["key"]), o["cursor"], tuple(o["secondary"]), o["ab_id"],
+            )
+        if "_ab_cdc_deleted_at" in out.columns and not self.props().get("keep_tombstones"):
+            out = out.filter(F.col("_ab_cdc_deleted_at").isNull())
+        return out
+
+    def compact(self, max_files_per_bucket: int = 1) -> int:
+        """Maintenance: rewrite buckets whose file count (base + delta)
+        exceeds the threshold (Iceberg rewrite_data_files analogue).
+        For buckets with deltas this folds them into the base via the
+        winner rule (delete markers drop out — safe under the planner's
+        monotone-epoch guarantee, retained under keep_tombstones);
+        pure-base fragmentation is rewritten data-identically.
+        Committed as a new snapshot."""
+        m = self.manifest()
+        dmap = m.get("deltas", {})
+        fragmented = sorted(
+            {
+                int(b)
+                for b, ps in m["files"].items()
+                if len(ps) + len(dmap.get(b, [])) > max_files_per_bucket
+            }
+            | {int(b) for b, ps in dmap.items() if ps and len(ps) + len(m["files"].get(b, [])) > max_files_per_bucket}
+        )
         if not fragmented:
             return m["version"]
-        data = self.read(fragmented)
+        has_deltas = any(dmap.get(str(b)) for b in fragmented)
+        if has_deltas:
+            o = self._order()
+            from airbyte_integrations_spark.operators.dedup import winner_window
+
+            data = winner_window(
+                self.read(fragmented).unionByName(self.read_deltas(fragmented)),
+                tuple(m["key"]), o["cursor"], tuple(o["secondary"]), o["ab_id"],
+            )
+            if "_ab_cdc_deleted_at" in data.columns and not self.props().get("keep_tombstones"):
+                data = data.filter(F.col("_ab_cdc_deleted_at").isNull())
+        else:
+            data = self.read(fragmented)
         return self.replace_buckets(
             data, fragmented, T.StructType.fromJson(m["schema"])
         )

@@ -113,6 +113,7 @@ def run_sync(
             cursor=lsn_col,
             secondary=config.secondary_order,
             transform_winners=transform,
+            mode=config.write_mode,
         )
     # Maintenance: bound small files (COW keeps touched buckets at ~1
     # file, but skewed batches and appends fragment; at the 10^10 point
