@@ -174,6 +174,38 @@ FROM w WHERE rn = 1 AND _ab_cdc_deleted_at IS NULL
 """
 
 
+def q_cdc_mor_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read replay through the real lake layer: the log is
+    applied as 4 epoch commits of per-key winner deltas (equality-
+    delete markers for tombstones; Iceberg v2 analogue — lakehouse/
+    table.append_deltas), then live state is resolved across
+    base ∪ deltas at read. Must equal the plain winner-rule oracle."""
+    import tempfile
+
+    from airbyte_integrations_spark.config import SyncConfig
+    from airbyte_integrations_spark.lakehouse.table import LakeTable
+    from airbyte_integrations_spark.streaming.microbatch import run_sync
+
+    tune_session(spark)
+    ce = change_events(spark, sf_dir)
+    hi = ce.agg(F.max("_ab_cdc_lsn")).collect()[0][0]
+    table = LakeTable(spark, tempfile.mkdtemp(prefix="mor_entry_") + "/t")
+    run_sync(
+        spark, ce, table, SyncConfig(stream="pages", write_mode="mor"),
+        max_events_per_epoch=max(int(hi) // 4, 1),
+        extract_missing_text=False,
+        compact_threshold=None,  # keep deltas: the read must resolve them
+    )
+    return table.read_live().select("url", "_ab_cdc_lsn", "event_type", "value_m")
+
+
+O_CDC_MOR_REPLAY = f"""
+WITH {CE_SQL}, {WINNERS_SQL}
+SELECT url, _ab_cdc_lsn, event_type, value_m
+FROM w WHERE rn = 1 AND _ab_cdc_deleted_at IS NULL
+"""
+
+
 def q_cdc_incremental_cursor(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cursor scan: strictly-greater filter + new max-cursor state
     (AbstractJdbcSource.java:261-286, StateDecoratingIterator.java:50-60).
@@ -940,6 +972,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_scd2_history": q_cdc_scd2_history,
         "cdc_tombstone_stats": q_cdc_tombstone_stats,
         "cdc_idempotent_replay": q_cdc_idempotent_replay,
+        "cdc_mor_replay": q_cdc_mor_replay,
         "cdc_incremental_cursor": q_cdc_incremental_cursor,
         "cdc_epoch_plan": q_cdc_epoch_plan,
         "cdc_lineage_offsets": q_cdc_lineage_offsets,
@@ -971,6 +1004,7 @@ def oracle_sql() -> dict[str, str]:
         "cdc_scd2_history": O_CDC_SCD2,
         "cdc_tombstone_stats": O_CDC_TOMBSTONE_STATS,
         "cdc_idempotent_replay": O_CDC_IDEMPOTENT_REPLAY,
+        "cdc_mor_replay": O_CDC_MOR_REPLAY,
         "cdc_incremental_cursor": O_CDC_INCREMENTAL_CURSOR,
         "cdc_epoch_plan": O_CDC_EPOCH_PLAN,
         "cdc_lineage_offsets": O_CDC_LINEAGE_OFFSETS,

@@ -67,4 +67,9 @@ class SyncConfig:
     # sustained-throughput layout for continuous CDC). Same live state
     # either way.
     write_mode: str = "cow"
+    # Batch-winner implementation (lakehouse/merge.DEDUP_IMPLS):
+    # "agg" (default; associative max-by-ordering, map-side combine),
+    # "join" (max-cursor semi-join reduction), "salted" (explicit
+    # two-phase), "window" (literal reference window).
+    dedup_impl: str = "agg"
     properties: dict = field(default_factory=dict)

@@ -46,8 +46,37 @@ def compute_lineage(
 
 
 def write_lineage(lineage: DataFrame, table_root: str, epoch: int) -> None:
+    """Persist one epoch's lineage under `<root>/_lineage/epoch=<id>/`.
+
+    The frame is tiny (<= one row per source partition), so it is
+    collected and written driver-side with pyarrow: a full Spark write
+    job (task launch + commit protocol) per epoch would serialize the
+    sync loop for metadata-sized output. Directory layout and schema
+    are identical to a Spark `partitionBy(epoch)` write, so
+    read_lineage is unchanged."""
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pa_types = {
+        "string": pa.string(),
+        "int": pa.int32(),
+        "bigint": pa.int64(),
+        "double": pa.float64(),
+        "timestamp": pa.timestamp("us"),
+    }
+    body = lineage.drop("epoch")
+    schema = pa.schema(
+        [pa.field(f.name, pa_types[f.dataType.simpleString()]) for f in body.schema.fields]
+    )
+    pdf = body.toPandas()
     out = os.path.join(table_root, LINEAGE_DIR, f"epoch={epoch}")
-    lineage.drop("epoch").write.mode("overwrite").parquet(out)
+    shutil.rmtree(out, ignore_errors=True)  # overwrite semantics on re-run
+    os.makedirs(out, exist_ok=True)
+    tmp = os.path.join(out, "_tmp.parquet")
+    pq.write_table(pa.Table.from_pandas(pdf, schema=schema, preserve_index=False), tmp)
+    os.replace(tmp, os.path.join(out, "part-00000.parquet"))
 
 
 def sync_summary(spark: SparkSession, table) -> DataFrame:

@@ -114,6 +114,7 @@ def run_sync(
             secondary=config.secondary_order,
             transform_winners=transform,
             mode=config.write_mode,
+            dedup_impl=config.dedup_impl,
         )
     # Maintenance: bound small files (COW keeps touched buckets at ~1
     # file, but skewed batches and appends fragment; at the 10^10 point

@@ -42,7 +42,7 @@ EXTRACT_COLS = [c if c != "text" else "html" for c in BENCH_COLS]
 
 def bench_merge_apply(
     spark, n_events: int, n_epochs: int, n_urls: int, repeats: int = 2,
-    with_extraction: bool = False,
+    with_extraction: bool = False, write_mode: str = "cow",
 ) -> dict:
     """Generate -> materialize the log -> timed multi-epoch MERGE replay.
 
@@ -63,16 +63,20 @@ def bench_merge_apply(
     best, n_final = None, 0
     for i in range(repeats):
         table = LakeTable(spark, os.path.join(root, f"pages{i}"))
-        cfg = SyncConfig(stream="pages", n_buckets=64)
+        cfg = SyncConfig(stream="pages", n_buckets=64, write_mode=write_mode)
         t0 = time.perf_counter()
         run_sync(
             spark, events, table, cfg,
             max_events_per_epoch=max(n_events // n_epochs, 1),
             extract_missing_text=with_extraction,
+            # MoR sustained throughput must amortize its compaction:
+            # threshold n_epochs ensures the replay pays one fold of the
+            # accumulated deltas inside the timed window.
+            compact_threshold=max(n_epochs, 2) if write_mode == "mor" else 8,
         )
         dt = time.perf_counter() - t0
         best = dt if best is None else min(best, dt)
-        n_final = table.read().count()
+        n_final = table.read_live().count()
         shutil.rmtree(os.path.join(root, f"pages{i}"), ignore_errors=True)
     shutil.rmtree(root, ignore_errors=True)
     return {"sec": best, "events_per_sec": n_events / best, "final_rows": n_final}
@@ -98,6 +102,13 @@ def main() -> None:
     merge = bench_merge_apply(spark, n_events, n_epochs, n_urls=max(n_events // 20, 1000))
     timings["merge_apply_replay"] = round(merge["sec"], 3)
 
+    # merge-on-read layout (O(batch) writes + one timed delta fold)
+    merge_mor = bench_merge_apply(
+        spark, n_events, n_epochs, n_urls=max(n_events // 20, 1000),
+        repeats=1, write_mode="mor",
+    )
+    timings["merge_apply_replay_mor"] = round(merge_mor["sec"], 3)
+
     # full north-rule pipeline incl. html->text extraction (winners-only)
     nx = max(n_events // 4, 100_000)
     merge_x = bench_merge_apply(
@@ -115,6 +126,7 @@ def main() -> None:
         "bench_events": n_events,
         "bench_epochs": n_epochs,
         "final_rows": merge["final_rows"],
+        "events_per_sec_mor": round(merge_mor["events_per_sec"], 1),
         "events_per_sec_with_extraction": round(merge_x["events_per_sec"], 1),
         "cpus": cpus,
     }

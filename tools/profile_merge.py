@@ -32,13 +32,24 @@ def main() -> None:
     n_events = int(sys.argv[2]) if len(sys.argv) > 2 else 1_000_000
     n_epochs = int(sys.argv[3]) if len(sys.argv) > 3 else 2
     mode = sys.argv[4] if len(sys.argv) > 4 else "cow"
-    spark = get_spark(f"pm_{cores}", cores=cores, shuffle_partitions=max(cores, 4))
-    log_dir = tempfile.mkdtemp(prefix=f"pm{cores}_") + "/log"
-    gen_change_events(spark, n_events).write.parquet(log_dir)
+    tmp_base = os.environ.get("SPARK_GRAFT_TMP")  # e.g. /dev/shm to take the
+    # shared single-disk ceiling out of scaling measurements (BASELINE.md)
+    spark = get_spark(f"pm_{cores}", cores=cores, shuffle_partitions=max(cores, 4),
+                      extra_conf={"spark.sql.files.maxPartitionBytes": "32m"})
+    log_dir = tempfile.mkdtemp(prefix=f"pm{cores}_", dir=tmp_base) + "/log"
+    gen_change_events(
+        spark, n_events,
+        # enough log files that every epoch's lsn slice spans >= all
+        # cores at either parallelism level (a real 10^10 epoch is
+        # hundreds of files; without this the scan of a contiguous lsn
+        # slice degenerates to 1-2 tasks and nothing downstream can
+        # scale)
+        n_partitions=max(64, n_epochs * 16),
+    ).write.parquet(log_dir)
     events = spark.read.parquet(log_dir)
     events.count()
 
-    table = LakeTable(spark, tempfile.mkdtemp(prefix=f"pmt{cores}_") + "/t")
+    table = LakeTable(spark, tempfile.mkdtemp(prefix=f"pmt{cores}_", dir=tmp_base) + "/t")
     per = n_events // n_epochs
     phases: dict[str, float] = {}
 
