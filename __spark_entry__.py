@@ -827,13 +827,44 @@ WHERE CAST(floor(n_inter * 1000.0 / (za.n_sh + zb.n_sh - n_inter)) AS BIGINT) >=
 
 
 def q_docs_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash sketches (vectorized pandas UDF) — rows-only check; the
-    UDF is pinned against a pure-Python reference in tests."""
+    """SimHash sketches (vectorized pandas UDF), Charikar '02: 64-bit,
+    whitespace tokens, bit source = first 8 bytes of md5(token).
+    Oracled bit-exactly in SQL (md5-hex nibble votes reassembled into a
+    signed 64-bit value)."""
     tune_session(spark)
     from airbyte_integrations_spark.functions.neardup import simhash64
 
     docs = load(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
     return docs.select("doc_id", simhash64("text").alias("simhash"))
+
+
+O_DOCS_SIMHASH = r"""
+WITH tok AS (
+  SELECT doc_id, unnest(list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '')) AS tok
+  FROM documents WHERE n_chars > 0
+),
+tb AS (SELECT doc_id, substr(md5(tok), 1, 16) AS h16 FROM tok),
+votes AS (
+  SELECT doc_id, r.range AS i,
+         SUM(CASE WHEN ((instr('0123456789abcdef',
+                   substr(h16, CAST(16 - r.range // 4 AS INT), 1)) - 1)
+                  >> CAST(r.range % 4 AS INT)) & 1 = 1 THEN 1 ELSE -1 END) AS acc
+  FROM tb CROSS JOIN range(64) r GROUP BY 1, 2
+),
+halves AS (
+  -- SUM(BIGINT) is HUGEINT in DuckDB; cast back so the final value
+  -- stays an exact int64 (pandas renders HUGEINT as float64, which
+  -- rounds magnitudes near 2^63)
+  SELECT doc_id,
+         CAST(SUM(CASE WHEN acc > 0 AND i < 32 THEN (CAST(1 AS BIGINT) << CAST(i AS INT)) ELSE 0 END) AS BIGINT) AS lo,
+         CAST(SUM(CASE WHEN acc > 0 AND i >= 32 THEN (CAST(1 AS BIGINT) << CAST(i - 32 AS INT)) ELSE 0 END) AS BIGINT) AS hi
+  FROM votes GROUP BY 1
+)
+SELECT d.doc_id,
+       CAST(COALESCE((CASE WHEN h.hi >= 2147483648 THEN h.hi - 4294967296 ELSE h.hi END) * 4294967296 + h.lo, 0) AS BIGINT) AS simhash
+FROM documents d LEFT JOIN halves h ON d.doc_id = h.doc_id
+WHERE d.n_chars > 0
+"""
 
 
 _BPE_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
@@ -1022,6 +1053,7 @@ def oracle_sql() -> dict[str, str]:
         "emb_cosine_neardup": O_EMB_COSINE_NEARDUP,
         "docs_minhash": O_DOCS_MINHASH,
         "docs_neardup_pairs": O_DOCS_NEARDUP_PAIRS,
+        "docs_simhash": O_DOCS_SIMHASH,
         "docs_token_bpe": O_DOCS_TOKEN_BPE,
         "multimodal_binary_meta": O_MULTIMODAL_BINARY_META,
         # docs_simhash / multimodal_image_meta: intentionally no oracle
