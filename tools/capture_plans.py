@@ -84,6 +84,41 @@ def main() -> None:
         "SortAggregate(partial_max(struct(...))) below Exchange",
     )
 
+    # --- lakehouse write paths ---
+    from airbyte_integrations_spark.lakehouse.merge import merge_into
+    from airbyte_integrations_spark.lakehouse.table import LakeTable
+
+    table = LakeTable(spark, root + "/t")
+    merge_into(table, ev.filter("_ab_cdc_lsn <= 25000"), stream="s", epoch=0, mode="mor")
+    merge_into(table, ev.filter("_ab_cdc_lsn > 25000"), stream="s", epoch=1, mode="mor")
+
+    # Carried side of a COW rewrite: scan of bucket-pure files +
+    # broadcast anti join — must contain NO hash-partitioning shuffle
+    # (the whole point of the aligned write path).
+    keys = F.broadcast(ev.filter("_ab_cdc_lsn > 25000").select("url").distinct())
+    carried = table.read().join(keys, ["url"], "left_anti")
+    carried_plan = carried._jdf.queryExecution().executedPlan().toString()
+    # The wide carried payload must flow scan -> anti join with no
+    # shuffle; the only Exchange allowed is the hash aggregation inside
+    # the BroadcastExchange build (O(batch keys), not table payload).
+    stream_side = carried_plan.split("BroadcastHashJoin", 1)[1].split("\n")[1].strip()
+    check(
+        "carried COW payload never shuffles (scan feeds the anti join directly)",
+        stream_side.startswith(":- FileScan parquet")
+        and "BroadcastExchange" in carried_plan,
+        f"stream side of the anti join is `{stream_side[:60]}...` (no Exchange)",
+    )
+
+    # Merge-on-read resolution: one window over base ∪ deltas, delete
+    # markers filtered above it.
+    res_plan = table.read_resolved()._jdf.queryExecution().executedPlan().toString()
+    check(
+        "MoR read resolves winner rule over base+deltas (single Window)",
+        res_plan.count("Window") >= 1 and "Union" in res_plan
+        and "isnull(_ab_cdc_deleted_at" in res_plan,
+        "Window + Union + tombstone filter present in read_resolved plan",
+    )
+
     out = ["# PLANS — physical-plan evidence (generated by tools/capture_plans.py)", ""]
     ok_all = True
     for name, ok, ev in CHECKS:
