@@ -388,8 +388,11 @@ class LakeTable:
         reference ordering applied across base ∪ deltas per key, delete
         markers dropped. Base rows and delta rows both carry the full
         ordering tuple, so resolution is the same associative rule the
-        writer uses — duplicated or re-delivered deltas converge."""
-        from airbyte_integrations_spark.operators.dedup import winner_window
+        writer uses — duplicated or re-delivered deltas converge.
+        Uses the associative max-by-ordering aggregation (map-side
+        combine, no sort, hot-key safe) — equivalence with the literal
+        window is pinned in tests/test_dedup.py."""
+        from airbyte_integrations_spark.operators.dedup import winner_agg
 
         m = self.manifest(version)
         base = self.read(buckets, version)
@@ -397,7 +400,7 @@ class LakeTable:
             out = base
         else:
             o = self._order()
-            out = winner_window(
+            out = winner_agg(
                 base.unionByName(self.read_deltas(buckets, version)),
                 tuple(m["key"]), o["cursor"], tuple(o["secondary"]), o["ab_id"],
             )
@@ -428,9 +431,9 @@ class LakeTable:
         has_deltas = any(dmap.get(str(b)) for b in fragmented)
         if has_deltas:
             o = self._order()
-            from airbyte_integrations_spark.operators.dedup import winner_window
+            from airbyte_integrations_spark.operators.dedup import winner_agg
 
-            data = winner_window(
+            data = winner_agg(
                 self.read(fragmented).unionByName(self.read_deltas(fragmented)),
                 tuple(m["key"]), o["cursor"], tuple(o["secondary"]), o["ab_id"],
             )

@@ -109,14 +109,15 @@ def main() -> None:
         f"stream side of the anti join is `{stream_side[:60]}...` (no Exchange)",
     )
 
-    # Merge-on-read resolution: one window over base ∪ deltas, delete
-    # markers filtered above it.
+    # Merge-on-read resolution: associative max-by-ordering aggregation
+    # (map-side combine — no sort) over base ∪ deltas, delete markers
+    # filtered above it.
     res_plan = table.read_resolved()._jdf.queryExecution().executedPlan().toString()
     check(
-        "MoR read resolves winner rule over base+deltas (single Window)",
-        res_plan.count("Window") >= 1 and "Union" in res_plan
-        and "isnull(_ab_cdc_deleted_at" in res_plan,
-        "Window + Union + tombstone filter present in read_resolved plan",
+        "MoR read resolves winner rule over base+deltas (partial agg, no sort)",
+        "partial_max(struct(" in res_plan and "Union" in res_plan
+        and "Filter isnull(" in res_plan and "_ab_cdc_deleted_at)" in res_plan,
+        "partial_max(struct(ordering...)) + Union + tombstone filter in read_resolved plan",
     )
 
     out = ["# PLANS — physical-plan evidence (generated by tools/capture_plans.py)", ""]
