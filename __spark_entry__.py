@@ -826,6 +826,116 @@ WHERE CAST(floor(n_inter * 1000.0 / (za.n_sh + zb.n_sh - n_inter)) AS BIGINT) >=
 """
 
 
+def q_emb_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN via IVF-Flat: a deterministic coarse codebook (every 97th
+    vector — k-means refinement is an offline concern, the search
+    dataflow is identical), every vector assigned to its argmax-cosine
+    cell in ONE pass against the broadcast codebook, queries probe
+    their top-2 cells (nprobe=2) and rank candidates only within them.
+    At 10^10 scale the codebook is a broadcast table and the cell
+    assignment is the partition key — candidate sets shrink
+    ~n_cells/nprobe-fold vs brute force. Rounding-proof ranking:
+    floor(cos*1000) with id tiebreaks, as the other ANN queries."""
+    tune_session(spark)
+    emb = load(spark, sf_dir, "embeddings")
+    dbl = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    base = emb.select(
+        "vec_id",
+        dbl.alias("v"),
+        F.sqrt(F.aggregate(dbl, F.lit(0.0), lambda a, x: a + x * x)).alias("nrm"),
+    )
+    cents = F.broadcast(
+        base.filter(F.col("vec_id") % 97 == 0).select(
+            F.col("vec_id").alias("cent_id"), F.col("v").alias("cv"),
+            F.col("nrm").alias("cn"),
+        )
+    )
+
+    def cos(av, an, bv, bn):
+        dot = F.aggregate(
+            F.zip_with(av, bv, lambda a, b: a * b), F.lit(0.0), lambda a, x: a + x
+        )
+        return F.floor(dot / (an * bn) * 1000).cast("long")
+
+    scored = base.crossJoin(cents).select(
+        "vec_id", "v", "nrm", "cent_id",
+        cos(F.col("v"), F.col("nrm"), F.col("cv"), F.col("cn")).alias("csim"),
+    )
+    wa = Window.partitionBy("vec_id").orderBy(F.col("csim").desc(), F.col("cent_id").asc())
+    assign = (
+        scored.withColumn("r", F.row_number().over(wa))
+        .filter(F.col("r") == 1)
+        .select("vec_id", "v", "nrm", F.col("cent_id").alias("cell"))
+    )
+    probes = (
+        scored.filter(F.col("vec_id") % 50 == 0)
+        .withColumn("r", F.row_number().over(wa))
+        .filter(F.col("r") <= 2)
+        .select(F.col("vec_id").alias("qid"), F.col("v").alias("qv"),
+                F.col("nrm").alias("qn"), F.col("cent_id").alias("cell"))
+    )
+    cands = probes.join(
+        assign.select(F.col("vec_id").alias("cid"), F.col("v").alias("cv2"),
+                      F.col("nrm").alias("cn2"), "cell"),
+        "cell",
+    ).filter(F.col("qid") != F.col("cid"))
+    pairs = cands.select(
+        "qid", "cid",
+        cos(F.col("qv"), F.col("qn"), F.col("cv2"), F.col("cn2")).alias("sim_c"),
+    ).distinct()  # a candidate can appear via both probed cells
+    wr = Window.partitionBy("qid").orderBy(F.col("sim_c").desc(), F.col("cid").asc())
+    return (
+        pairs.withColumn("rank", F.row_number().over(wr))
+        .filter(F.col("rank") <= 3)
+        .select("qid", "cid", "sim_c", "rank")
+    )
+
+
+O_EMB_ANN_IVF_TOPK = """
+WITH base AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+nb AS (
+  SELECT vec_id, v, sqrt(list_reduce(list_transform(v, x -> x * x), (a, b) -> a + b)) AS nrm
+  FROM base
+),
+cents AS (
+  SELECT vec_id AS cent_id, v AS cv, nrm AS cn FROM nb WHERE vec_id % 97 = 0
+),
+scored AS (
+  SELECT nb.vec_id, nb.v, nb.nrm, c.cent_id,
+         CAST(floor(list_reduce(list_transform(range(1, len(nb.v) + 1),
+                  i -> nb.v[i] * c.cv[i]), (a, b) -> a + b)
+               / (nb.nrm * c.cn) * 1000) AS BIGINT) AS csim
+  FROM nb CROSS JOIN cents c
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cent_id ASC) AS r
+  FROM scored
+),
+assign AS (SELECT vec_id, v, nrm, cent_id AS cell FROM ranked WHERE r = 1),
+probes AS (
+  SELECT vec_id AS qid, v AS qv, nrm AS qn, cent_id AS cell
+  FROM ranked WHERE vec_id % 50 = 0 AND r <= 2
+),
+pairs AS (
+  SELECT DISTINCT p.qid, a.vec_id AS cid,
+         CAST(floor(list_reduce(list_transform(range(1, len(p.qv) + 1),
+                  i -> p.qv[i] * a.v[i]), (x, y) -> x + y)
+               / (p.qn * a.nrm) * 1000) AS BIGINT) AS sim_c
+  FROM probes p JOIN assign a USING (cell)
+  WHERE p.qid <> a.vec_id
+),
+final AS (
+  SELECT qid, cid, sim_c,
+         row_number() OVER (PARTITION BY qid ORDER BY sim_c DESC, cid ASC) AS rank
+  FROM pairs
+)
+SELECT qid, cid, sim_c, rank FROM final WHERE rank <= 3
+"""
+
+
 def q_docs_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash sketches (vectorized pandas UDF), Charikar '02: 64-bit,
     whitespace tokens, bit source = first 8 bytes of md5(token).
@@ -1018,6 +1128,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_lsh_buckets": q_emb_lsh_buckets,
         "emb_knn_cosine": q_emb_knn_cosine,
         "emb_ann_lsh_topk": q_emb_ann_lsh_topk,
+        "emb_ann_ivf_topk": q_emb_ann_ivf_topk,
         "emb_cosine_neardup": q_emb_cosine_neardup,
         "docs_minhash": q_docs_minhash,
         "docs_neardup_pairs": q_docs_neardup_pairs,
@@ -1050,6 +1161,7 @@ def oracle_sql() -> dict[str, str]:
         "emb_lsh_buckets": O_EMB_LSH_BUCKETS,
         "emb_knn_cosine": O_EMB_KNN_COSINE,
         "emb_ann_lsh_topk": O_EMB_ANN_LSH_TOPK,
+        "emb_ann_ivf_topk": O_EMB_ANN_IVF_TOPK,
         "emb_cosine_neardup": O_EMB_COSINE_NEARDUP,
         "docs_minhash": O_DOCS_MINHASH,
         "docs_neardup_pairs": O_DOCS_NEARDUP_PAIRS,
