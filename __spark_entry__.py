@@ -1106,6 +1106,43 @@ def entry(spark: SparkSession) -> DataFrame:
     return q_cdc_latest_wins(spark, "/root/testdata/sf0.001")
 
 
+def q_cdc_event_time_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed delivery metrics (batch form of
+    streaming/stateful.event_time_rates): events + tombstones per
+    (5-minute event-time window, event_type). In the stream this agg
+    runs watermarked (state-bounded); the batch form is its exact
+    SQL-expressible semantics (tests pin the streaming behavior)."""
+    from airbyte_integrations_spark.streaming.stateful import event_time_rates
+
+    tune_session(spark)
+    ce = change_events(spark, sf_dir)
+    r = event_time_rates(
+        ce, window_duration="5 minutes", watermark_delay="10 minutes",
+        time_col="_ab_cdc_updated_at", group_col="event_type",
+    )
+    return r.select(
+        _us("win_start").alias("win_start_us"),
+        _us("win_end").alias("win_end_us"),
+        "event_type",
+        "n_events",
+        "n_deletes",
+    )
+
+
+O_CDC_EVENT_TIME_RATES = f"""
+WITH {CE_SQL}
+SELECT
+  epoch_us(time_bucket(INTERVAL '5 minutes', _ab_cdc_updated_at)) AS win_start_us,
+  epoch_us(time_bucket(INTERVAL '5 minutes', _ab_cdc_updated_at)
+           + INTERVAL '5 minutes') AS win_end_us,
+  event_type,
+  count(*) AS n_events,
+  count(_ab_cdc_deleted_at) AS n_deletes
+FROM ce
+GROUP BY 1, 2, 3
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "cdc_latest_wins": q_cdc_latest_wins,
@@ -1120,6 +1157,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_schema_evolution": q_cdc_schema_evolution,
         "cdc_snapshot_plus_log": q_cdc_snapshot_plus_log,
         "cdc_composite_pk_dedup": q_cdc_composite_pk_dedup,
+        "cdc_event_time_rates": q_cdc_event_time_rates,
         "json_extract_cast": q_json_extract_cast,
         "docs_exact_dedup": q_docs_exact_dedup,
         "docs_fingerprint": q_docs_fingerprint,
@@ -1153,6 +1191,7 @@ def oracle_sql() -> dict[str, str]:
         "cdc_schema_evolution": O_CDC_SCHEMA_EVOLUTION,
         "cdc_snapshot_plus_log": O_CDC_SNAPSHOT_PLUS_LOG,
         "cdc_composite_pk_dedup": O_CDC_COMPOSITE_PK_DEDUP,
+        "cdc_event_time_rates": O_CDC_EVENT_TIME_RATES,
         "json_extract_cast": O_JSON_EXTRACT_CAST,
         "docs_exact_dedup": O_DOCS_EXACT_DEDUP,
         "docs_fingerprint": O_DOCS_FINGERPRINT,
@@ -1168,7 +1207,6 @@ def oracle_sql() -> dict[str, str]:
         "docs_simhash": O_DOCS_SIMHASH,
         "docs_token_bpe": O_DOCS_TOKEN_BPE,
         "multimodal_binary_meta": O_MULTIMODAL_BINARY_META,
-        # docs_simhash / multimodal_image_meta: intentionally no oracle
-        # (bit-arithmetic UDF, stubbed decoder) -> rows-only check;
-        # each is pinned by unit tests instead.
+        # multimodal_image_meta: intentionally no oracle (stubbed
+        # decoder) -> rows-only check; pinned by unit tests instead.
     }
