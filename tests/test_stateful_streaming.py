@@ -195,3 +195,79 @@ def test_event_time_rates_bounds_state_and_keeps_ontime_counts(spark, tmp_path):
     batch = event_time_rates(spark.read.parquet(log)).toPandas()
     assert batch["win_start"].min() < pd.Timestamp("2024-01-01 10:00:00")
     assert int(batch["n_events"].sum()) == 7
+
+
+class _FakeState:
+    """Minimal GroupState double for unit-testing the fold function."""
+
+    def __init__(self, value=None):
+        self._v = value
+
+    @property
+    def exists(self):
+        return self._v is not None
+
+    @property
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self._v = tuple(v)
+
+
+def _fold(pdfs, state):
+    from airbyte_integrations_spark.streaming.stateful import _fold_winner
+
+    out = list(_fold_winner(("u",), iter(pdfs), state))
+    assert len(out) == 1 and len(out[0]) == 1
+    return out[0].iloc[0]
+
+
+def _mk(rows):
+    base = pd.Timestamp("2021-01-01")
+    return pd.DataFrame(
+        {
+            "url": ["u"] * len(rows),
+            "warc_ts": [base] * len(rows),
+            "text": [r.get("text") for r in rows],
+            "lang": ["en"] * len(rows),
+            "_ab_cdc_lsn": pd.Series([r.get("lsn") for r in rows], dtype="Int64"),
+            "_ab_cdc_updated_at": pd.Series(
+                [r.get("upd", base) for r in rows], dtype="datetime64[us]"
+            ),
+            "_ab_cdc_deleted_at": pd.Series(
+                [r.get("del") for r in rows], dtype="datetime64[us]"
+            ),
+            "_airbyte_ab_id": [r.get("ab", "x") for r in rows],
+            "_airbyte_emitted_at": pd.Series(
+                [r.get("emit", base) for r in rows], dtype="datetime64[us]"
+            ),
+        }
+    )
+
+
+def test_fold_unit_null_lsn_loses_and_abid_breaks_ties():
+    base = pd.Timestamp("2021-01-01")
+    state = _FakeState()
+    # null lsn loses to any real lsn even with a later updated_at
+    row = _fold([_mk([
+        {"lsn": None, "upd": base + pd.Timedelta("2D"), "ab": "b", "text": "null-lsn"},
+        {"lsn": 5, "upd": base, "ab": "a", "text": "real-lsn"},
+    ])], state)
+    assert row["_airbyte_ab_id"] == "a" and row["text"] == "real-lsn"
+
+    # identical (lsn, upd, emit): higher ab_id wins (reference tiebreak)
+    state2 = _FakeState()
+    row = _fold([_mk([
+        {"lsn": 7, "ab": "aa", "text": "lo"},
+        {"lsn": 7, "ab": "zz", "text": "hi"},
+    ])], state2)
+    assert row["_airbyte_ab_id"] == "zz"
+
+    # a later batch with a LOWER lsn cannot displace the state winner
+    row = _fold([_mk([{"lsn": 6, "ab": "yy", "text": "stale"}])], state2)
+    assert row["_airbyte_ab_id"] == "zz" and row["text"] == "hi"
+
+    # ... but a higher lsn tombstone does, and flags deletion
+    row = _fold([_mk([{"lsn": 9, "ab": "dd", "del": base}])], state2)
+    assert row["_airbyte_ab_id"] == "dd" and bool(row["is_deleted"])
