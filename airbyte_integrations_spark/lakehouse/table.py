@@ -445,12 +445,66 @@ class LakeTable:
             data, fragmented, T.StructType.fromJson(m["schema"])
         )
 
+    def expire_snapshots(self, keep_last: int = 1) -> dict:
+        """Maintenance: Iceberg `expire_snapshots` + `remove_orphan_files`
+        analogue. At the 10^10-event point a sync commits one snapshot
+        per epoch — manifests and superseded/crash-orphaned data files
+        accumulate without bound unless expired.
+
+        Retains the newest `keep_last` manifests (the current snapshot
+        is always kept); deletes older manifest files and every file
+        under data/ not referenced by a retained manifest — which also
+        sweeps crash orphans (files written by a job that died before
+        its commit; the atomic VERSION swap means they were never
+        visible). Time travel remains available for retained versions.
+
+        Single-writer discipline (module docstring) applies: call this
+        from the writer between commits, never concurrently with an
+        in-flight write job — exactly Iceberg's remove_orphan_files
+        caveat, which uses an age cutoff for the same reason."""
+        cur = self.current_version()
+        keep = set(range(max(cur - keep_last + 1, 0), cur + 1))
+        referenced: set[str] = set()
+        for v in keep:
+            try:
+                m = self.manifest(v)
+            except FileNotFoundError:
+                continue
+            for ps in m["files"].values():
+                referenced.update(ps)
+            for ps in m.get("deltas", {}).values():
+                referenced.update(ps)
+        stats = {"data_files_removed": 0, "bytes_removed": 0, "manifests_removed": 0}
+        data_root = os.path.join(self.root, DATA_DIR)
+        for dirpath, _dn, fns in os.walk(data_root):
+            for fn in fns:
+                p = os.path.join(dirpath, fn)
+                if os.path.relpath(p, self.root) in referenced:
+                    continue
+                stats["bytes_removed"] += os.path.getsize(p)
+                os.remove(p)
+                stats["data_files_removed"] += 1
+        for dirpath, _dn, _fns in os.walk(data_root, topdown=False):
+            if dirpath != data_root and not os.listdir(dirpath):
+                os.rmdir(dirpath)
+        for v in range(cur):
+            if v in keep:
+                continue
+            mp = os.path.join(self.root, META_DIR, f"v{v}.json")
+            if os.path.exists(mp):
+                os.remove(mp)
+                stats["manifests_removed"] += 1
+        return stats
+
     def history(self) -> list[dict]:
         """Commit log across snapshots: version, parent, files per
-        bucket, committed epochs."""
+        bucket, committed epochs. Expired snapshots are skipped."""
         out = []
         for v in range(self.current_version() + 1):
-            m = self.manifest(v)
+            try:
+                m = self.manifest(v)
+            except FileNotFoundError:
+                continue
             out.append(
                 {
                     "version": v,

@@ -140,8 +140,8 @@ def main() -> None:
     }
     # Attach the last recorded N->4N scaling evidence (protocol +
     # analysis in BASELINE.md; regenerate with tools/bench_scaling.py).
-    scaling_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                                "bench_out", "scaling.json")
+    here = os.path.dirname(os.path.abspath(__file__))
+    scaling_path = os.path.join(here, "bench_out", "scaling.json")
     if os.path.exists(scaling_path):
         with open(scaling_path) as f:
             s = json.load(f)
@@ -156,6 +156,12 @@ def main() -> None:
                 "raw_cpu_control_efficiency",
             )
         }
+    # Attach the last recorded large-replay scale point (50M+ events;
+    # regenerate with tools/bench_scale_point.py).
+    sp_path = os.path.join(here, "bench_out", "scale_point.json")
+    if os.path.exists(sp_path):
+        with open(sp_path) as f:
+            out["scale_point"] = json.load(f)
     print(json.dumps(out))
 
 
