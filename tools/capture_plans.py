@@ -120,6 +120,36 @@ def main() -> None:
         "partial_max(struct(ordering...)) + Union + tombstone filter in read_resolved plan",
     )
 
+    # Stateful live view: the winner fold must reach the state store
+    # through exactly ONE hash shuffle on the key (url) — the stateful
+    # operator's required distribution — with no extra Exchange.
+    from airbyte_integrations_spark.streaming.stateful import latest_wins_stream
+
+    scols = [c if c != "html" else "text" for c in cols]
+    gen_change_events(spark, 20_000, n_urls=1000).select(*scols).write.mode(
+        "overwrite"
+    ).parquet(root + "/slog")
+    sstream = spark.readStream.schema(
+        spark.read.parquet(root + "/slog").schema
+    ).parquet(root + "/slog")
+    q = (
+        latest_wins_stream(sstream)
+        .writeStream.format("noop")
+        .outputMode("update")
+        .option("checkpointLocation", root + "/sck")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    splan = q._jsq.explainInternal(False)
+    check(
+        "stateful live view: one url shuffle feeding the pandas state fold",
+        "FlatMapGroupsInPandasWithState" in splan
+        and splan.count("Exchange hashpartitioning(url") == 1,
+        "FlatMapGroupsInPandasWithState above a single "
+        "Exchange hashpartitioning(url, ...) REQUIRED_BY_STATEFUL_OPERATOR",
+    )
+
     out = ["# PLANS — physical-plan evidence (generated by tools/capture_plans.py)", ""]
     ok_all = True
     for name, ok, ev in CHECKS:
