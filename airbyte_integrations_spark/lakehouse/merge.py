@@ -67,7 +67,8 @@ def merge_into(
     cursor: str = "_ab_cdc_lsn",
     secondary: tuple[str, ...] = CDC_ORDER_COLS,
     ab_id: str = "_airbyte_ab_id",
-    broadcast_keys: bool = True,
+    broadcast_keys: bool | None = None,
+    max_broadcast_keys: int = 2_000_000,
     transform_winners=None,
     keep_tombstones: bool = False,
     mode: str = "cow",
@@ -162,8 +163,17 @@ def merge_into(
 
     wb = winners.drop("_bucket")
     keys_df = wb.select(*key).distinct()
+    # broadcast_keys=None (default): decide from the ACTUAL key count —
+    # winners are one row per key and already cached, so the count is
+    # free. Small/typical epochs broadcast (keeps the carried payload
+    # shuffle-free); a 10^8-winner epoch degrades to a shuffled join
+    # instead of OOMing the driver. True/False force either way.
+    if broadcast_keys is None:
+        broadcast_keys = winners.count() <= max_broadcast_keys
     if broadcast_keys:
         keys_df = F.broadcast(keys_df)
+    else:
+        keys_df = keys_df.hint("shuffle_hash")
     carried = current.join(keys_df, list(key), "left_anti")
     contested = current.join(keys_df, list(key), "left_semi")
 

@@ -114,3 +114,17 @@ def test_tombstone_for_absent_key_does_not_insert(spark, tmp_path):
     merge_into(t, spark.createDataFrame([("u", 1, ts, None, "a", ts)], schema), epoch=1)
     merge_into(t, spark.createDataFrame([("zzz", 5, ts, ts, "b", ts)], schema), epoch=2)
     assert [r["url"] for r in t.read().collect()] == ["u"]
+
+
+def test_shuffled_key_join_matches_broadcast(spark, tmp_path, events):
+    """broadcast_keys=False (the forced-shuffle path a 10^8-winner epoch
+    auto-degrades to) must produce the identical final state."""
+    half = events.filter("_ab_cdc_lsn <= 1250")
+    rest = events.filter("_ab_cdc_lsn > 1250")
+    t1 = LakeTable(spark, str(tmp_path / "bc"))
+    merge_into(t1, half, epoch=1, broadcast_keys=True)
+    merge_into(t1, rest, epoch=2, broadcast_keys=True)
+    t2 = LakeTable(spark, str(tmp_path / "sh"))
+    merge_into(t2, half, epoch=1, broadcast_keys=False)
+    merge_into(t2, rest, epoch=2, broadcast_keys=False)
+    assert_frames_equal(t1.read().toPandas(), t2.read().toPandas())
