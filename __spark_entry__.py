@@ -489,6 +489,49 @@ FROM documents WHERE n_chars > 0
 """
 
 
+def q_docs_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Capstone training-data curation composition: quality gate
+    (token count + punctuation ratio) -> normalized-fingerprint exact
+    dedup keeping the lowest doc_id as canonical. One declarative plan:
+    Catalyst fuses the scoring projections into the scan and the dedup
+    is a single hash aggregation (map-side combined)."""
+    tune_session(spark)
+    docs = load(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    t = F.col("text")
+    norm = F.trim(F.regexp_replace(F.lower(t), r"\s+", " "))
+    n_tokens = F.size(F.split(F.trim(t), r"\s+"))
+    n_punct = F.length(t) - F.length(F.regexp_replace(t, r"[.,!?;:]", ""))
+    punct_pm = F.floor(n_punct * 1000.0 / F.length(t)).cast("long")
+    scored = docs.select(
+        "doc_id", "lang", F.md5(norm).alias("fingerprint"),
+        n_tokens.alias("n_tokens"), punct_pm.alias("punct_pm"),
+    )
+    filtered = scored.filter((F.col("n_tokens") >= 5) & (F.col("punct_pm") < 300))
+    return filtered.groupBy("fingerprint").agg(
+        F.min("doc_id").alias("doc_id"),
+        F.count(F.lit(1)).alias("n_dupes"),
+        F.min_by("lang", "doc_id").alias("lang"),
+    )
+
+
+O_DOCS_CURATION_PIPELINE = r"""
+WITH scored AS (
+  SELECT doc_id, lang,
+         md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint,
+         len(string_split_regex(trim(text), '\s+')) AS n_tokens,
+         CAST(floor((length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')))
+              * 1000.0 / length(text)) AS BIGINT) AS punct_pm
+  FROM documents WHERE n_chars > 0
+),
+filtered AS (
+  SELECT * FROM scored WHERE n_tokens >= 5 AND punct_pm < 300
+)
+SELECT fingerprint, min(doc_id) AS doc_id, count(*) AS n_dupes,
+       arg_min(lang, doc_id) AS lang
+FROM filtered GROUP BY 1
+"""
+
+
 _LANG_MARKERS = [
     ("en", " the "),
     ("de", " der "),
@@ -1163,6 +1206,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_fingerprint": q_docs_fingerprint,
         "docs_quality": q_docs_quality,
         "docs_lang_id": q_docs_lang_id,
+        "docs_curation_pipeline": q_docs_curation_pipeline,
         "emb_lsh_buckets": q_emb_lsh_buckets,
         "emb_knn_cosine": q_emb_knn_cosine,
         "emb_ann_lsh_topk": q_emb_ann_lsh_topk,
@@ -1197,6 +1241,7 @@ def oracle_sql() -> dict[str, str]:
         "docs_fingerprint": O_DOCS_FINGERPRINT,
         "docs_quality": O_DOCS_QUALITY,
         "docs_lang_id": _o_lang_sql(),
+        "docs_curation_pipeline": O_DOCS_CURATION_PIPELINE,
         "emb_lsh_buckets": O_EMB_LSH_BUCKETS,
         "emb_knn_cosine": O_EMB_KNN_COSINE,
         "emb_ann_lsh_topk": O_EMB_ANN_LSH_TOPK,
