@@ -18,8 +18,9 @@ Physical plan, designed for the 10^10-event point:
 3. semi-join reduction (reference's `new_data_ids` CTE,
    stream_processor.py:848-898): within touched buckets, rows whose
    key is NOT in the batch are carried forward untouched (left_anti
-   against the broadcast key set); only matched rows + batch rows go
-   through winner selection again.
+   against the key set — broadcast while the winner count stays under
+   max_broadcast_keys, shuffled hash join beyond it); only matched
+   rows + batch rows go through winner selection again.
 4. copy-on-write: rewrite only touched buckets' files; untouched
    buckets move to the new snapshot by reference.
 
