@@ -87,3 +87,63 @@ def resize_stub(df: DataFrame, blob_col: str = "blob", max_side: int = 256) -> D
             yield pdf  # pragma: no cover
 
     return df.mapInPandas(gen, df.schema)
+
+
+VIDEO_FRAME_SCHEMA = "doc_id long, frame_idx int, ts_ms long, n_bytes long"
+
+
+def fake_video_payload(ident: Column, duration_ms: Column, fps: Column) -> Column:
+    """Deterministic synthetic video payload (JVM-side).
+
+    Format: b"VID1" + duration_ms:8 dec chars + fps:4 dec chars + body.
+    """
+    return F.concat(
+        F.encode(F.lit("VID1"), "UTF-8"),
+        F.encode(F.lpad(duration_ms.cast("string"), 8, "0"), "UTF-8"),
+        F.encode(F.lpad(fps.cast("string"), 4, "0"), "UTF-8"),
+        F.encode(F.md5(ident.cast("string")), "UTF-8"),
+    )
+
+
+def frame_sample(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    blob_col: str = "blob",
+    every_ms: int = 1000,
+    strict: bool = False,
+) -> DataFrame:
+    """Frame-sampling stage: one OUTPUT ROW PER SAMPLED FRAME (the
+    1->N mapInPandas expansion a video pipeline needs — Arrow batches
+    in, a longer frame table out; Spark parallelizes by input
+    partition, so payload bytes never converge on one worker).
+
+    A real build would hand each payload to ffmpeg/PyAV and emit the
+    decoded frame bytes; absent codecs (strict=True raises), the stub
+    parses our VID1 header and emits deterministic frame timestamps at
+    `every_ms` intervals, which exercises the real schema, batch shape
+    and expansion factor.
+    """
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, tss, sizes = [], [], [], []
+            for did, b in zip(pdf[id_col], pdf[blob_col]):
+                if b is None:
+                    continue
+                if bytes(b[:4]) != b"VID1":
+                    if strict:
+                        raise NotImplementedError(
+                            "real video codecs are not available in this environment"
+                        )
+                    continue
+                dur = int(bytes(b[4:12]))
+                for i, t in enumerate(range(0, max(dur, 1), every_ms)):
+                    ids.append(did)
+                    idxs.append(i)
+                    tss.append(t)
+                    sizes.append(len(b))
+            yield pd.DataFrame(
+                {"doc_id": ids, "frame_idx": idxs, "ts_ms": tss, "n_bytes": sizes}
+            )
+
+    return df.mapInPandas(gen, VIDEO_FRAME_SCHEMA)

@@ -79,3 +79,34 @@ def test_compaction_and_time_travel(spark, tmp_path):
     assert t.read(version=v_before).count() == t.read().count()
     hist = t.history()
     assert hist[0]["version"] == 0 and len(hist) == t.current_version() + 1
+
+
+def test_frame_sample_expansion_deterministic(spark):
+    from pyspark.sql import functions as F
+
+    from airbyte_integrations_spark.functions.multimodal import (
+        fake_video_payload,
+        frame_sample,
+    )
+
+    vids = spark.range(20).select(
+        F.col("id").alias("doc_id"),
+        fake_video_payload(
+            F.col("id"), (F.col("id") + 1) * 1500, F.lit(30)
+        ).alias("blob"),
+    )
+    frames = frame_sample(vids, every_ms=1000)
+    got = frames.orderBy("doc_id", "frame_idx").collect()
+    # expansion factor: ceil(1500*(id+1) / 1000) frames per video
+    import math
+
+    expected_n = sum(math.ceil(1500 * (i + 1) / 1000) for i in range(20))
+    assert len(got) == expected_n
+    # offsets are the deterministic sample grid
+    for r in got[:5]:
+        assert r["ts_ms"] == r["frame_idx"] * 1000
+    # partitioning invariance: same frame table at any parallelism
+    got7 = frame_sample(vids.repartition(7), every_ms=1000).orderBy(
+        "doc_id", "frame_idx"
+    ).collect()
+    assert got == got7
