@@ -95,3 +95,40 @@ def discover(spark: SparkSession, config: dict | None = None) -> dict:
             }
         ]
     }
+
+
+def state_message(table, stream: str) -> dict:
+    """Outgoing AirbyteStateMessage (airbyte_protocol.yaml:71-108,
+    STREAM flavor) derived ONLY from the table's durable commit log —
+    the reference's state-after-commit rule
+    (BufferedStreamConsumer.java:175-193): a STATE that was never
+    durably applied can never be emitted. Feeding the blob back to
+    `resume_lsn` (or just re-running the sync against the same table)
+    resumes losslessly."""
+    eps = table.committed_epochs(stream)
+    return {
+        "type": "STATE",
+        "state": {
+            "type": "STREAM",
+            "stream": {
+                "stream_descriptor": {"name": stream},
+                "stream_state": {
+                    "lsn_watermark": table.watermark(stream),
+                    "n_epochs_committed": len(eps),
+                    "snapshot_version": table.current_version(),
+                },
+            },
+        },
+    }
+
+
+def resume_lsn(state: dict | None) -> int | None:
+    """Parse a state_message blob back into the exclusive lower LSN
+    bound for the next log slice (CdcStateManager.java:13-33 restore
+    path). None / empty state => read from the beginning."""
+    if not state:
+        return None
+    try:
+        return state["state"]["stream"]["stream_state"]["lsn_watermark"]
+    except (KeyError, TypeError):
+        return None

@@ -66,3 +66,47 @@ def test_sync_summary(spark, tmp_path):
     assert all(r["committed"] for r in rows.values())
     assert sum(r["n_emitted"] for r in rows.values()) == 600
     assert rows[0]["from_lsn"] == 1 and rows[0]["to_lsn"] == 200
+
+
+def test_state_message_round_trip(spark, tmp_path):
+    """STATE emitted only from the commit log; feeding it back slices
+    the log exactly where the sync stopped (state-after-commit +
+    restore, BufferedStreamConsumer/CdcStateManager semantics)."""
+    import json
+
+    from airbyte_integrations_spark.config import SyncConfig
+    from airbyte_integrations_spark.connector import resume_lsn, state_message
+    from airbyte_integrations_spark.gen import gen_change_events
+    from airbyte_integrations_spark.lakehouse.table import LakeTable
+    from airbyte_integrations_spark.streaming.microbatch import run_sync
+
+    cols = [
+        "url", "text", "lang", "_ab_cdc_lsn", "_ab_cdc_updated_at",
+        "_ab_cdc_deleted_at", "_airbyte_ab_id", "_airbyte_emitted_at",
+    ]
+    ev = gen_change_events(spark, 2000, n_urls=100).select(*cols)
+    table = LakeTable(spark, str(tmp_path / "t"))
+    cfg = SyncConfig(stream="pages")
+
+    # partial sync (crash after 1 epoch)
+    run_sync(spark, ev, table, cfg, max_events_per_epoch=800,
+             extract_missing_text=False, max_epochs=1)
+    msg = state_message(table, "pages")
+    blob = json.dumps(msg)  # JSON-serializable wire form
+    lo = resume_lsn(json.loads(blob))
+    assert lo == table.watermark("pages") == 800
+
+    # the restored bound slices the log exactly past the committed data
+    remaining = ev.filter(f"_ab_cdc_lsn > {lo}")
+    assert remaining.count() == 1200
+
+    # finishing the sync advances the emitted state to the log head
+    run_sync(spark, ev, table, cfg, max_events_per_epoch=800,
+             extract_missing_text=False)
+    msg2 = state_message(table, "pages")
+    assert resume_lsn(msg2) == 2000
+    assert msg2["state"]["stream"]["stream_state"]["n_epochs_committed"] == 3
+
+    # empty / malformed state => full read (None)
+    assert resume_lsn(None) is None
+    assert resume_lsn({"state": {}}) is None
