@@ -815,10 +815,17 @@ def q_docs_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         minhash_signature,
     )
 
+    from airbyte_integrations_spark.functions.neardup import shingles
+
     docs = load(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
-    sig = minhash_signature(docs, "doc_id", "text")
+    # The shingle explosion feeds minhash + both verification branches
+    # + sizes, and the signature feeds 4 band self-joins: cache both
+    # once instead of recomputing the lineage per branch (~8x scans
+    # otherwise; tune_session clears caches between driver queries).
+    sh = shingles(docs, "doc_id", "text").persist()
+    sig = minhash_signature(docs, "doc_id", "text", shingles_df=sh).persist()
     pairs = lsh_candidate_pairs(sig, "doc_id")
-    jac = jaccard_pairs(docs, pairs, "doc_id", "text")
+    jac = jaccard_pairs(docs, pairs, "doc_id", "text", shingles_df=sh)
     return jac.select(
         "id_a", "id_b", F.floor(F.col("jaccard") * 1000).cast("long").alias("jaccard_m")
     ).filter(F.col("jaccard_m") >= 500)

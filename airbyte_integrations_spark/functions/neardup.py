@@ -47,12 +47,17 @@ def shingles(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> DataFrame
 
 
 def minhash_signature(
-    df: DataFrame, id_col: str, text_col: str, k: int = 3, n_hashes: int = 8
+    df: DataFrame, id_col: str, text_col: str, k: int = 3, n_hashes: int = 8,
+    shingles_df: DataFrame | None = None,
 ) -> DataFrame:
     """One row per doc: mh0..mh{n-1} columns of lexicographic-min md5
     hex digests; groupBy min() is associative => map-side combine,
-    skew-safe on huge docs."""
-    sh = shingles(df, id_col, text_col, k)
+    skew-safe on huge docs.
+
+    Pass a (cached) `shingles_df` to share the shingle explosion with
+    the verification stage — Spark recomputes branch lineage otherwise,
+    and the explosion is the dominant cost of the pipeline."""
+    sh = shingles_df if shingles_df is not None else shingles(df, id_col, text_col, k)
     aggs = [
         F.min(F.md5(F.concat(F.col("shingle"), F.lit(f"#{i}")))).alias(f"mh{i}")
         for i in range(n_hashes)
@@ -92,10 +97,15 @@ def lsh_candidate_pairs(
 
 
 def jaccard_pairs(
-    df: DataFrame, pairs: DataFrame, id_col: str, text_col: str, k: int = 3
+    df: DataFrame, pairs: DataFrame, id_col: str, text_col: str, k: int = 3,
+    shingles_df: DataFrame | None = None,
 ) -> DataFrame:
-    """Exact shingle-Jaccard for candidate pairs (verification)."""
-    sh = shingles(df, id_col, text_col, k)
+    """Exact shingle-Jaccard for candidate pairs (verification).
+
+    The shingle relation feeds THREE plan branches (both pair sides +
+    per-doc sizes); pass a cached `shingles_df` so the explosion runs
+    once, not three times."""
+    sh = shingles_df if shingles_df is not None else shingles(df, id_col, text_col, k)
     a = sh.select(F.col(id_col).alias("id_a"), F.col("shingle"))
     b = sh.select(F.col(id_col).alias("id_b"), F.col("shingle"))
     inter = (

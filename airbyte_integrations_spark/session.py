@@ -46,6 +46,12 @@ def tune_session(spark: SparkSession) -> SparkSession:
     """Apply engine defaults to an externally-created session (the
     driver's verify harness creates its own)."""
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # Hygiene between driver-contract queries: drop any DataFrames a
+    # previous query left cached (e.g. the near-dup shingle relation).
+    try:
+        spark.catalog.clearCache()
+    except Exception:
+        pass
     try:
         spark.conf.set("spark.sql.adaptive.enabled", "true")
         spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
