@@ -133,28 +133,44 @@ def simhash64(text: pd.Series) -> pd.Series:
     """64-bit SimHash over whitespace tokens (Charikar '02), vectorized.
 
     Deterministic: token weight 1, bit source = first 8 bytes of
-    md5(token)."""
+    md5(token). md5 runs once per UNIQUE token per Arrow batch (webtext
+    token frequency is Zipfian, so this removes almost all hashing);
+    the ±1 bit matrix and the per-doc vote sums are numpy ops."""
     import numpy as np
 
-    shifts = np.arange(64, dtype=np.uint64)
+    toks_per_doc = text.map(lambda t: None if t is None else t.lower().split())
+    uniq: list[str] = []
+    seen: set[str] = set()
+    for toks in toks_per_doc:
+        if toks:
+            for tok in toks:
+                if tok not in seen:
+                    seen.add(tok)
+                    uniq.append(tok)
+    if uniq:
+        hs = np.array(
+            [
+                int.from_bytes(hashlib.md5(t.encode()).digest()[:8], "big")
+                for t in uniq
+            ],
+            dtype=np.uint64,
+        )
+        shifts = np.arange(64, dtype=np.uint64)
+        bits = ((hs[:, None] >> shifts[None, :]) & np.uint64(1)).astype(np.int64)
+        mat = np.where(bits == 1, 1, -1)  # (n_unique, 64) vote rows
+    idx = {t: i for i, t in enumerate(uniq)}
+    pow2 = np.left_shift(np.ones(64, dtype=np.uint64), np.arange(64, dtype=np.uint64))
 
-    def one(t):
-        if t is None:
+    def one(toks):
+        if toks is None:
             return None
-        acc = np.zeros(64, dtype=np.int64)
-        for tok in t.lower().split():
-            h = np.uint64(
-                int.from_bytes(hashlib.md5(tok.encode()).digest()[:8], "big")
-            )
-            bits = ((h >> shifts) & np.uint64(1)).astype(np.int64)
-            acc += np.where(bits == 1, 1, -1)
-        v = 0
-        for i in range(64):
-            if acc[i] > 0:
-                v |= 1 << i
+        if not toks:
+            return 0
+        acc = mat[[idx[t] for t in toks]].sum(axis=0)
+        v = int(pow2[acc > 0].sum())
         return v - (1 << 64) if v >= (1 << 63) else v
 
-    return text.map(one)
+    return toks_per_doc.map(one)
 
 
 def hamming64(a: str | Column, b: str | Column) -> Column:
