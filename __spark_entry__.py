@@ -189,7 +189,12 @@ def q_cdc_mor_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune_session(spark)
     ce = change_events(spark, sf_dir)
     hi = ce.agg(F.max("_ab_cdc_lsn")).collect()[0][0]
-    table = LakeTable(spark, tempfile.mkdtemp(prefix="mor_entry_") + "/t")
+    # scratch lake on tmpfs when available: the query measures the MoR
+    # read/apply path, not the sandbox's single shared virtual disk
+    scratch = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    table = LakeTable(
+        spark, tempfile.mkdtemp(prefix="mor_entry_", dir=scratch) + "/t"
+    )
     run_sync(
         spark, ce, table, SyncConfig(stream="pages", write_mode="mor"),
         max_events_per_epoch=max(int(hi) // 4, 1),
