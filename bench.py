@@ -82,6 +82,37 @@ def bench_merge_apply(
     return {"sec": best, "events_per_sec": n_events / best, "final_rows": n_final}
 
 
+def bench_stateful_stream(spark, n_events: int, n_urls: int) -> dict:
+    """Structured-Streaming stateful live view (applyInPandasWithState
+    latest-wins fold) over a multi-batch availableNow replay."""
+    from airbyte_integrations_spark.streaming.stateful import latest_wins_stream
+
+    base = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    root = tempfile.mkdtemp(prefix="bench_stateful_", dir=base)
+    log = os.path.join(root, "log")
+    gen_change_events(spark, n_events, n_urls=n_urls).select(
+        *BENCH_COLS
+    ).repartition(8).write.parquet(log)
+    schema = spark.read.parquet(log).schema
+    t0 = time.perf_counter()
+    q = (
+        latest_wins_stream(
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "2")
+            .parquet(log)
+        )
+        .writeStream.format("noop")
+        .outputMode("update")
+        .option("checkpointLocation", os.path.join(root, "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    dt = time.perf_counter() - t0
+    shutil.rmtree(root, ignore_errors=True)
+    return {"sec": dt, "events_per_sec": n_events / dt}
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -123,6 +154,11 @@ def main() -> None:
     # (tests/test_mor.py proves equivalence); MoR is the sustained-
     # ingest layout at the 10^10-event design point (BASELINE.md).
     best_layout = "mor" if merge_mor["events_per_sec"] > merge["events_per_sec"] else "cow"
+    stateful = bench_stateful_stream(
+        spark, max(n_events // 4, 100_000), n_urls=max(n_events // 80, 1000)
+    )
+    timings["stateful_live_view"] = round(stateful["sec"], 3)
+
     out = {
         "metric": "change-events/sec sustained MERGE-apply (CDC replay into lake table)",
         "value": round(max(merge["events_per_sec"], merge_mor["events_per_sec"]), 1),
@@ -136,6 +172,7 @@ def main() -> None:
         "final_rows": merge["final_rows"],
         "events_per_sec_mor": round(merge_mor["events_per_sec"], 1),
         "events_per_sec_with_extraction": round(merge_x["events_per_sec"], 1),
+        "events_per_sec_stateful_view": round(stateful["events_per_sec"], 1),
         "cpus": cpus,
     }
     # Attach the last recorded N->4N scaling evidence (protocol +
