@@ -144,8 +144,8 @@ SELECT
   (SELECT count(*) FROM ce) AS n_events,
   (SELECT count(*) FROM ce WHERE _ab_cdc_deleted_at IS NOT NULL) AS n_delete_events,
   count(*) AS n_urls,
-  sum(CASE WHEN _ab_cdc_deleted_at IS NULL THEN 1 ELSE 0 END) AS n_live,
-  sum(CASE WHEN _ab_cdc_deleted_at IS NOT NULL THEN 1 ELSE 0 END) AS n_dead
+  CAST(sum(CASE WHEN _ab_cdc_deleted_at IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_live,
+  CAST(sum(CASE WHEN _ab_cdc_deleted_at IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_dead
 FROM w WHERE rn = 1
 """
 
@@ -257,7 +257,7 @@ WITH {CE_SQL}
 SELECT CAST(floor((_ab_cdc_lsn - 1) / 1000.0) * 1000 AS BIGINT) AS epoch_from,
        count(*) AS n_events, min(_ab_cdc_lsn) AS min_lsn,
        max(_ab_cdc_lsn) AS max_lsn,
-       sum(CASE WHEN _ab_cdc_deleted_at IS NOT NULL THEN 1 ELSE 0 END) AS n_deletes
+       CAST(sum(CASE WHEN _ab_cdc_deleted_at IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_deletes
 FROM ce GROUP BY 1
 """
 
@@ -283,7 +283,7 @@ SELECT CAST(floor((_ab_cdc_lsn - 1) / 1000.0) * 1000 AS BIGINT) AS epoch_from,
        _ab_cdc_lsn % 8 AS shard,
        min(_ab_cdc_lsn) AS from_lsn, max(_ab_cdc_lsn) AS to_lsn,
        count(*) AS n_events,
-       sum(CASE WHEN _ab_cdc_deleted_at IS NOT NULL THEN 1 ELSE 0 END) AS n_deletes
+       CAST(sum(CASE WHEN _ab_cdc_deleted_at IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_deletes
 FROM ce GROUP BY 1, 2
 """
 
@@ -422,7 +422,7 @@ def q_json_extract_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 O_JSON_EXTRACT_CAST = """
 SELECT event_type, count(*) AS n,
-       sum(k) AS sum_k, min(k) AS min_k, max(k) AS max_k
+       CAST(sum(k) AS BIGINT) AS sum_k, min(k) AS min_k, max(k) AS max_k
 FROM (
   SELECT event_type,
          CAST(nullif(json_extract_string(props, '$.k'), '') AS BIGINT) AS k

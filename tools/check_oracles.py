@@ -77,7 +77,11 @@ def main() -> int:
             failed.append(name)
             continue
         try:
-            pd.testing.assert_frame_equal(g, w, check_dtype=False)
+            # check_dtype=True: the driver's value hash is dtype-sensitive
+            # (DuckDB SUM(BIGINT) -> HUGEINT -> float64 diverges from Spark's
+            # int64 even when values agree) — round 1 missed 4 such cases with
+            # a dtype-insensitive compare.
+            pd.testing.assert_frame_equal(g, w, check_dtype=True)
             print(f"OK   {name}: {len(g)} rows")
         except AssertionError as e:
             print(f"FAIL {name}: values differ: {str(e)[:500]}")
