@@ -123,6 +123,41 @@ def test_latest_wins_state_out_of_order_slices_converge(spark, tmp_path):
     assert list(exp["_airbyte_ab_id"]) == list(got["_airbyte_ab_id"])
 
 
+def test_latest_wins_impls_agree(spark, tmp_path):
+    """The JVM streaming-aggregation default and the pandas-state fold
+    converge to the identical final winner per url on the same sliced
+    replay (same associative rule, two state machines)."""
+    ev = gen_change_events(spark, 600, n_urls=25).select(*COLS)
+    log = str(tmp_path / "log")
+    _write_slices(ev, log, ["_ab_cdc_lsn <= 300", "_ab_cdc_lsn > 300"])
+
+    finals = {}
+    for impl in ("agg", "pandas_state"):
+        stream = (
+            spark.readStream.schema(spark.read.parquet(log).schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(log)
+        )
+        q = (
+            latest_wins_stream(stream, impl=impl)
+            .writeStream.format("memory")
+            .queryName(f"w_{impl}")
+            .outputMode("update")
+            .option("checkpointLocation", str(tmp_path / f"ck_{impl}"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        mem = spark.table(f"w_{impl}").toPandas()
+        fin = duckdb_winners(mem.drop(columns=["is_deleted"]), drop_tombstones=False)
+        finals[impl] = fin.sort_values("url").reset_index(drop=True)
+
+    a, p = finals["agg"], finals["pandas_state"]
+    assert list(a["url"]) == list(p["url"])
+    assert list(a["_airbyte_ab_id"]) == list(p["_airbyte_ab_id"])
+    assert list(a["_ab_cdc_lsn"].astype("Int64")) == list(p["_ab_cdc_lsn"].astype("Int64"))
+
+
 def test_event_time_rates_bounds_state_and_keeps_ontime_counts(spark, tmp_path):
     base = pd.Timestamp("2024-01-01 10:00:00")
     b1 = pd.DataFrame(
