@@ -826,9 +826,11 @@ def q_docs_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # The shingle explosion feeds minhash + both verification branches
     # + sizes, and the signature feeds 4 band self-joins: cache both
     # once instead of recomputing the lineage per branch (~8x scans
-    # otherwise; tune_session clears caches between driver queries).
-    sh = shingles(docs, "doc_id", "text").persist()
-    sig = minhash_signature(docs, "doc_id", "text", shingles_df=sh).persist()
+    # otherwise). register_persist tracks them as engine-owned so the
+    # next tune_session releases exactly these, never caller caches.
+    from airbyte_integrations_spark.session import register_persist
+    sh = register_persist(shingles(docs, "doc_id", "text"))
+    sig = register_persist(minhash_signature(docs, "doc_id", "text", shingles_df=sh))
     pairs = lsh_candidate_pairs(sig, "doc_id")
     jac = jaccard_pairs(docs, pairs, "doc_id", "text", shingles_df=sh)
     return jac.select(

@@ -98,37 +98,58 @@ def discover(spark: SparkSession, config: dict | None = None) -> dict:
 
 
 def state_message(table, stream: str) -> dict:
-    """Outgoing AirbyteStateMessage (airbyte_protocol.yaml:71-108,
-    STREAM flavor) derived ONLY from the table's durable commit log —
-    the reference's state-after-commit rule
-    (BufferedStreamConsumer.java:175-193): a STATE that was never
+    """Outgoing AirbyteStateMessage in the PINNED reference wire shape
+    (airbyte_protocol.yaml:71-108: AirbyteStateMessage = {state_type:
+    GLOBAL|PER_STREAM, streams: [{name, state}]}) derived ONLY from the
+    table's durable commit log — the reference's state-after-commit
+    rule (BufferedStreamConsumer.java:175-193): a STATE that was never
     durably applied can never be emitted. Feeding the blob back to
     `resume_lsn` (or just re-running the sync against the same table)
-    resumes losslessly."""
-    eps = table.committed_epochs(stream)
+    resumes losslessly.
+
+    A table with no committed snapshot yet (first sync crashed before
+    any commit, or an empty source) still emits a state message —
+    CdcSourceTest's empty-sync semantics — with a null watermark."""
+    if not table.exists():
+        blob = {
+            "lsn_watermark": None,
+            "n_epochs_committed": 0,
+            "snapshot_version": None,
+        }
+    else:
+        blob = {
+            "lsn_watermark": table.watermark(stream),
+            "n_epochs_committed": len(table.committed_epochs(stream)),
+            "snapshot_version": table.current_version(),
+        }
     return {
         "type": "STATE",
         "state": {
-            "type": "STREAM",
-            "stream": {
-                "stream_descriptor": {"name": stream},
-                "stream_state": {
-                    "lsn_watermark": table.watermark(stream),
-                    "n_epochs_committed": len(eps),
-                    "snapshot_version": table.current_version(),
-                },
-            },
+            "state_type": "PER_STREAM",
+            "streams": [{"name": stream, "state": blob}],
         },
     }
 
 
-def resume_lsn(state: dict | None) -> int | None:
+def resume_lsn(state: dict | None, stream: str | None = None) -> int | None:
     """Parse a state_message blob back into the exclusive lower LSN
     bound for the next log slice (CdcStateManager.java:13-33 restore
-    path). None / empty state => read from the beginning."""
+    path). None / empty state => read from the beginning. Accepts the
+    pinned PER_STREAM shape (first matching stream, or the only one)
+    and, for back-compat with round-1 checkpoints, the legacy
+    {state:{stream:{stream_state}}} shape."""
     if not state:
         return None
+    s = state.get("state", state)
     try:
-        return state["state"]["stream"]["stream_state"]["lsn_watermark"]
+        streams = s["streams"]
+        for entry in streams:
+            if stream is None or entry.get("name") == stream:
+                return entry["state"]["lsn_watermark"]
+        return None
+    except (KeyError, TypeError):
+        pass
+    try:  # legacy round-1 shape
+        return s["stream"]["stream_state"]["lsn_watermark"]
     except (KeyError, TypeError):
         return None

@@ -96,13 +96,21 @@ def fake_video_payload(ident: Column, duration_ms: Column, fps: Column) -> Colum
     """Deterministic synthetic video payload (JVM-side).
 
     Format: b"VID1" + duration_ms:8 dec chars + fps:4 dec chars + body.
+    Fixed-width fields bound the encodable range: duration_ms < 10^8
+    (~27.8 h) and fps < 10^4. lpad would silently TRUNCATE longer
+    values into a corrupt header, so out-of-range inputs are forced to
+    null here (assert_true would fail the whole job for one bad row;
+    a null payload surfaces per-row in frame_sample instead).
     """
-    return F.concat(
+    dur_ok = duration_ms.isNotNull() & (duration_ms >= 0) & (duration_ms < 100_000_000)
+    fps_ok = fps.isNotNull() & (fps > 0) & (fps < 10_000)
+    payload = F.concat(
         F.encode(F.lit("VID1"), "UTF-8"),
         F.encode(F.lpad(duration_ms.cast("string"), 8, "0"), "UTF-8"),
         F.encode(F.lpad(fps.cast("string"), 4, "0"), "UTF-8"),
         F.encode(F.md5(ident.cast("string")), "UTF-8"),
     )
+    return F.when(dur_ok & fps_ok, payload)
 
 
 def frame_sample(

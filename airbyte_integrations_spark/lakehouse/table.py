@@ -474,19 +474,17 @@ class LakeTable:
                 referenced.update(ps)
             for ps in m.get("deltas", {}).values():
                 referenced.update(ps)
-        stats = {"data_files_removed": 0, "bytes_removed": 0, "manifests_removed": 0}
-        data_root = os.path.join(self.root, DATA_DIR)
-        for dirpath, _dn, fns in os.walk(data_root):
-            for fn in fns:
-                p = os.path.join(dirpath, fn)
-                if os.path.relpath(p, self.root) in referenced:
-                    continue
-                stats["bytes_removed"] += os.path.getsize(p)
-                os.remove(p)
-                stats["data_files_removed"] += 1
-        for dirpath, _dn, _fns in os.walk(data_root, topdown=False):
-            if dirpath != data_root and not os.listdir(dirpath):
-                os.rmdir(dirpath)
+        stats = {
+            "data_files_removed": 0,
+            "bytes_removed": 0,
+            "manifests_removed": 0,
+            "sidecars_removed": 0,
+        }
+        # Phase 1 — commit the LOGICAL expiry first: drop superseded
+        # manifests, so a crash between phases leaves expired versions
+        # raising the clean FileNotFoundError from manifest() (history()
+        # skips them) rather than loading a manifest whose data files
+        # are half-deleted and failing mid-scan.
         for v in range(cur):
             if v in keep:
                 continue
@@ -494,6 +492,25 @@ class LakeTable:
             if os.path.exists(mp):
                 os.remove(mp)
                 stats["manifests_removed"] += 1
+        # Phase 2 — sweep data files unreferenced by retained manifests.
+        # Spark _SUCCESS/.crc sidecars are removed alongside but counted
+        # separately: they are not data and must not inflate
+        # data_files_removed/bytes_removed.
+        data_root = os.path.join(self.root, DATA_DIR)
+        for dirpath, _dn, fns in os.walk(data_root):
+            for fn in fns:
+                p = os.path.join(dirpath, fn)
+                if os.path.relpath(p, self.root) in referenced:
+                    continue
+                if fn.endswith(".parquet"):
+                    stats["bytes_removed"] += os.path.getsize(p)
+                    stats["data_files_removed"] += 1
+                else:
+                    stats["sidecars_removed"] += 1
+                os.remove(p)
+        for dirpath, _dn, _fns in os.walk(data_root, topdown=False):
+            if dirpath != data_root and not os.listdir(dirpath):
+                os.rmdir(dirpath)
         return stats
 
     def history(self) -> list[dict]:

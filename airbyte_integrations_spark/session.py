@@ -42,16 +42,37 @@ def get_spark(
     return spark
 
 
+# DataFrames persisted by THIS engine's queries (e.g. the near-dup
+# shingle relation). Tracked so inter-query hygiene unpersists only
+# what we own — spark.catalog.clearCache() is session-global and would
+# silently drop caller-owned caches every time an engine query runs.
+_ENGINE_PERSISTED: list = []
+
+
+def register_persist(df):
+    """Persist a DataFrame and track it as engine-owned; released by
+    the next tune_session() call (or release_engine_persists())."""
+    df.persist()
+    _ENGINE_PERSISTED.append(df)
+    return df
+
+
+def release_engine_persists() -> None:
+    while _ENGINE_PERSISTED:
+        df = _ENGINE_PERSISTED.pop()
+        try:
+            df.unpersist()
+        except Exception:
+            pass
+
+
 def tune_session(spark: SparkSession) -> SparkSession:
     """Apply engine defaults to an externally-created session (the
     driver's verify harness creates its own)."""
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    # Hygiene between driver-contract queries: drop any DataFrames a
-    # previous query left cached (e.g. the near-dup shingle relation).
-    try:
-        spark.catalog.clearCache()
-    except Exception:
-        pass
+    # Hygiene between driver-contract queries: drop DataFrames a
+    # previous ENGINE query left cached — and only those.
+    release_engine_persists()
     try:
         spark.conf.set("spark.sql.adaptive.enabled", "true")
         spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")

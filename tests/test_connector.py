@@ -105,8 +105,27 @@ def test_state_message_round_trip(spark, tmp_path):
              extract_missing_text=False)
     msg2 = state_message(table, "pages")
     assert resume_lsn(msg2) == 2000
-    assert msg2["state"]["stream"]["stream_state"]["n_epochs_committed"] == 3
+    # pinned reference wire shape (airbyte_protocol.yaml:71-108):
+    # {state_type: PER_STREAM, streams: [{name, state}]}
+    assert msg2["state"]["state_type"] == "PER_STREAM"
+    (entry,) = msg2["state"]["streams"]
+    assert entry["name"] == "pages"
+    assert entry["state"]["n_epochs_committed"] == 3
+    assert resume_lsn(msg2, stream="pages") == 2000
+    assert resume_lsn(msg2, stream="other") is None
+
+    # legacy round-1 checkpoint shape still restores
+    legacy = {"state": {"stream": {"stream_state": {"lsn_watermark": 42}}}}
+    assert resume_lsn(legacy) == 42
 
     # empty / malformed state => full read (None)
     assert resume_lsn(None) is None
     assert resume_lsn({"state": {}}) is None
+
+    # never-committed table (first sync crashed pre-commit): state is
+    # still emitted, with a null watermark (CdcSourceTest.testNoData)
+    from airbyte_integrations_spark.lakehouse.table import LakeTable as _LT
+    empty_t = _LT(spark, str(tmp_path / "never_committed"))
+    empty_msg = state_message(empty_t, "pages")
+    assert empty_msg["state"]["streams"][0]["state"]["lsn_watermark"] is None
+    assert resume_lsn(empty_msg) is None

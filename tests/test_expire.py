@@ -46,10 +46,19 @@ def test_expire_keeps_live_state_and_frees_superseded_files(spark, tmp_path):
     on_disk_before = _files_on_disk(table.root)
     assert on_disk_before > _referenced(table)  # superseded files exist
 
+    # a Spark success-marker sidecar must be swept but NOT counted as a
+    # data file (it would inflate data_files_removed/bytes_removed)
+    sidecar = os.path.join(table.root, "data", "_SUCCESS")
+    with open(sidecar, "w"):
+        pass
+
     stats = table.expire_snapshots(keep_last=2)
     assert stats["data_files_removed"] > 0
     assert stats["bytes_removed"] > 0
     assert stats["manifests_removed"] > 0
+    # swept alongside Spark's own _SUCCESS/.crc markers, none of which
+    # may count as data files
+    assert stats["sidecars_removed"] >= 1 and not os.path.exists(sidecar)
 
     # live state byte-identical
     assert table.read_live().orderBy("url").collect() == before
