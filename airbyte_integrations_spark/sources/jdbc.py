@@ -1,0 +1,268 @@
+"""JDBC source: option-driven `spark.read.format("jdbc")` reader with
+the reference's JDBC->engine type-mapping matrix and incremental cursor
+pushdown executed database-side.
+
+Reference parity:
+
+- Type matrix: JdbcSourceOperations.java:46-58 (setJsonField's JDBCType
+  switch — the value domain each JDBC type is read into) and :107-123
+  (getJsonType — the advertised JSON schema type, with the "liberally
+  convert all unrecognised types to String" fallback). safeGetJdbcType
+  (:30-36) falls back to VARCHAR for unknown type codes; jdbc_type_to_spark
+  mirrors that with a StringType fallback.
+- Incremental read: AbstractJdbcSource.java:261-286 queryTableIncremental
+  builds `SELECT <cols> FROM <table> WHERE <cursor> > ?`. Spark-first
+  re-expression: declare the filter on the DataFrame and let the JDBC
+  relation push it to the database — `.filter(col(cursor) > lit)` shows
+  up as `PushedFilters: [GreaterThan(cursor, ...)]` in the scan node, so
+  the database, not Spark, applies the predicate. The strict cursor-type
+  rule (setStatementField's default -> throw, JdbcSourceOperations.java:64-89)
+  is kept in `cursor_literal`, used when building explicit per-slice
+  predicates.
+- Parallelism: the reference streams one ResultSet per table; at 10^10
+  rows a single connection is the bottleneck, so `JdbcSource` exposes
+  Spark's partitioned-read knobs (partition_column/num_partitions/bounds
+  -> one connection per partition, each with a range predicate) and
+  `read_slices` (explicit predicate list -> one connection per slice,
+  the Airbyte slice analogue).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# JDBCType name -> Spark type. Grouped exactly as the reference's
+# setJsonField switch arms (JdbcSourceOperations.java:46-58); the
+# TIME/DATE-as-string and binary-as-base64 choices follow getJsonType
+# (:107-123) — except DATE/TIMESTAMP, where Spark has first-class types
+# and keeping them typed preserves cursor comparability.
+JDBC_TO_SPARK: dict[str, T.DataType] = {
+    # BIT, BOOLEAN -> putBoolean
+    "BIT": T.BooleanType(),
+    "BOOLEAN": T.BooleanType(),
+    # TINYINT, SMALLINT -> putShortInt
+    "TINYINT": T.ShortType(),
+    "SMALLINT": T.ShortType(),
+    # INTEGER -> putInteger
+    "INTEGER": T.IntegerType(),
+    # BIGINT -> putBigInt
+    "BIGINT": T.LongType(),
+    # FLOAT, DOUBLE -> putDouble (JDBC FLOAT is double-precision)
+    "FLOAT": T.DoubleType(),
+    "DOUBLE": T.DoubleType(),
+    # REAL -> putFloat
+    "REAL": T.FloatType(),
+    # NUMERIC, DECIMAL -> putBigDecimal
+    "NUMERIC": T.DecimalType(38, 18),
+    "DECIMAL": T.DecimalType(38, 18),
+    # CHAR, NCHAR, NVARCHAR, VARCHAR, LONGVARCHAR -> putString
+    "CHAR": T.StringType(),
+    "NCHAR": T.StringType(),
+    "NVARCHAR": T.StringType(),
+    "VARCHAR": T.StringType(),
+    "LONGVARCHAR": T.StringType(),
+    # DATE / TIME / TIMESTAMP
+    "DATE": T.DateType(),
+    "TIME": T.StringType(),  # Spark has no TIME; reference emits string
+    "TIMESTAMP": T.TimestampType(),
+    # BLOB, BINARY, VARBINARY, LONGVARBINARY -> putBinary
+    "BLOB": T.BinaryType(),
+    "BINARY": T.BinaryType(),
+    "VARBINARY": T.BinaryType(),
+    "LONGVARBINARY": T.BinaryType(),
+    # ARRAY -> putArray (reference reads elements as JSON values; the
+    # engine-level default is string elements, cast downstream)
+    "ARRAY": T.ArrayType(T.StringType()),
+}
+
+# Advertised JSON-schema type per JDBCType — the getJsonType matrix
+# verbatim (JdbcSourceOperations.java:107-123), for discover() parity.
+JDBC_TO_JSON: dict[str, dict] = {
+    **{k: {"type": ["null", "boolean"]} for k in ("BIT", "BOOLEAN")},
+    **{
+        k: {"type": ["null", "number"]}
+        for k in (
+            "TINYINT", "SMALLINT", "INTEGER", "BIGINT",
+            "FLOAT", "DOUBLE", "REAL", "NUMERIC", "DECIMAL",
+        )
+    },
+    **{
+        k: {"type": ["null", "string"]}
+        for k in ("CHAR", "NCHAR", "NVARCHAR", "VARCHAR", "LONGVARCHAR",
+                  "DATE", "TIME", "TIMESTAMP")
+    },
+    **{
+        k: {"type": ["null", "string"], "contentEncoding": "base64"}
+        for k in ("BLOB", "BINARY", "VARBINARY", "LONGVARBINARY")
+    },
+    "ARRAY": {"type": ["null", "array"]},
+}
+
+# Cursor types the reference accepts in setStatementField
+# (JdbcSourceOperations.java:64-89); everything else throws.
+_COMPARABLE_CURSOR_TYPES = {
+    "TIMESTAMP", "TIME", "DATE", "BIT", "BOOLEAN", "TINYINT", "SMALLINT",
+    "INTEGER", "BIGINT", "FLOAT", "DOUBLE", "REAL", "NUMERIC", "DECIMAL",
+    "CHAR", "NCHAR", "NVARCHAR", "VARCHAR", "LONGVARCHAR",
+}
+_NUMERIC_CURSOR_TYPES = {
+    "TINYINT", "SMALLINT", "INTEGER", "BIGINT", "FLOAT", "DOUBLE", "REAL",
+    "NUMERIC", "DECIMAL",
+}
+
+
+def jdbc_type_to_spark(jdbc_type: str) -> T.DataType:
+    """Map a JDBCType name to the engine Spark type; unknown names fall
+    back to string ("liberally convert all unrecognised types",
+    JdbcSourceOperations.java:121-122 / safeGetJdbcType:30-36)."""
+    return JDBC_TO_SPARK.get(jdbc_type.upper(), T.StringType())
+
+
+def jdbc_schema(columns: dict[str, str]) -> T.StructType:
+    """{column: JDBCType name} -> nullable StructType (discover shape)."""
+    return T.StructType(
+        [T.StructField(n, jdbc_type_to_spark(t), True) for n, t in columns.items()]
+    )
+
+
+def jdbc_json_schema(columns: dict[str, str]) -> dict:
+    """{column: JDBCType name} -> AirbyteCatalog-style JSON schema."""
+    props = {
+        n: dict(JDBC_TO_JSON.get(t.upper(), {"type": ["null", "string"]}))
+        for n, t in columns.items()
+    }
+    return {"type": "object", "properties": props}
+
+
+def cursor_literal(value, jdbc_type: str) -> str:
+    """Render a cursor value as a SQL literal for a database-side
+    predicate — strict on type, like setStatementField's default throw
+    ("since cursor are expected to be comparable, handle cursor typing
+    strictly", JdbcSourceOperations.java:85-87)."""
+    t = jdbc_type.upper()
+    if t not in _COMPARABLE_CURSOR_TYPES:
+        raise ValueError(f"{jdbc_type} is not supported as a cursor type")
+    if t in _NUMERIC_CURSOR_TYPES:
+        return str(value)
+    if t in ("BIT", "BOOLEAN"):
+        return "TRUE" if value in (True, 1, "true", "TRUE", "1") else "FALSE"
+    s = str(value).replace("'", "''")
+    if t == "TIMESTAMP":
+        return f"TIMESTAMP('{s}')" if " " in s or "T" in s else f"'{s}'"
+    if t == "DATE":
+        return f"DATE('{s}')"
+    if t == "TIME":
+        return f"TIME('{s}')"
+    return f"'{s}'"
+
+
+def quote_identifier(name: str, quote: str = '"') -> str:
+    """enquoteIdentifier parity (AbstractJdbcSource.getQuoteString)."""
+    return f"{quote}{name.replace(quote, quote * 2)}{quote}"
+
+
+@dataclass
+class JdbcSourceConfig:
+    """Connection + scan options (the spec()-shaped config surface)."""
+
+    url: str
+    table: str
+    driver: str | None = None
+    user: str | None = None
+    password: str | None = None
+    columns: tuple[str, ...] = ()  # empty -> SELECT *
+    fetch_size: int = 10_000
+    # Parallel scan: one DB connection per partition, each issuing a
+    # range predicate on partition_column — the 10^10-row scale path.
+    partition_column: str | None = None
+    num_partitions: int | None = None
+    lower_bound: int | None = None
+    upper_bound: int | None = None
+    options: dict = field(default_factory=dict)
+
+
+class JdbcSource:
+    """Full-refresh + incremental reads over one JDBC table.
+
+    Incremental is the reference's `WHERE cursor > ?` (strictly greater,
+    AbstractJdbcSource.java:275) — expressed as a DataFrame filter that
+    Spark's JDBC relation pushes into the database query (assert via
+    `PushedFilters` in the scan plan; tests/test_jdbc.py pins it)."""
+
+    def __init__(self, spark: SparkSession, config: JdbcSourceConfig):
+        self.spark = spark
+        self.config = config
+
+    # ---------- readers ----------
+
+    def _reader(self, dbtable: str):
+        c = self.config
+        r = (
+            self.spark.read.format("jdbc")
+            .option("url", c.url)
+            .option("dbtable", dbtable)
+            .option("fetchsize", str(c.fetch_size))
+        )
+        if c.driver:
+            r = r.option("driver", c.driver)
+        if c.user:
+            r = r.option("user", c.user)
+        if c.password:
+            r = r.option("password", c.password)
+        if c.partition_column:
+            if c.num_partitions is None or c.lower_bound is None or c.upper_bound is None:
+                raise ValueError(
+                    "partition_column requires num_partitions + lower/upper_bound"
+                )
+            r = (
+                r.option("partitionColumn", c.partition_column)
+                .option("numPartitions", str(c.num_partitions))
+                .option("lowerBound", str(c.lower_bound))
+                .option("upperBound", str(c.upper_bound))
+            )
+        for k, v in c.options.items():
+            r = r.option(k, v)
+        return r
+
+    def _projected(self, df: DataFrame) -> DataFrame:
+        # Column pruning reaches the DB: the JDBC relation SELECTs only
+        # the pruned columns, not *.
+        if self.config.columns:
+            df = df.select(*self.config.columns)
+        return df
+
+    def read_full(self) -> DataFrame:
+        """Full-refresh scan (one range-partitioned query set)."""
+        return self._projected(self._reader(self.config.table).load())
+
+    def read_incremental(self, cursor_field: str, cursor_value) -> DataFrame:
+        """Rows with cursor strictly greater than the checkpoint.
+
+        The comparison is declared on the DataFrame; Spark compiles it
+        into the database query (PushedFilters), so the DB scans its
+        index instead of shipping the table."""
+        df = self._reader(self.config.table).load()
+        if cursor_value is not None:
+            df = df.filter(F.col(cursor_field) > F.lit(cursor_value))
+        return self._projected(df)
+
+    def read_slices(self, predicates: list[str]) -> DataFrame:
+        """One DB connection per explicit predicate (Airbyte slice
+        analogue; each predicate becomes a partition's WHERE clause).
+        Use `cursor_literal` to render checkpoint values strictly."""
+        c = self.config
+        props = {"fetchsize": str(c.fetch_size), **{k: str(v) for k, v in c.options.items()}}
+        if c.driver:
+            props["driver"] = c.driver
+        if c.user:
+            props["user"] = c.user
+        if c.password:
+            props["password"] = c.password
+        df = self.spark.read.jdbc(
+            url=c.url, table=c.table, predicates=list(predicates), properties=props
+        )
+        return self._projected(df)
