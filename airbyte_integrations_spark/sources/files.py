@@ -46,9 +46,9 @@ def read_files_incremental(
     """Read files with mtime > state; returns (df | None, new state).
 
     df carries `_ab_source_file_url` + `_ab_source_file_last_modified`.
-    Formats map 1:1 to `spark.read.format(...)`; avro additionally
-    needs the spark-avro jar on the classpath (runtime config, not
-    code — absent in this sandbox, so it raises a clear error).
+    Formats map 1:1 to `spark.read.format(...)`; avro uses the vendored
+    container codec (sources/avro_io.py) decoded executor-side via
+    binaryFile + mapInPandas — no spark-avro jar in this environment.
     """
     if fmt not in SUPPORTED_FORMATS:
         raise ValueError(f"unsupported format {fmt!r}; one of {SUPPORTED_FORMATS}")
@@ -59,14 +59,22 @@ def read_files_incremental(
         return None, state
     new_state = max(m for _p, m in files)
     mtime_map = {p: m for p, m in files}
-    reader = spark.read
-    for k, v in options.items():
-        reader = reader.option(k, v)
-    df = reader.format(fmt).load([p for p, _m in files])
+    if fmt == "avro":
+        from airbyte_integrations_spark.sources.avro_io import PATH_COL, read_avro
+
+        df = read_avro(spark, [p for p, _m in files]).withColumnRenamed(
+            PATH_COL, URL_COL
+        )
+    else:
+        reader = spark.read
+        for k, v in options.items():
+            reader = reader.option(k, v)
+        df = reader.format(fmt).load([p for p, _m in files])
+        df = df.withColumn(URL_COL, F.input_file_name())
     mtime_expr = F.create_map(
         *[x for p, m in mtime_map.items() for x in (F.lit(p), F.lit(m))]
     )
-    df = df.withColumn(URL_COL, F.input_file_name()).withColumn(
+    df = df.withColumn(
         CURSOR_COL,
         mtime_expr[F.regexp_replace(F.col(URL_COL), "^file:/+", "/")],
     )
