@@ -1156,6 +1156,20 @@ def q_multimodal_image_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_image_meta(payloads, strict=False)
 
 
+# The fake payload is deterministic in doc_id (IMG1 + 4-digit width +
+# 4-digit height + 32-hex md5 => 44 bytes), so the oracle derives the
+# exact metadata the decoder must produce — a full value check on the
+# Arrow plumbing even though real codecs are stubbed.
+O_MULTIMODAL_IMAGE_META = """
+SELECT doc_id,
+       CAST(44 AS BIGINT) AS n_bytes,
+       'img1' AS format,
+       CAST(doc_id % 512 + 1 AS INTEGER) AS width,
+       CAST(doc_id % 384 + 1 AS INTEGER) AS height
+FROM documents
+"""
+
+
 # ------------------------------------------------------------- contract
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -1266,6 +1280,5 @@ def oracle_sql() -> dict[str, str]:
         "docs_simhash": O_DOCS_SIMHASH,
         "docs_token_bpe": O_DOCS_TOKEN_BPE,
         "multimodal_binary_meta": O_MULTIMODAL_BINARY_META,
-        # multimodal_image_meta: intentionally no oracle (stubbed
-        # decoder) -> rows-only check; pinned by unit tests instead.
+        "multimodal_image_meta": O_MULTIMODAL_IMAGE_META,
     }

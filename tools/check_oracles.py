@@ -77,11 +77,19 @@ def main() -> int:
             failed.append(name)
             continue
         try:
-            # check_dtype=True: the driver's value hash is dtype-sensitive
-            # (DuckDB SUM(BIGINT) -> HUGEINT -> float64 diverges from Spark's
-            # int64 even when values agree) — round 1 missed 4 such cases with
-            # a dtype-insensitive compare.
-            pd.testing.assert_frame_equal(g, w, check_dtype=True)
+            # The driver's value hash is sensitive to the NUMERIC KIND
+            # (DuckDB SUM(BIGINT) -> HUGEINT -> float64 renders 5.0 vs
+            # Spark's int64 5 — round 1 lost 4 queries to this) but not
+            # to integer width (int32 rank vs int64 rank hashes alike).
+            # Mirror that: exact values, matching dtype *kind*.
+            kinds_g = [g[c].dtype.kind for c in g.columns]
+            kinds_w = [w[c].dtype.kind for c in w.columns]
+            if kinds_g != kinds_w:
+                raise AssertionError(
+                    f"dtype kinds differ: spark {list(zip(g.columns, kinds_g))} "
+                    f"vs oracle {list(zip(w.columns, kinds_w))}"
+                )
+            pd.testing.assert_frame_equal(g, w, check_dtype=False)
             print(f"OK   {name}: {len(g)} rows")
         except AssertionError as e:
             print(f"FAIL {name}: values differ: {str(e)[:500]}")
