@@ -143,11 +143,14 @@ def main() -> None:
     q.awaitTermination()
     splan = q._jsq.explainInternal(False)
     check(
-        "stateful live view: one url shuffle feeding the pandas state fold",
-        "FlatMapGroupsInPandasWithState" in splan
-        and splan.count("Exchange hashpartitioning(url") == 1,
-        "FlatMapGroupsInPandasWithState above a single "
-        "Exchange hashpartitioning(url, ...) REQUIRED_BY_STATEFUL_OPERATOR",
+        "stateful live view: JVM state-store aggregation, map-side partial, "
+        "one url shuffle, no Python",
+        "StateStoreSave" in splan
+        and "partial_max(struct(" in splan
+        and splan.count("Exchange hashpartitioning(url") == 1
+        and "InPandas" not in splan,
+        "StateStoreSave + partial_max(struct(ordering...)) below a single "
+        "Exchange hashpartitioning(url, ...); no Python operator in the fold",
     )
 
     out = ["# PLANS — physical-plan evidence (generated by tools/capture_plans.py)", ""]
