@@ -97,7 +97,7 @@ def discover(spark: SparkSession, config: dict | None = None) -> dict:
     }
 
 
-def state_message(table, stream: str) -> dict:
+def state_message(table, stream: str, flavor: str = "PER_STREAM") -> dict:
     """Outgoing AirbyteStateMessage in the PINNED reference wire shape
     (airbyte_protocol.yaml:71-108: AirbyteStateMessage = {state_type:
     GLOBAL|PER_STREAM, streams: [{name, state}]}) derived ONLY from the
@@ -109,7 +109,12 @@ def state_message(table, stream: str) -> dict:
 
     A table with no committed snapshot yet (first sync crashed before
     any commit, or an empty source) still emits a state message —
-    CdcSourceTest's empty-sync semantics — with a null watermark."""
+    CdcSourceTest's empty-sync semantics — with a null watermark.
+
+    flavor="GLOBAL" emits the protocol's other arm ({state_type:
+    GLOBAL, global: <blob>}): log-based CDC keeps ONE offset for the
+    whole WAL shared by every stream (CdcStateManager.java:13-33 holds
+    a single CdcState), so the blob is the table-wide watermark."""
     if not table.exists():
         blob = {
             "lsn_watermark": None,
@@ -122,6 +127,8 @@ def state_message(table, stream: str) -> dict:
             "n_epochs_committed": len(table.committed_epochs(stream)),
             "snapshot_version": table.current_version(),
         }
+    if flavor == "GLOBAL":
+        return {"type": "STATE", "state": {"state_type": "GLOBAL", "global": blob}}
     return {
         "type": "STATE",
         "state": {
@@ -135,12 +142,17 @@ def resume_lsn(state: dict | None, stream: str | None = None) -> int | None:
     """Parse a state_message blob back into the exclusive lower LSN
     bound for the next log slice (CdcStateManager.java:13-33 restore
     path). None / empty state => read from the beginning. Accepts the
-    pinned PER_STREAM shape (first matching stream, or the only one)
+    pinned PER_STREAM and GLOBAL shapes (first matching stream, or the only one)
     and, for back-compat with round-1 checkpoints, the legacy
     {state:{stream:{stream_state}}} shape."""
     if not state:
         return None
     s = state.get("state", state)
+    if isinstance(s, dict) and s.get("state_type") == "GLOBAL":
+        try:
+            return s["global"]["lsn_watermark"]
+        except (KeyError, TypeError):
+            return None
     try:
         streams = s["streams"]
         for entry in streams:

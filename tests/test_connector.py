@@ -122,6 +122,13 @@ def test_state_message_round_trip(spark, tmp_path):
     assert resume_lsn(None) is None
     assert resume_lsn({"state": {}}) is None
 
+    # GLOBAL flavor: one shared CDC offset for the whole WAL
+    # (CdcStateManager holds a single CdcState)
+    gmsg = state_message(table, "pages", flavor="GLOBAL")
+    assert gmsg["state"]["state_type"] == "GLOBAL"
+    assert "streams" not in gmsg["state"]
+    assert resume_lsn(gmsg) == 2000
+
     # never-committed table (first sync crashed pre-commit): state is
     # still emitted, with a null watermark (CdcSourceTest.testNoData)
     from airbyte_integrations_spark.lakehouse.table import LakeTable as _LT

@@ -154,6 +154,79 @@ def test_jdbc_partitioned_parallel_read(spark, derby):
     assert df.select(F.sum("ID")).first()[0] == 5050
 
 
+def test_jdbc_discover_catalog(spark, derby):
+    """DatabaseMetaData discovery (AbstractJdbcSource.discoverInternal
+    analogue): columns with JDBCType names, PK ordering, and the
+    AirbyteCatalog-shaped stream list."""
+    from airbyte_integrations_spark.sources.jdbc import discover_tables, jdbc_catalog
+
+    tables = discover_tables(spark, derby, driver=DERBY_DRIVER)
+    assert "USERS" in tables
+    cols = tables["USERS"]["columns"]
+    assert cols["ID"] == "BIGINT" and cols["SCORE"] == "DOUBLE"
+    assert cols["NAME"] == "VARCHAR" and cols["UPDATED_AT"] == "TIMESTAMP"
+
+    cat = jdbc_catalog(spark, derby, driver=DERBY_DRIVER)
+    (users,) = [s for s in cat["streams"] if s["name"] == "USERS"]
+    assert users["json_schema"]["properties"]["ID"] == {"type": ["null", "number"]}
+    assert "incremental" in users["supported_sync_modes"]
+    # first comparable candidate-typed column becomes the default cursor
+    assert users["default_cursor_field"] == ["UPDATED_AT"]
+
+
+def test_jdbc_incremental_sync_to_lake_end_to_end(spark, derby, tmp_path):
+    """Database -> lake: a JDBC incremental read adapted to change
+    events replays through run_sync; a second batch of DB rows resumes
+    from the committed watermark and latest-wins per key."""
+    from airbyte_integrations_spark.config import SyncConfig
+    from airbyte_integrations_spark.lakehouse.table import LakeTable
+    from airbyte_integrations_spark.sources.jdbc import as_change_events
+    from airbyte_integrations_spark.streaming.microbatch import run_sync
+
+    jvm = spark._jvm
+    conn = jvm.java.sql.DriverManager.getConnection(derby)
+    st = conn.createStatement()
+    st.execute(
+        "CREATE TABLE pages_src (page_url VARCHAR(100) NOT NULL, "
+        "body VARCHAR(200), change_seq BIGINT NOT NULL)"
+    )
+    for i in range(1, 41):
+        st.execute(
+            f"INSERT INTO pages_src VALUES ('https://ex.com/{i % 10}', 'v{i}', {i})"
+        )
+    st.close()
+
+    src = JdbcSource(spark, JdbcSourceConfig(url=derby, table="pages_src", driver=DERBY_DRIVER))
+    table = LakeTable(spark, str(tmp_path / "lake"))
+    cfg = SyncConfig(stream="pages", n_buckets=4, secondary_order=())
+
+    ev1 = as_change_events(src.read_incremental("CHANGE_SEQ", None), "PAGE_URL", "CHANGE_SEQ")
+    eps1 = run_sync(spark, ev1, table, cfg, max_events_per_epoch=25,
+                    extract_missing_text=False)
+    assert len(eps1) == 2 and table.watermark("pages") == 40
+    live = {r["url"]: r["BODY"] for r in table.read_live().collect()}
+    assert len(live) == 10 and live["https://ex.com/9"] == "v39"  # max seq per key
+
+    # new DB rows arrive; resume reads only cursor > watermark
+    st = conn.createStatement()
+    for i in range(41, 51):
+        st.execute(
+            f"INSERT INTO pages_src VALUES ('https://ex.com/{i % 10}', 'v{i}', {i})"
+        )
+    st.close()
+    conn.close()
+    ev2 = as_change_events(
+        src.read_incremental("CHANGE_SEQ", table.watermark("pages")),
+        "PAGE_URL", "CHANGE_SEQ",
+    )
+    assert ev2.count() == 10
+    eps2 = run_sync(spark, ev2, table, cfg, max_events_per_epoch=25,
+                    extract_missing_text=False)
+    assert len(eps2) == 1 and table.watermark("pages") == 50
+    live2 = {r["url"]: r["BODY"] for r in table.read_live().collect()}
+    assert live2["https://ex.com/9"] == "v49" and len(live2) == 10
+
+
 def test_jdbc_read_slices_predicates(spark, derby):
     """Explicit per-slice predicates (Airbyte slice analogue), rendered
     with the strict cursor literal."""
