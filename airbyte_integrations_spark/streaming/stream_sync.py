@@ -1,0 +1,107 @@
+"""Continuous CDC ingestion: Structured Streaming foreachBatch -> MERGE.
+
+`run_sync` (microbatch.py) replays a BOUNDED log with deterministic
+lsn-keyed epochs — the reference's bounded-sync loop (a sync fixes a
+target position at start, CdcTargetPosition.java:16-20). `stream_sync`
+is the UNBOUNDED complement: `spark.readStream` tails the log
+directory and each micro-batch is MERGE-applied inside `foreachBatch`
+under the same epoch-keyed idempotent commit, with the stream engine's
+`batch_id` as the epoch. Exactly-once composes two guarantees:
+
+- Structured Streaming re-runs an interrupted batch with the SAME
+  batch_id after restart (offsets WAL'd in the checkpoint), and
+- the lake's commit log makes re-applying a committed epoch a no-op,
+
+which is exactly the "replayable source + idempotent sink" leg of
+Spark's end-to-end exactly-once contract. Unlike run_sync's monotone
+lsn slices, file arrival order is arbitrary here, so tombstones are
+RETAINED as rows (keep_tombstones=True): a late pre-delete image loses
+to the retained tombstone under the winner rule instead of
+resurrecting the key; `read_live()` filters them out of the view.
+
+Reference semantics: the CDK's continuous read loop + state cadence
+(SURVEY §2.1/§2.10); Debezium's continuous WAL tail is the source-side
+analogue (bases/debezium/.../AirbyteDebeziumHandler.java).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+
+from airbyte_integrations_spark.config import SyncConfig
+from airbyte_integrations_spark.functions.extract import with_extracted_text
+from airbyte_integrations_spark.lakehouse.merge import merge_into
+from airbyte_integrations_spark.lakehouse.table import LakeTable
+from airbyte_integrations_spark.lineage import compute_lineage, write_lineage
+
+# Stream epochs are batch_id-keyed and live in a namespace above any
+# lsn-keyed run_sync epoch, so the two modes cannot collide if a table
+# sees both during its lifetime.
+STREAM_EPOCH_BASE = 2**44
+
+
+def stream_sync(
+    spark: SparkSession,
+    log_dir: str,
+    table: LakeTable,
+    config: SyncConfig,
+    checkpoint_dir: str,
+    schema=None,
+    max_files_per_trigger: int | None = None,
+    available_now: bool = True,
+    processing_time: str = "10 seconds",
+    extract_missing_text: bool = False,
+    compact_threshold: int | None = None,
+):
+    """Start a continuous ingest query; returns the StreamingQuery.
+
+    With available_now=True the query drains the current log and stops
+    (the bounded test/replay mode); otherwise it tails the directory at
+    `processing_time` cadence. Safe to kill at any point and restart
+    with the same checkpoint_dir — interrupted batches re-apply
+    idempotently."""
+    lsn_col = config.cursor_field[0]
+    reader = spark.readStream.schema(
+        schema if schema is not None else spark.read.parquet(log_dir).schema
+    )
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    events = reader.parquet(log_dir)
+
+    def apply_batch(batch, batch_id: int) -> None:
+        epoch = STREAM_EPOCH_BASE + int(batch_id)
+        if table.is_epoch_committed(config.stream, epoch):
+            return  # checkpoint replay of an already-durable batch
+        if batch.isEmpty():
+            return
+        transform = (
+            with_extracted_text
+            if extract_missing_text and "html" in batch.columns
+            else None
+        )
+        lineage = compute_lineage(batch, config.stream, epoch, lsn_col)
+        write_lineage(lineage, table.root, epoch)
+        merge_into(
+            table,
+            batch,
+            stream=config.stream,
+            epoch=epoch,
+            epoch_meta={"stream_batch_id": int(batch_id)},
+            cursor=lsn_col,
+            secondary=config.secondary_order,
+            transform_winners=transform,
+            keep_tombstones=True,  # arbitrary arrival order: see module doc
+            mode=config.write_mode,
+            dedup_impl=config.dedup_impl,
+        )
+        if compact_threshold is not None:
+            table.compact(max_files_per_bucket=compact_threshold)
+
+    writer = events.writeStream.foreachBatch(apply_batch).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime=processing_time)
+    return writer.start()

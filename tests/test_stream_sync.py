@@ -1,0 +1,128 @@
+"""Continuous ingestion (Structured Streaming foreachBatch -> MERGE):
+exactly-once across restarts, convergence to the batch winner rule,
+and tombstone retention under arbitrary arrival order."""
+
+import os
+import time
+
+from pyspark.sql import functions as F
+
+from airbyte_integrations_spark.config import SyncConfig
+from airbyte_integrations_spark.gen import gen_change_events
+from airbyte_integrations_spark.lakehouse.table import LakeTable
+from airbyte_integrations_spark.streaming.stream_sync import (
+    STREAM_EPOCH_BASE,
+    stream_sync,
+)
+from tests.util import duckdb_winners
+
+COLS = [
+    "url", "warc_ts", "text", "lang",
+    "_ab_cdc_lsn", "_ab_cdc_updated_at", "_ab_cdc_deleted_at",
+    "_airbyte_ab_id", "_airbyte_emitted_at",
+]
+
+
+def _one_file_slices(df, log_dir, slices):
+    for i, cond in enumerate(slices):
+        df.filter(cond).coalesce(1).write.mode("append").parquet(log_dir)
+        t = time.time() - 60 + i * 10
+        for name in os.listdir(log_dir):
+            p = os.path.join(log_dir, name)
+            if name.endswith(".parquet") and os.path.getmtime(p) > t:
+                os.utime(p, (t, t))
+
+
+def test_stream_sync_converges_and_is_exactly_once(spark, tmp_path):
+    ev = gen_change_events(spark, 2000, n_urls=80).select(*COLS)
+    log = str(tmp_path / "log")
+    _one_file_slices(
+        ev, log,
+        ["_ab_cdc_lsn <= 700",
+         "_ab_cdc_lsn > 700 AND _ab_cdc_lsn <= 1400",
+         "_ab_cdc_lsn > 1400"],
+    )
+    table = LakeTable(spark, str(tmp_path / "lake"))
+    cfg = SyncConfig(stream="pages", n_buckets=4)
+
+    q = stream_sync(
+        spark, log, table, cfg, str(tmp_path / "ck"), max_files_per_trigger=1
+    )
+    q.awaitTermination()
+
+    # one committed epoch per micro-batch, in the stream namespace
+    eps = {int(e) for e in table.committed_epochs("pages")}
+    assert len(eps) == 3 and all(e >= STREAM_EPOCH_BASE for e in eps)
+
+    # live state == batch winner oracle (tombstones filtered)
+    live = table.read_live().toPandas()
+    want = duckdb_winners(ev.toPandas(), drop_tombstones=True)
+    assert sorted(live["url"]) == sorted(want["url"])
+    got = live.sort_values("url").reset_index(drop=True)
+    exp = want.sort_values("url").reset_index(drop=True)
+    assert list(got["_airbyte_ab_id"]) == list(exp["_airbyte_ab_id"])
+
+    # restart with the same checkpoint and no new data: nothing re-applies
+    v = table.current_version()
+    q2 = stream_sync(
+        spark, log, table, cfg, str(tmp_path / "ck"), max_files_per_trigger=1
+    )
+    q2.awaitTermination()
+    assert table.current_version() == v
+    assert {int(e) for e in table.committed_epochs("pages")} == eps
+
+    # new log files arrive: the restarted stream picks up only them
+    more = gen_change_events(spark, 2600, n_urls=80).filter(
+        "_ab_cdc_lsn > 2000"
+    ).select(*COLS)
+    more.coalesce(1).write.mode("append").parquet(log)
+    q3 = stream_sync(
+        spark, log, table, cfg, str(tmp_path / "ck"), max_files_per_trigger=1
+    )
+    q3.awaitTermination()
+    all_ev = ev.unionByName(more)
+    live2 = table.read_live().toPandas()
+    want2 = duckdb_winners(all_ev.toPandas(), drop_tombstones=True)
+    assert sorted(live2["url"]) == sorted(want2["url"])
+
+
+def test_stream_sync_late_predelete_cannot_resurrect(spark, tmp_path):
+    """Arbitrary arrival order: batch 1 carries a high-lsn tombstone,
+    batch 2 a stale pre-delete image for the same key. The retained
+    tombstone wins; the key stays deleted (keep_tombstones design)."""
+    base = gen_change_events(spark, 400, n_urls=20).select(*COLS)
+    # pick one url; craft a tombstone at lsn 1000 and a stale image at 900
+    url = base.first()["url"]
+    tomb = base.limit(1).select(
+        F.lit(url).alias("url"), "warc_ts", F.lit(None).cast("string").alias("text"),
+        "lang", F.lit(1000).cast("long").alias("_ab_cdc_lsn"),
+        "_ab_cdc_updated_at",
+        F.current_timestamp().alias("_ab_cdc_deleted_at"),
+        F.lit("zz-tomb").alias("_airbyte_ab_id"), "_airbyte_emitted_at",
+    )
+    stale = base.limit(1).select(
+        F.lit(url).alias("url"), "warc_ts", F.lit("stale-body").alias("text"),
+        "lang", F.lit(900).cast("long").alias("_ab_cdc_lsn"),
+        "_ab_cdc_updated_at",
+        F.lit(None).cast("timestamp").alias("_ab_cdc_deleted_at"),
+        F.lit("aa-stale").alias("_airbyte_ab_id"), "_airbyte_emitted_at",
+    )
+    log = str(tmp_path / "log")
+    tomb.coalesce(1).write.mode("append").parquet(log)
+    for n in os.listdir(log):
+        if n.endswith(".parquet"):
+            os.utime(os.path.join(log, n), (time.time() - 60,) * 2)
+    stale.coalesce(1).write.mode("append").parquet(log)
+
+    table = LakeTable(spark, str(tmp_path / "lake"))
+    cfg = SyncConfig(stream="pages", n_buckets=2)
+    q = stream_sync(
+        spark, log, table, cfg, str(tmp_path / "ck"), max_files_per_trigger=1
+    )
+    q.awaitTermination()
+
+    assert table.read_live().filter(F.col("url") == url).count() == 0
+    # the tombstone row is physically retained with the winning lsn
+    raw = table.read().filter(F.col("url") == url).collect()
+    assert len(raw) == 1 and raw[0]["_ab_cdc_lsn"] == 1000
+    assert raw[0]["_ab_cdc_deleted_at"] is not None
