@@ -546,6 +546,43 @@ _LANG_MARKERS = [
 ]
 
 
+def q_docs_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition quality gate (Gopher/C4-style):
+    duplicate-3gram and top-3gram per-mille shares per doc
+    (functions/neardup.repetition_stats; two chained map-side-combining
+    hash aggs — skew-safe even on pathologically repetitive docs)."""
+    tune_session(spark)
+    from airbyte_integrations_spark.functions.neardup import repetition_stats
+
+    docs = load(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    return repetition_stats(docs, "doc_id", "text", k=3)
+
+
+O_DOCS_REPETITION = r"""
+WITH w AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS ws
+  FROM documents WHERE n_chars > 0
+),
+ms AS (
+  SELECT doc_id, array_to_string(ws[p:p + 2], ' ') AS shingle
+  FROM (
+    SELECT doc_id, ws,
+           unnest(generate_series(1, greatest(len(ws) - 2, 1))) AS p
+    FROM w
+  )
+),
+per AS (
+  SELECT doc_id, shingle, count(*) AS c FROM ms GROUP BY 1, 2
+)
+SELECT doc_id,
+       CAST(sum(c) AS BIGINT) AS n_ngrams,
+       count(*) AS n_distinct_ngrams,
+       CAST(floor((1.0 - count(*) * 1.0 / sum(c)) * 1000.0) AS BIGINT) AS dup_ngram_pm,
+       CAST(floor(max(c) * 1000.0 / sum(c)) AS BIGINT) AS top_ngram_pm
+FROM per GROUP BY doc_id
+"""
+
+
 def q_docs_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Marker-word language ID heuristic, scored against the labeled
     lang column. (The driver's synthetic documents carry English-ish
@@ -1234,6 +1271,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_fingerprint": q_docs_fingerprint,
         "docs_quality": q_docs_quality,
         "docs_lang_id": q_docs_lang_id,
+        "docs_repetition": q_docs_repetition,
         "docs_curation_pipeline": q_docs_curation_pipeline,
         "emb_lsh_buckets": q_emb_lsh_buckets,
         "emb_knn_cosine": q_emb_knn_cosine,
@@ -1269,6 +1307,7 @@ def oracle_sql() -> dict[str, str]:
         "docs_fingerprint": O_DOCS_FINGERPRINT,
         "docs_quality": O_DOCS_QUALITY,
         "docs_lang_id": _o_lang_sql(),
+        "docs_repetition": O_DOCS_REPETITION,
         "docs_curation_pipeline": O_DOCS_CURATION_PIPELINE,
         "emb_lsh_buckets": O_EMB_LSH_BUCKETS,
         "emb_knn_cosine": O_EMB_KNN_COSINE,

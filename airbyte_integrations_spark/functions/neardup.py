@@ -190,3 +190,47 @@ def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         .filter(F.col("__rn") == 1)
         .drop("__rn")
     )
+
+
+def ngram_multiset(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> DataFrame:
+    """(id, shingle) pairs WITH multiplicity — same tokenization as
+    `shingles` but non-distinct, for within-document repetition stats."""
+    w = words(text_col)
+    n = F.size(w)
+    positions = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1)))
+    sh = F.transform(positions, lambda p: F.concat_ws(" ", F.slice(w, p, k)))
+    return df.select(F.col(id_col), F.explode(sh).alias("shingle"))
+
+
+def repetition_stats(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> DataFrame:
+    """Within-document repetition signals (the Gopher/C4-style quality
+    gate: heavily self-repeating pages are boilerplate or spam):
+
+    - n_ngrams / n_distinct_ngrams: k-gram multiset vs set size
+    - dup_ngram_pm: 1000 * (1 - distinct/total) (per-mille duplicated)
+    - top_ngram_pm: 1000 * max-frequency-k-gram share
+
+    Shape at scale: two chained hash aggregations, (id, shingle) -> id.
+    Both are associative counts => map-side partial aggregation; the
+    first stage's key includes the shingle so even a pathological doc
+    (one shingle repeated 10^6 times) collapses on the mappers before
+    the shuffle. No sort, no window, no skew hazard."""
+    per = ngram_multiset(df, id_col, text_col, k).groupBy(id_col, "shingle").agg(
+        F.count("*").alias("c")
+    )
+    agg = per.groupBy(id_col).agg(
+        F.sum("c").alias("n_ngrams"),
+        F.count("*").alias("n_distinct_ngrams"),
+        F.max("c").alias("top_c"),
+    )
+    return agg.select(
+        F.col(id_col),
+        F.col("n_ngrams"),
+        F.col("n_distinct_ngrams"),
+        F.floor(
+            (F.lit(1.0) - F.col("n_distinct_ngrams") / F.col("n_ngrams")) * 1000.0
+        ).cast("long").alias("dup_ngram_pm"),
+        F.floor(F.col("top_c") * 1000.0 / F.col("n_ngrams")).cast("long").alias(
+            "top_ngram_pm"
+        ),
+    )

@@ -85,3 +85,24 @@ def test_exact_dedup(spark):
     out = exact_dedup(_docs(spark), "doc_id", "text")
     ids = sorted(r["doc_id"] for r in out.collect())
     assert ids == [1, 3, 4]  # doc 2 collapsed onto canonical doc 1
+
+
+def test_repetition_stats_toy_docs(spark):
+    from airbyte_integrations_spark.functions.neardup import repetition_stats
+
+    docs = spark.createDataFrame(
+        [
+            # "a b c a b c a b c" -> 7 3-grams, 3 distinct cyclic ones
+            (1, "a b c a b c a b c"),
+            (2, "all words here are entirely distinct tokens"),
+            (3, "x x x x x x"),  # one shingle repeated
+        ],
+        ["doc_id", "text"],
+    )
+    r = {row["doc_id"]: row for row in repetition_stats(docs, "doc_id", "text").collect()}
+    assert r[1]["n_ngrams"] == 7 and r[1]["n_distinct_ngrams"] == 3
+    assert r[1]["dup_ngram_pm"] == 571  # floor((1 - 3/7)*1000)
+    assert r[1]["top_ngram_pm"] == 428  # 'a b c' x3 -> floor(3000/7)
+    assert r[2]["dup_ngram_pm"] == 0 and r[2]["top_ngram_pm"] < 250
+    assert r[3]["n_distinct_ngrams"] == 1 and r[3]["dup_ngram_pm"] == 750
+    assert r[3]["top_ngram_pm"] == 1000
