@@ -132,3 +132,47 @@ def test_very_large_record_roundtrip(spark, tmp_path):
     assert len(rows) == 1
     assert rows[0]["text"] == big + "2"
     assert len(rows[0]["text"]) == 5 * 1024 * 1024 + 4
+
+
+def test_csv_options_parity(spark, tmp_path):
+    """The reference CSV spec's knobs (source-s3 csv_spec.py:21-56 —
+    delimiter, quote_char, escape_char, encoding, infer_datatypes,
+    multiline values) map 1:1 onto Spark csv reader options through
+    read_files_incremental's option passthrough, including gzip
+    transport (transparent by extension)."""
+    import gzip
+
+    d = str(tmp_path / "csvopts")
+    os.makedirs(d)
+    raw = (
+        'id|name|note\n'
+        '1|"pipe|in quotes"|plain\n'
+        '2|"esc \\" quoted"|"multi\nline"\n'
+        '3|café|7\n'
+    )
+    with open(os.path.join(d, "a.csv"), "w", encoding="utf-8") as f:
+        f.write(raw)
+
+    df, _ = read_files_incremental(
+        spark, d, "csv", None, suffix=".csv",
+        header=True, sep="|", quote='"', escape="\\",
+        multiLine=True, encoding="UTF-8", inferSchema=True,
+    )
+    rows = {r["id"]: r for r in df.collect()}
+    assert len(rows) == 3
+    assert rows[1]["name"] == "pipe|in quotes"   # quote_char
+    assert rows[2]["name"] == 'esc " quoted'    # escape_char (escaped quote)
+    assert rows[2]["note"] == "multi\nline"      # newlines_in_values
+    assert rows[3]["name"] == "café"             # encoding
+    assert dict(df.dtypes)["id"] == "int"        # infer_datatypes
+
+    # gzip-compressed member read transparently (reference decompresses
+    # by extension; Spark's csv source does the same)
+    g = str(tmp_path / "csvgz")
+    os.makedirs(g)
+    with gzip.open(os.path.join(g, "b.csv.gz"), "wt", encoding="utf-8") as f:
+        f.write("id,name\n9,zed\n")
+    dfz, _ = read_files_incremental(
+        spark, g, "csv", None, suffix=".csv.gz", header=True, inferSchema=True
+    )
+    assert dfz.collect()[0]["name"] == "zed"
