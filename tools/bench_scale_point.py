@@ -82,6 +82,15 @@ def main() -> None:
             shutil.rmtree(os.path.join(root, f"t_{mode}"), ignore_errors=True)
     finally:
         shutil.rmtree(root, ignore_errors=True)
+    out["protocol"] = (
+        f"tools/bench_scale_point.py {n_events} {n_epochs} mor,cow; local[32], "
+        "128 buckets, 2.5M urls skew 2.5, tmpfs, single cold run each; both "
+        "layouts must converge to the identical final row count"
+    )
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    os.makedirs(os.path.join(here, "bench_out"), exist_ok=True)
+    with open(os.path.join(here, "bench_out", "scale_point.json"), "w") as f:
+        json.dump(out, f)
     print(json.dumps(out))
 
 
