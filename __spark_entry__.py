@@ -583,6 +583,76 @@ FROM per GROUP BY doc_id
 """
 
 
+def q_docs_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-weighted salient terms: top-3 tokens per doc by an
+    integer-exact tf-over-df score (TF-IDF-style; exact integer
+    arithmetic so the DuckDB oracle hash-matches — ln() ulp differences
+    between engines could flip a floor at the boundary).
+
+    Scale shape: token explode -> (doc, token) hash agg (map-side
+    combine) -> token-keyed document-frequency agg -> shuffle join on
+    token (both sides already reduced: |tf| = distinct doc-token pairs,
+    |df| = vocabulary) -> per-doc top-k window over ~unique-terms-sized
+    partitions. No driver-side collect anywhere."""
+    tune_session(spark)
+    from pyspark.sql import Window
+
+    from airbyte_integrations_spark.functions.neardup import words
+
+    docs = load(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    tok = docs.select(
+        "doc_id", F.explode(words("text")).alias("token")
+    ).filter(F.length("token") > 0)
+    tf = tok.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("token").agg(F.count("*").alias("df"))
+    n_docs = docs.agg(F.count("*").alias("n_docs"))  # 1 row -> broadcast
+    scored = (
+        tf.join(dfreq, "token")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "token",
+            "tf",
+            "df",
+            F.floor(F.col("tf") * 1000000 / F.col("df")).cast("long").alias("score_m"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score_m").desc(), F.col("token").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("doc_id", "rank", "token", "tf", "df", "score_m")
+    )
+
+
+O_DOCS_TFIDF_TOP_TERMS = r"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
+  FROM documents WHERE n_chars > 0
+),
+tf AS (
+  SELECT doc_id, token, count(*) AS tf FROM tok WHERE len(token) > 0 GROUP BY 1, 2
+),
+dfreq AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+scored AS (
+  SELECT tf.doc_id, tf.token, tf.tf, dfreq.df,
+         CAST(floor(tf.tf * 1000000 / dfreq.df) AS BIGINT) AS score_m
+  FROM tf JOIN dfreq USING (token)
+)
+SELECT doc_id, CAST(rank AS INTEGER) AS rank, token,
+       CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df, score_m
+FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY doc_id ORDER BY score_m DESC, token ASC
+  ) AS rank
+  FROM scored
+)
+WHERE rank <= 3
+"""
+
+
 def q_docs_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Marker-word language ID heuristic, scored against the labeled
     lang column. (The driver's synthetic documents carry English-ish
@@ -1193,6 +1263,52 @@ def q_multimodal_image_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_image_meta(payloads, strict=False)
 
 
+def q_multimodal_audio_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio-decode plumbing over synthetic AUD1 payloads derived from
+    doc_ids (functions/multimodal.decode_audio_meta, mapInPandas);
+    sample_rate/n_samples/duration all oracle-derivable from doc_id."""
+    tune_session(spark)
+    from airbyte_integrations_spark.functions.multimodal import (
+        decode_audio_meta,
+        fake_audio_payload,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    rates = F.element_at(
+        F.array(F.lit(16000), F.lit(22050), F.lit(44100)),
+        (F.col("doc_id") % 3 + 1).cast("int"),
+    )
+    payloads = docs.select(
+        "doc_id",
+        fake_audio_payload(
+            F.col("doc_id"),
+            rates.cast("int"),
+            (F.col("doc_id") * 320 + 16000).cast("long"),
+        ).alias("blob"),
+    )
+    return decode_audio_meta(payloads, strict=False)
+
+
+# AUD1 payload: 4 + 6 + 12 + 32 = 54 bytes; rate cycles {16000, 22050,
+# 44100} by doc_id % 3; n_samples = doc_id*320 + 16000; duration_ms =
+# n_samples * 1000 // rate — all derivable, so the oracle fully values-
+# checks the Arrow decode path.
+O_MULTIMODAL_AUDIO_META = """
+SELECT doc_id,
+       CAST(54 AS BIGINT) AS n_bytes,
+       'aud1' AS format,
+       CAST(rate AS INTEGER) AS sample_rate,
+       CAST(ns AS BIGINT) AS n_samples,
+       CAST(floor(ns * 1000 / rate) AS BIGINT) AS duration_ms
+FROM (
+  SELECT doc_id,
+         CASE doc_id % 3 WHEN 0 THEN 16000 WHEN 1 THEN 22050 ELSE 44100 END AS rate,
+         doc_id * 320 + 16000 AS ns
+  FROM documents
+)
+"""
+
+
 # The fake payload is deterministic in doc_id (IMG1 + 4-digit width +
 # 4-digit height + 32-hex md5 => 44 bytes), so the oracle derives the
 # exact metadata the decoder must produce — a full value check on the
@@ -1272,6 +1388,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_quality": q_docs_quality,
         "docs_lang_id": q_docs_lang_id,
         "docs_repetition": q_docs_repetition,
+        "docs_tfidf_top_terms": q_docs_tfidf_top_terms,
         "docs_curation_pipeline": q_docs_curation_pipeline,
         "emb_lsh_buckets": q_emb_lsh_buckets,
         "emb_knn_cosine": q_emb_knn_cosine,
@@ -1284,6 +1401,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_token_bpe": q_docs_token_bpe,
         "multimodal_binary_meta": q_multimodal_binary_meta,
         "multimodal_image_meta": q_multimodal_image_meta,
+        "multimodal_audio_meta": q_multimodal_audio_meta,
     }
 
 
@@ -1308,6 +1426,7 @@ def oracle_sql() -> dict[str, str]:
         "docs_quality": O_DOCS_QUALITY,
         "docs_lang_id": _o_lang_sql(),
         "docs_repetition": O_DOCS_REPETITION,
+        "docs_tfidf_top_terms": O_DOCS_TFIDF_TOP_TERMS,
         "docs_curation_pipeline": O_DOCS_CURATION_PIPELINE,
         "emb_lsh_buckets": O_EMB_LSH_BUCKETS,
         "emb_knn_cosine": O_EMB_KNN_COSINE,
@@ -1320,4 +1439,5 @@ def oracle_sql() -> dict[str, str]:
         "docs_token_bpe": O_DOCS_TOKEN_BPE,
         "multimodal_binary_meta": O_MULTIMODAL_BINARY_META,
         "multimodal_image_meta": O_MULTIMODAL_IMAGE_META,
+        "multimodal_audio_meta": O_MULTIMODAL_AUDIO_META,
     }

@@ -155,3 +155,67 @@ def frame_sample(
             )
 
     return df.mapInPandas(gen, VIDEO_FRAME_SCHEMA)
+
+
+AUDIO_META_SCHEMA = (
+    "doc_id long, n_bytes long, format string, sample_rate int, "
+    "n_samples long, duration_ms long"
+)
+
+
+def fake_audio_payload(ident: Column, sample_rate: Column, n_samples: Column) -> Column:
+    """Deterministic synthetic audio payload (JVM-side).
+
+    Format: b"AUD1" + sample_rate:6 dec chars + n_samples:12 dec chars
+    + md5 body. Bounds: rate < 10^6 Hz, samples < 10^12 (~723 days at
+    16 kHz) — out-of-range inputs null the payload (lpad truncation
+    would corrupt the header silently, same rule as fake_video_payload).
+    """
+    rate_ok = sample_rate.isNotNull() & (sample_rate > 0) & (sample_rate < 1_000_000)
+    n_ok = n_samples.isNotNull() & (n_samples >= 0) & (n_samples < 10**12)
+    payload = F.concat(
+        F.encode(F.lit("AUD1"), "UTF-8"),
+        F.encode(F.lpad(sample_rate.cast("string"), 6, "0"), "UTF-8"),
+        F.encode(F.lpad(n_samples.cast("string"), 12, "0"), "UTF-8"),
+        F.encode(F.md5(ident.cast("string")), "UTF-8"),
+    )
+    return F.when(rate_ok & n_ok, payload)
+
+
+def _parse_audio(b, strict: bool):
+    if b is None:
+        return 0, "null", 0, 0, 0
+    if bytes(b[:4]) == b"AUD1":
+        rate = int(bytes(b[4:10]))
+        n = int(bytes(b[10:22]))
+        return len(b), "aud1", rate, n, n * 1000 // rate
+    if strict:
+        # a real build would dispatch to soundfile/librosa here
+        raise NotImplementedError(
+            "real audio codecs are not available in this environment"
+        )
+    return len(b), "unknown", 0, 0, 0
+
+
+def decode_audio_meta(
+    df: DataFrame, id_col: str = "doc_id", blob_col: str = "blob", strict: bool = False
+) -> DataFrame:
+    """mapInPandas audio-metadata extraction (sample rate, sample
+    count, derived duration) over binary payloads — same Arrow batch
+    plumbing as decode_image_meta."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            meta = pdf[blob_col].map(lambda b: _parse_audio(b, strict))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "n_bytes": meta.map(lambda m: m[0]),
+                    "format": meta.map(lambda m: m[1]),
+                    "sample_rate": meta.map(lambda m: m[2]),
+                    "n_samples": meta.map(lambda m: m[3]),
+                    "duration_ms": meta.map(lambda m: m[4]),
+                }
+            )
+
+    return df.mapInPandas(gen, AUDIO_META_SCHEMA)

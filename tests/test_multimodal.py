@@ -110,3 +110,41 @@ def test_frame_sample_expansion_deterministic(spark):
         "doc_id", "frame_idx"
     ).collect()
     assert got == got7
+
+
+def test_audio_meta_roundtrip_and_bounds(spark):
+    from pyspark.sql import functions as F
+
+    from airbyte_integrations_spark.functions.multimodal import (
+        decode_audio_meta,
+        fake_audio_payload,
+    )
+
+    df = spark.range(1, 5).select(
+        F.col("id").alias("doc_id"),
+        fake_audio_payload(
+            F.col("id"), F.lit(16000).cast("int"), (F.col("id") * 16000).cast("long")
+        ).alias("blob"),
+    )
+    rows = {r["doc_id"]: r for r in decode_audio_meta(df).collect()}
+    assert rows[2]["sample_rate"] == 16000 and rows[2]["n_samples"] == 32000
+    assert rows[2]["duration_ms"] == 2000 and rows[2]["format"] == "aud1"
+    assert rows[2]["n_bytes"] == 54
+
+    # out-of-range rate/samples null the payload instead of corrupting
+    bad = spark.range(1).select(
+        F.col("id").alias("doc_id"),
+        fake_audio_payload(
+            F.col("id"), F.lit(2_000_000).cast("int"), F.lit(10).cast("long")
+        ).alias("blob"),
+    )
+    assert bad.filter(F.col("blob").isNull()).count() == 1
+    r = decode_audio_meta(bad).collect()[0]
+    assert r["format"] == "null" and r["n_bytes"] == 0
+
+    # strict mode raises on non-AUD1 bytes until real codecs exist
+    import pytest as _pytest
+
+    junk = spark.createDataFrame([(1, bytearray(b"RIFFxxxx"))], ["doc_id", "blob"])
+    with _pytest.raises(Exception, match="audio codecs"):
+        decode_audio_meta(junk, strict=True).collect()
