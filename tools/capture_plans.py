@@ -153,6 +153,41 @@ def main() -> None:
         "Exchange hashpartitioning(url, ...); no Python operator in the fold",
     )
 
+    # Repetition stats: both hash aggregations must partial-aggregate
+    # map-side — the (id, shingle) key collapses pathological repeats
+    # on the mappers before any shuffle.
+    from airbyte_integrations_spark.functions.neardup import repetition_stats
+
+    docs = ev.select(
+        F.col("_ab_cdc_lsn").alias("doc_id"),
+        F.substring(F.col("html").cast("string"), 1, 400).alias("text"),
+    ).limit(2000)
+    rplan = repetition_stats(docs, "doc_id", "text")._jdf.queryExecution().executedPlan().toString()
+    check(
+        "repetition stats: map-side partial aggregation in both stages",
+        rplan.count("partial_count") >= 1 and "partial_sum" in rplan,
+        "HashAggregate(partial_count) on (doc_id, shingle) + "
+        "HashAggregate(partial_sum/count/max) on doc_id",
+    )
+
+    # TF-IDF top terms: the 1-row corpus count must broadcast (no
+    # shuffle for the scalar), and neither tf nor df aggregation may
+    # skip the partial (map-side) step.
+    import __spark_entry__ as ent
+
+    tmp_docs = docs.withColumn("n_chars", F.length("text"))
+    tmp_docs.write.mode("overwrite").parquet(root + "/docs_tbl/documents.parquet")
+    tplan = (
+        ent.q_docs_tfidf_top_terms(spark, root + "/docs_tbl")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    check(
+        "tfidf: corpus count broadcast, tf/df aggs map-side partial",
+        "BroadcastNestedLoopJoin" in tplan and tplan.count("partial_count") >= 2,
+        "BroadcastNestedLoopJoin (1-row n_docs) + partial_count in tf and df "
+        "HashAggregates",
+    )
+
     out = ["# PLANS — physical-plan evidence (generated by tools/capture_plans.py)", ""]
     ok_all = True
     for name, ok, ev in CHECKS:
