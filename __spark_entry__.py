@@ -1309,6 +1309,43 @@ FROM (
 """
 
 
+def q_multimodal_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling (1->N mapInPandas expansion) over synthetic
+    VID1 payloads: duration = (doc_id % 7 + 1) seconds, sampled every
+    1000 ms -> doc_id % 7 + 1 frames per doc, all timestamps and sizes
+    derivable, so the oracle value-checks the expansion shape."""
+    tune_session(spark)
+    from airbyte_integrations_spark.functions.multimodal import (
+        fake_video_payload,
+        frame_sample,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    payloads = docs.select(
+        "doc_id",
+        fake_video_payload(
+            F.col("doc_id"),
+            ((F.col("doc_id") % 7 + 1) * 1000).cast("long"),
+            F.lit(30).cast("int"),
+        ).alias("blob"),
+    )
+    return frame_sample(payloads, every_ms=1000)
+
+
+# VID1 payload: 4 + 8 + 4 + 32 = 48 bytes; duration (doc_id%7+1)*1000 ms
+# at 1000 ms sampling -> frames 0..doc_id%7 with ts_ms = frame_idx*1000.
+O_MULTIMODAL_VIDEO_FRAMES = """
+SELECT doc_id,
+       CAST(f AS INTEGER) AS frame_idx,
+       CAST(f * 1000 AS BIGINT) AS ts_ms,
+       CAST(48 AS BIGINT) AS n_bytes
+FROM (
+  SELECT doc_id, unnest(generate_series(0, CAST(doc_id % 7 AS INTEGER))) AS f
+  FROM documents
+)
+"""
+
+
 # The fake payload is deterministic in doc_id (IMG1 + 4-digit width +
 # 4-digit height + 32-hex md5 => 44 bytes), so the oracle derives the
 # exact metadata the decoder must produce — a full value check on the
@@ -1402,6 +1439,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_binary_meta": q_multimodal_binary_meta,
         "multimodal_image_meta": q_multimodal_image_meta,
         "multimodal_audio_meta": q_multimodal_audio_meta,
+        "multimodal_video_frames": q_multimodal_video_frames,
     }
 
 
@@ -1440,4 +1478,5 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_binary_meta": O_MULTIMODAL_BINARY_META,
         "multimodal_image_meta": O_MULTIMODAL_IMAGE_META,
         "multimodal_audio_meta": O_MULTIMODAL_AUDIO_META,
+        "multimodal_video_frames": O_MULTIMODAL_VIDEO_FRAMES,
     }

@@ -17,3 +17,9 @@ from airbyte_integrations_spark.config import (  # noqa: F401
     SyncConfig,
     SyncMode,
 )
+from airbyte_integrations_spark.sources.jdbc import (  # noqa: F401
+    JdbcSource,
+    JdbcSourceConfig,
+)
+from airbyte_integrations_spark.streaming.microbatch import run_sync  # noqa: F401
+from airbyte_integrations_spark.streaming.stream_sync import stream_sync  # noqa: F401

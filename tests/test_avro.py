@@ -143,3 +143,41 @@ def test_distributed_read_and_mtime_cursor(spark, tmp_path):
     write_avro_file(p3, SCHEMA, _records(5), codec="deflate")
     df3, state3 = read_files_incremental(spark, root, fmt="avro", state=state)
     assert df3.count() == 5 and state3 > state
+
+
+def test_codec_property_roundtrip_hypothesis(tmp_path):
+    """Property: encode -> container write -> decode is the identity on
+    records drawn from the schema's value domain (both codecs)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    rec = st.fixed_dictionaries(
+        {
+            "id": st.integers(min_value=-(2**63), max_value=2**63 - 1),
+            "url": st.one_of(st.none(), st.text(max_size=40)),
+            "score": st.floats(allow_nan=False, allow_infinity=False, width=64),
+            "ok": st.booleans(),
+            "raw": st.binary(max_size=32),
+            "tags": st.lists(st.text(max_size=10), max_size=5),
+            "props": st.dictionaries(st.text(min_size=1, max_size=8),
+                                     st.integers(min_value=-10**12, max_value=10**12),
+                                     max_size=4),
+            "fetched_at": st.integers(min_value=0, max_value=2**52),
+        }
+    )
+
+    @settings(max_examples=25, deadline=None)
+    @given(recs=st.lists(rec, min_size=0, max_size=20),
+           codec=st.sampled_from(["null", "deflate"]))
+    def run(recs, codec):
+        p = str(tmp_path / "prop.avro")
+        write_avro_file(p, SCHEMA, recs, codec=codec)
+        _schema, got = decode_avro_file(open(p, "rb").read())
+        assert len(got) == len(recs)
+        for a, b in zip(got, recs):
+            assert a["id"] == b["id"] and a["url"] == b["url"]
+            assert a["ok"] == b["ok"] and a["raw"] == b["raw"]
+            assert a["tags"] == b["tags"] and a["props"] == b["props"]
+            assert a["score"] == b["score"]
+
+    run()
