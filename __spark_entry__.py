@@ -593,7 +593,8 @@ def q_docs_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     combine) -> token-keyed document-frequency agg -> shuffle join on
     token (both sides already reduced: |tf| = distinct doc-token pairs,
     |df| = vocabulary) -> per-doc top-k window over ~unique-terms-sized
-    partitions. No driver-side collect anywhere."""
+    partitions. No driver-side collect, no corpus-count scan (a
+    constant factor cannot change the per-doc ranking)."""
     tune_session(spark)
     from pyspark.sql import Window
 
@@ -605,17 +606,15 @@ def q_docs_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).filter(F.length("token") > 0)
     tf = tok.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
     dfreq = tf.groupBy("token").agg(F.count("*").alias("df"))
-    n_docs = docs.agg(F.count("*").alias("n_docs"))  # 1 row -> broadcast
-    scored = (
-        tf.join(dfreq, "token")
-        .crossJoin(F.broadcast(n_docs))
-        .select(
-            "doc_id",
-            "token",
-            "tf",
-            "df",
-            F.floor(F.col("tf") * 1000000 / F.col("df")).cast("long").alias("score_m"),
-        )
+    # tf-over-df is already df-normalized; a corpus-size factor would
+    # scale every score by the same constant and change no ranking, so
+    # there is deliberately NO n_docs scan/join here.
+    scored = tf.join(dfreq, "token").select(
+        "doc_id",
+        "token",
+        "tf",
+        "df",
+        F.floor(F.col("tf") * 1000000 / F.col("df")).cast("long").alias("score_m"),
     )
     w = Window.partitionBy("doc_id").orderBy(
         F.col("score_m").desc(), F.col("token").asc()

@@ -128,6 +128,19 @@ def state_message(table, stream: str, flavor: str = "PER_STREAM") -> dict:
             "snapshot_version": table.current_version(),
         }
     if flavor == "GLOBAL":
+        # One offset for the WHOLE WAL: the safe shared watermark is the
+        # MINIMUM across every stream in the commit log — resuming a
+        # multi-stream table from one stream's (higher) watermark would
+        # permanently skip the laggard's events.
+        if table.exists():
+            committed = table.manifest().get("committed", {})
+            wms = [table.watermark(s) for s in committed]
+            wms = [w for w in wms if w is not None]
+            blob = {
+                **blob,
+                "lsn_watermark": min(wms) if wms else None,
+                "n_epochs_committed": sum(len(e) for e in committed.values()),
+            }
         return {"type": "STATE", "state": {"state_type": "GLOBAL", "global": blob}}
     return {
         "type": "STATE",

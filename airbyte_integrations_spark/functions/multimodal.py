@@ -43,9 +43,12 @@ def _parse_one(b: bytes | None, strict: bool) -> tuple[int, str, int, int]:
     if b is None:
         return 0, "null", 0, 0
     if bytes(b[:4]) == b"IMG1":
-        w = int(bytes(b[4:8]))
-        h = int(bytes(b[8:12]))
-        return len(b), "img1", w, h
+        try:
+            w = int(bytes(b[4:8]))
+            h = int(bytes(b[8:12]))
+            return len(b), "img1", w, h
+        except (ValueError, IndexError):
+            return len(b), "unknown", 0, 0  # corrupt header: degrade per-row
     if strict:
         # a real build would dispatch to PIL.Image.open here
         raise NotImplementedError(
@@ -144,7 +147,10 @@ def frame_sample(
                             "real video codecs are not available in this environment"
                         )
                     continue
-                dur = int(bytes(b[4:12]))
+                try:
+                    dur = int(bytes(b[4:12]))
+                except (ValueError, IndexError):
+                    continue  # corrupt header: skip the row, not the job
                 for i, t in enumerate(range(0, max(dur, 1), every_ms)):
                     ids.append(did)
                     idxs.append(i)
@@ -186,9 +192,17 @@ def _parse_audio(b, strict: bool):
     if b is None:
         return 0, "null", 0, 0, 0
     if bytes(b[:4]) == b"AUD1":
-        rate = int(bytes(b[4:10]))
-        n = int(bytes(b[10:22]))
-        return len(b), "aud1", rate, n, n * 1000 // rate
+        # A malformed header (non-digit fields, zero rate) must degrade
+        # to "unknown" per-row, never abort the task — the same rule as
+        # the null-on-overflow encoders.
+        try:
+            rate = int(bytes(b[4:10]))
+            n = int(bytes(b[10:22]))
+            if rate > 0:
+                return len(b), "aud1", rate, n, n * 1000 // rate
+        except (ValueError, IndexError):
+            pass
+        return len(b), "unknown", 0, 0, 0
     if strict:
         # a real build would dispatch to soundfile/librosa here
         raise NotImplementedError(

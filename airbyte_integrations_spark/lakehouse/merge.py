@@ -95,6 +95,13 @@ def merge_into(
         return table.current_version()
     batch_winners = DEDUP_IMPLS[dedup_impl]
 
+    if keep_tombstones and table.exists() and not table.props().get("keep_tombstones"):
+        # A retention-requiring writer (stream_sync) attached to a table
+        # created without the prop: make it durable at this commit, or a
+        # later compact()/read path would silently drop the retained
+        # tombstones and a stale pre-delete image could resurrect keys.
+        table.want_props(keep_tombstones=True)
+
     if mode == "mor" and table.exists():
         key = table.key_cols()
         target_schema = merge_schemas(table.schema, batch.schema)

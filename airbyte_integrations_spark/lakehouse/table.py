@@ -51,6 +51,16 @@ class LakeTable:
     def __init__(self, spark: SparkSession, root: str):
         self.spark = spark
         self.root = root
+        # Props to fold into the NEXT commit's manifest (props otherwise
+        # carry forward unchanged). Used e.g. when a writer that needs
+        # tombstone retention (stream_sync) attaches to a table created
+        # without it — the prop must be durable before compact() could
+        # drop the retained tombstones.
+        self._pending_props: dict = {}
+
+    def want_props(self, **updates) -> None:
+        """Merge `updates` into the table props at the next commit."""
+        self._pending_props.update(updates)
 
     # ---------- manifest plumbing ----------
 
@@ -250,7 +260,7 @@ class LakeTable:
             "files": new_files,
             "deltas": m.get("deltas", {}),
             "committed": m.get("committed", {}),
-            "props": m.get("props", {}),
+            "props": {**m.get("props", {}), **self._pending_props},
         }
         if stream is not None and epoch is not None:
             manifest["committed"].setdefault(stream, {})[str(epoch)] = epoch_meta or {}
@@ -299,7 +309,7 @@ class LakeTable:
             "files": new_files,
             "deltas": new_deltas,
             "committed": m.get("committed", {}),
-            "props": m.get("props", {}),
+            "props": {**m.get("props", {}), **self._pending_props},
         }
         if stream is not None and epoch is not None:
             manifest["committed"].setdefault(stream, {})[str(epoch)] = epoch_meta or {}
@@ -355,7 +365,7 @@ class LakeTable:
             "files": m["files"],
             "deltas": deltas,
             "committed": m.get("committed", {}),
-            "props": m.get("props", {}),
+            "props": {**m.get("props", {}), **self._pending_props},
         }
         if stream is not None and epoch is not None:
             manifest["committed"].setdefault(stream, {})[str(epoch)] = epoch_meta or {}

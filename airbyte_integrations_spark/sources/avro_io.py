@@ -271,9 +271,16 @@ def read_avro(spark: SparkSession, paths: list[str]) -> DataFrame:
     file's schema (the reference's per-stream single-schema contract)."""
     import pandas as pd
 
+    # Probe 1 MB for the header; a container whose metadata block is
+    # larger truncates mid-varint (IndexError/KeyError from the
+    # decoder) — fall back to reading the whole first file.
     with open(paths[0], "rb") as f:
         head = f.read(1 << 20)
-    schema = read_avro_header(head)[0]
+    try:
+        schema = read_avro_header(head)[0]
+    except (IndexError, KeyError):
+        with open(paths[0], "rb") as f:
+            schema = read_avro_header(f.read())[0]
     out_schema = avro_spark_schema(schema).add(PATH_COL, T.StringType(), False)
     field_names = [f.name for f in out_schema.fields if f.name != PATH_COL]
 

@@ -62,6 +62,12 @@ def read_files_incremental(
     if fmt == "avro":
         from airbyte_integrations_spark.sources.avro_io import PATH_COL, read_avro
 
+        if options:
+            # The vendored codec takes no reader options; silently
+            # ignoring them would diverge from every other format.
+            raise ValueError(
+                f"avro reader accepts no options; got {sorted(options)}"
+            )
         df = read_avro(spark, [p for p, _m in files]).withColumnRenamed(
             PATH_COL, URL_COL
         )

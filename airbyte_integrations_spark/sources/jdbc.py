@@ -147,7 +147,22 @@ def cursor_literal(value, jdbc_type: str) -> str:
     if t not in _COMPARABLE_CURSOR_TYPES:
         raise ValueError(f"{jdbc_type} is not supported as a cursor type")
     if t in _NUMERIC_CURSOR_TYPES:
-        return str(value)
+        # Validate before rendering: a string checkpoint like
+        # "1 OR 1=1" must raise, not reach the database (the predicate
+        # is interpolated into per-slice WHERE clauses).
+        if isinstance(value, bool):
+            raise ValueError(f"{value!r} is not a numeric cursor value")
+        if not isinstance(value, (int, float)):
+            try:
+                value = int(value)
+            except (TypeError, ValueError):
+                try:
+                    value = float(value)
+                except (TypeError, ValueError):
+                    raise ValueError(
+                        f"{value!r} is not a numeric cursor value"
+                    ) from None
+        return repr(value)
     if t in ("BIT", "BOOLEAN"):
         return "TRUE" if value in (True, 1, "true", "TRUE", "1") else "FALSE"
     s = str(value).replace("'", "''")
@@ -276,18 +291,27 @@ def discover_tables(
     url: str,
     driver: str | None = None,
     schema_pattern: str | None = None,
+    user: str | None = None,
+    password: str | None = None,
 ) -> dict[str, dict]:
     """Catalog discovery via JDBC DatabaseMetaData — the
     AbstractJdbcSource.discoverInternal shape (java:119-131 getColumns,
     :221/:245 getPrimaryKeys), run through the Spark JVM's DriverManager
     so no extra Python driver is needed.
 
-    -> {table: {"columns": {name: JDBCType-name}, "primary_key": [...]}}
+    -> {stream_name: {"schema": ..., "table": ..., "columns":
+    {name: JDBCType-name}, "primary_key": [...]}} where stream_name is
+    "schema.table" when the database reports a schema (same-named
+    tables in different schemas stay distinct streams — discoverInternal
+    keys by namespace+name) and the bare table name otherwise.
     Unknown type codes fall back to VARCHAR (safeGetJdbcType:30-36)."""
     jvm = spark._jvm
     if driver:
         jvm.java.lang.Class.forName(driver)
-    conn = jvm.java.sql.DriverManager.getConnection(url)
+    if user is not None:
+        conn = jvm.java.sql.DriverManager.getConnection(url, user, password or "")
+    else:
+        conn = jvm.java.sql.DriverManager.getConnection(url)
     try:
         md = conn.getMetaData()
         out: dict[str, dict] = {}
@@ -303,16 +327,20 @@ def discover_tables(
                 tname = jvm.java.sql.JDBCType.valueOf(code).getName()
             except Exception:
                 tname = "VARCHAR"  # safeGetJdbcType parity
-            out.setdefault(tbl, {"columns": {}, "primary_key": []})
-            out[tbl]["columns"][col] = tname
+            name = f"{schem}.{tbl}" if schem else tbl
+            out.setdefault(
+                name,
+                {"schema": schem or None, "table": tbl, "columns": {}, "primary_key": []},
+            )
+            out[name]["columns"][col] = tname
         rs.close()
-        for tbl in out:
-            pks = md.getPrimaryKeys(None, schema_pattern, tbl)
+        for name, info in out.items():
+            pks = md.getPrimaryKeys(None, info["schema"], info["table"])
             keyed = []
             while pks.next():
                 keyed.append((pks.getShort("KEY_SEQ"), pks.getString("COLUMN_NAME")))
             pks.close()
-            out[tbl]["primary_key"] = [c for _seq, c in sorted(keyed)]
+            info["primary_key"] = [c for _seq, c in sorted(keyed)]
         return out
     finally:
         conn.close()
@@ -324,13 +352,15 @@ def jdbc_catalog(
     driver: str | None = None,
     schema_pattern: str | None = None,
     cursor_candidates: tuple[str, ...] = ("TIMESTAMP", "DATE", "BIGINT", "INTEGER"),
+    user: str | None = None,
+    password: str | None = None,
 ) -> dict:
     """AirbyteCatalog-shaped discover() over a live database: per-table
     JSON schema from the type matrix, sync modes, source PK, and a
     default cursor picked by candidate-type priority (first
     TIMESTAMP column, else DATE, else BIGINT, else INTEGER) (the reference leaves cursor choice to the user; candidates
     make the discovery self-serve)."""
-    tables = discover_tables(spark, url, driver, schema_pattern)
+    tables = discover_tables(spark, url, driver, schema_pattern, user, password)
     streams = []
     for tbl, info in sorted(tables.items()):
         cursor = next(

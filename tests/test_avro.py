@@ -48,7 +48,11 @@ def _records(n):
             "raw": bytes([i % 256, 255 - i % 256]),
             "tags": [f"t{i}", "x"] if i % 3 else [],
             "props": {"a": i, "b": -i} if i % 4 else {},
-            "fetched_at": int((base + dt.timedelta(seconds=i)).timestamp() * 1e6),
+            "fetched_at": int(
+                (base + dt.timedelta(seconds=i))
+                .replace(tzinfo=dt.timezone.utc)
+                .timestamp() * 1e6
+            ),
         }
         for i in range(n)
     ]
@@ -181,3 +185,41 @@ def test_codec_property_roundtrip_hypothesis(tmp_path):
             assert a["score"] == b["score"]
 
     run()
+
+
+def test_avro_options_rejected_not_ignored(spark, tmp_path):
+    import os
+
+    from airbyte_integrations_spark.sources.files import read_files_incremental
+
+    root = str(tmp_path / "a")
+    os.makedirs(root)
+    write_avro_file(os.path.join(root, "x.avro"), SCHEMA, _records(2))
+    with pytest.raises(ValueError, match="no options"):
+        read_files_incremental(spark, root, fmt="avro", header=True)
+
+
+def test_header_larger_than_probe_falls_back(tmp_path):
+    """A >1MB metadata block must not crash the driver probe."""
+    import json as _json
+
+    from airbyte_integrations_spark.sources.avro_io import read_avro
+
+    big_schema = dict(SCHEMA)
+    big_schema = {
+        **SCHEMA,
+        "doc": "x" * (1 << 20 + 1),  # pad metadata past the 1MB probe
+    }
+    p = str(tmp_path / "big.avro")
+    write_avro_file(p, big_schema, _records(3))
+    assert len(_json.dumps(big_schema)) > (1 << 20)
+    # driver-side schema probe only (no spark session needed): the
+    # module-level fallback path re-reads the whole file
+    from airbyte_integrations_spark.sources import avro_io
+
+    with open(p, "rb") as f:
+        head = f.read(1 << 20)
+    with pytest.raises((IndexError, KeyError)):
+        avro_io.read_avro_header(head)
+    schema, recs = avro_io.decode_avro_file(open(p, "rb").read())
+    assert len(recs) == 3

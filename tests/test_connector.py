@@ -129,6 +129,16 @@ def test_state_message_round_trip(spark, tmp_path):
     assert "streams" not in gmsg["state"]
     assert resume_lsn(gmsg) == 2000
 
+    # multi-stream table: the GLOBAL watermark is the MIN across
+    # streams — resuming the shared WAL from one stream's higher
+    # watermark would permanently skip the laggard's events
+    ev_b = gen_change_events(spark, 1200, n_urls=60).select(*cols)
+    run_sync(spark, ev_b, table, SyncConfig(stream="pages_b"),
+             max_events_per_epoch=600, extract_missing_text=False, max_epochs=1)
+    assert table.watermark("pages") == 2000 and table.watermark("pages_b") == 600
+    gmsg2 = state_message(table, "pages", flavor="GLOBAL")
+    assert resume_lsn(gmsg2) == 600
+
     # never-committed table (first sync crashed pre-commit): state is
     # still emitted, with a null watermark (CdcSourceTest.testNoData)
     from airbyte_integrations_spark.lakehouse.table import LakeTable as _LT

@@ -68,6 +68,15 @@ def test_cursor_literal_strict_typing():
     assert cursor_literal("2024-01-02", "DATE") == "DATE('2024-01-02')"
     assert cursor_literal("2024-01-02 03:04:05", "TIMESTAMP") == "TIMESTAMP('2024-01-02 03:04:05')"
     assert cursor_literal(True, "BOOLEAN") == "TRUE"
+    # numeric path validates: a string checkpoint that isn't a number
+    # (e.g. injection) must raise, never reach the database
+    assert cursor_literal("42", "BIGINT") == "42"
+    assert cursor_literal("1.5", "DOUBLE") == "1.5"
+    for inj in ("1 OR 1=1", "42; DROP TABLE users", ""):
+        with pytest.raises(ValueError):
+            cursor_literal(inj, "BIGINT")
+    with pytest.raises(ValueError):
+        cursor_literal(True, "INTEGER")  # bools are not numeric cursors
     for bad in ("BLOB", "BINARY", "ARRAY", "OTHER"):
         with pytest.raises(ValueError):
             cursor_literal("x", bad)
@@ -161,16 +170,20 @@ def test_jdbc_discover_catalog(spark, derby):
     from airbyte_integrations_spark.sources.jdbc import discover_tables, jdbc_catalog
 
     tables = discover_tables(spark, derby, driver=DERBY_DRIVER)
-    assert "USERS" in tables
-    cols = tables["USERS"]["columns"]
+    # streams are schema-qualified: same-named tables in two schemas
+    # must stay distinct (discoverInternal keys by namespace+name)
+    (users_key,) = [k for k in tables if k.endswith(".USERS") or k == "USERS"]
+    info = tables[users_key]
+    assert info["table"] == "USERS"
+    cols = info["columns"]
     assert cols["ID"] == "BIGINT" and cols["SCORE"] == "DOUBLE"
     assert cols["NAME"] == "VARCHAR" and cols["UPDATED_AT"] == "TIMESTAMP"
 
     cat = jdbc_catalog(spark, derby, driver=DERBY_DRIVER)
-    (users,) = [s for s in cat["streams"] if s["name"] == "USERS"]
+    (users,) = [s for s in cat["streams"] if s["name"] == users_key]
     assert users["json_schema"]["properties"]["ID"] == {"type": ["null", "number"]}
     assert "incremental" in users["supported_sync_modes"]
-    # first comparable candidate-typed column becomes the default cursor
+    # highest-priority candidate type becomes the default cursor
     assert users["default_cursor_field"] == ["UPDATED_AT"]
 
 

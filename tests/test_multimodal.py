@@ -148,3 +148,33 @@ def test_audio_meta_roundtrip_and_bounds(spark):
     junk = spark.createDataFrame([(1, bytearray(b"RIFFxxxx"))], ["doc_id", "blob"])
     with _pytest.raises(Exception, match="audio codecs"):
         decode_audio_meta(junk, strict=True).collect()
+
+
+def test_corrupt_headers_degrade_per_row_not_per_job(spark):
+    """A blob with a valid magic but garbage fields must degrade to
+    'unknown' (or be skipped) per-row, never abort the task."""
+    from pyspark.sql import functions as F
+
+    from airbyte_integrations_spark.functions.multimodal import (
+        decode_audio_meta,
+        decode_image_meta,
+        frame_sample,
+    )
+
+    bad = spark.createDataFrame(
+        [
+            (1, bytearray(b"AUD1xxxxxxxxyyyyyyyyyyyy")),  # non-digit fields
+            (2, bytearray(b"AUD100000000000000000000000")),  # rate 0
+            (3, bytearray(b"AUD1")),  # truncated
+            (4, bytearray(b"IMG1ab")),  # truncated/garbage image
+            (5, bytearray(b"VID1notdigit")),  # garbage video
+        ],
+        ["doc_id", "blob"],
+    )
+    a = {r["doc_id"]: r for r in decode_audio_meta(bad).collect()}
+    assert a[1]["format"] == "unknown" and a[2]["format"] == "unknown"
+    assert a[3]["format"] == "unknown"
+    i = decode_image_meta(bad.filter(F.col("doc_id") == 4)).collect()[0]
+    assert i["format"] == "unknown" and i["width"] == 0
+    # garbage VID1 rows are skipped, not fatal
+    assert frame_sample(bad.filter(F.col("doc_id") == 5)).count() == 0

@@ -86,6 +86,49 @@ def test_stream_sync_converges_and_is_exactly_once(spark, tmp_path):
     assert sorted(live2["url"]) == sorted(want2["url"])
 
 
+def test_stream_sync_on_run_sync_table_retains_tombstones_through_compact(
+    spark, tmp_path
+):
+    """The mixed lifecycle: a table CREATED by run_sync (no
+    keep_tombstones prop) later tailed by stream_sync with compaction.
+    The first stream merge must make the prop durable, or compact()
+    silently drops the retained tombstone and a stale pre-delete image
+    resurrects the key."""
+    from airbyte_integrations_spark.streaming.microbatch import run_sync
+
+    base = gen_change_events(spark, 300, n_urls=15).select(*COLS)
+    table = LakeTable(spark, str(tmp_path / "lake"))
+    cfg = SyncConfig(stream="pages", n_buckets=2)
+    run_sync(spark, base, table, cfg, max_events_per_epoch=300,
+             extract_missing_text=False)
+    assert not table.props().get("keep_tombstones")
+
+    url = base.first()["url"]
+    tomb = base.limit(1).select(
+        F.lit(url).alias("url"), "warc_ts", F.lit(None).cast("string").alias("text"),
+        "lang", F.lit(5000).cast("long").alias("_ab_cdc_lsn"),
+        "_ab_cdc_updated_at", F.current_timestamp().alias("_ab_cdc_deleted_at"),
+        F.lit("zz-t").alias("_airbyte_ab_id"), "_airbyte_emitted_at",
+    )
+    stale = base.limit(1).select(
+        F.lit(url).alias("url"), "warc_ts", F.lit("ghost").alias("text"),
+        "lang", F.lit(4000).cast("long").alias("_ab_cdc_lsn"),
+        "_ab_cdc_updated_at", F.lit(None).cast("timestamp").alias("_ab_cdc_deleted_at"),
+        F.lit("aa-s").alias("_airbyte_ab_id"), "_airbyte_emitted_at",
+    )
+    log = str(tmp_path / "slog")
+    _one_file_slices(tomb.unionByName(stale), log,
+                     ["_ab_cdc_lsn = 5000", "_ab_cdc_lsn = 4000"])
+    # compact_threshold=1 forces a compaction after every batch — the
+    # hostile schedule for tombstone retention
+    q = stream_sync(spark, log, table, cfg, str(tmp_path / "ck"),
+                    max_files_per_trigger=1, compact_threshold=1)
+    q.awaitTermination()
+
+    assert table.props().get("keep_tombstones") is True
+    assert table.read_live().filter(F.col("url") == url).count() == 0
+
+
 def test_stream_sync_late_predelete_cannot_resurrect(spark, tmp_path):
     """Arbitrary arrival order: batch 1 carries a high-lsn tombstone,
     batch 2 a stale pre-delete image for the same key. The retained

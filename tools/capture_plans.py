@@ -170,9 +170,9 @@ def main() -> None:
         "HashAggregate(partial_sum/count/max) on doc_id",
     )
 
-    # TF-IDF top terms: the 1-row corpus count must broadcast (no
-    # shuffle for the scalar), and neither tf nor df aggregation may
-    # skip the partial (map-side) step.
+    # TF-IDF top terms: both tf and df aggregations must partial-
+    # aggregate map-side, and the plan must contain no extra scan (no
+    # corpus-count crossJoin — a constant factor can't change ranking).
     import __spark_entry__ as ent
 
     tmp_docs = docs.withColumn("n_chars", F.length("text"))
@@ -182,10 +182,9 @@ def main() -> None:
         ._jdf.queryExecution().executedPlan().toString()
     )
     check(
-        "tfidf: corpus count broadcast, tf/df aggs map-side partial",
-        "BroadcastNestedLoopJoin" in tplan and tplan.count("partial_count") >= 2,
-        "BroadcastNestedLoopJoin (1-row n_docs) + partial_count in tf and df "
-        "HashAggregates",
+        "tfidf: tf/df aggs map-side partial, no dead corpus-count join",
+        tplan.count("partial_count") >= 2 and "NestedLoop" not in tplan,
+        "partial_count in tf and df HashAggregates; no BroadcastNestedLoopJoin",
     )
 
     out = ["# PLANS — physical-plan evidence (generated by tools/capture_plans.py)", ""]
