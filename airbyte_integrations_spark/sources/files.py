@@ -32,7 +32,7 @@ def list_files(root: str, suffix: str = "") -> list[tuple[str, datetime]]:
     return sorted(out, key=lambda t: (t[1], t[0]))
 
 
-SUPPORTED_FORMATS = ("parquet", "csv", "json", "text", "avro")
+SUPPORTED_FORMATS = ("parquet", "csv", "json", "text", "avro", "orc", "feather")
 
 
 def read_files_incremental(
@@ -71,6 +71,17 @@ def read_files_incremental(
         df = read_avro(spark, [p for p, _m in files]).withColumnRenamed(
             PATH_COL, URL_COL
         )
+    elif fmt == "feather":
+        # Arrow IPC/Feather (the reference's source-file pandas engine,
+        # client.py "feather" branch) — no Spark datasource exists, so
+        # decode executor-side like avro: binaryFile ships each file to
+        # a worker, pyarrow reads the IPC buffer, rows return
+        # Arrow-batched. One file = one task.
+        if options:
+            raise ValueError(
+                f"feather reader accepts no options; got {sorted(options)}"
+            )
+        df = _read_feather(spark, [p for p, _m in files])
     else:
         reader = spark.read
         for k, v in options.items():
@@ -85,3 +96,29 @@ def read_files_incremental(
         mtime_expr[F.regexp_replace(F.col(URL_COL), "^file:/+", "/")],
     )
     return df, new_state
+
+
+def _read_feather(spark: SparkSession, paths: list[str]) -> DataFrame:
+    """Distributed Feather/Arrow-IPC read via binaryFile + mapInPandas.
+
+    The driver reads only the FIRST file's schema (pyarrow reads
+    metadata lazily); each file's bytes are decoded on an executor.
+    All files must share the first file's schema."""
+    import io
+
+    import pyarrow as pa
+    import pyarrow.feather as feather
+    from pyspark.sql.pandas.types import from_arrow_schema
+
+    arrow_schema = feather.read_table(paths[0]).schema
+    out_schema = from_arrow_schema(arrow_schema).add(URL_COL, "string", False)
+
+    def decode(batches):
+        for pdf in batches:
+            for path, content in zip(pdf["path"], pdf["content"]):
+                out = feather.read_feather(pa.BufferReader(bytes(content)))
+                out[URL_COL] = path
+                yield out
+
+    bf = spark.read.format("binaryFile").load(paths).select("path", "content")
+    return bf.mapInPandas(decode, out_schema)

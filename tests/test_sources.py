@@ -176,3 +176,43 @@ def test_csv_options_parity(spark, tmp_path):
         spark, g, "csv", None, suffix=".csv.gz", header=True, inferSchema=True
     )
     assert dfz.collect()[0]["name"] == "zed"
+
+
+def test_orc_and_feather_formats(spark, tmp_path):
+    """orc (native Spark datasource) and feather (Arrow IPC decoded
+    executor-side, the reference source-file pandas-engine branch) both
+    flow through the same mtime-cursor incremental contract."""
+    import time
+
+    import pandas as pd
+
+    from airbyte_integrations_spark.sources.files import CURSOR_COL, URL_COL
+
+    # --- orc
+    d = str(tmp_path / "orc_src")
+    gen_pages(spark, 6).select("url", "lang").coalesce(1).write.orc(d)
+    df_orc, state = read_files_incremental(spark, d, "orc", None, suffix=".orc")
+    assert df_orc.count() == 6 and {URL_COL, CURSOR_COL} <= set(df_orc.columns)
+
+    # --- feather
+    f = str(tmp_path / "feather_src")
+    os.makedirs(f)
+    for i in range(2):
+        pdf = pd.DataFrame({"id": [i * 10 + 1, i * 10 + 2], "name": [f"a{i}", f"b{i}"]})
+        p = os.path.join(f, f"part{i}.feather")
+        pdf.to_feather(p)
+        os.utime(p, (time.time() - 60 + i * 10,) * 2)
+    df_fe, st = read_files_incremental(spark, f, "feather", None, suffix=".feather")
+    assert df_fe.count() == 4
+    assert sorted(r["id"] for r in df_fe.collect()) == [1, 2, 11, 12]
+    assert df_fe.select(URL_COL).distinct().count() == 2
+
+    # incremental resume picks up only the newer file
+    p3 = os.path.join(f, "part2.feather")
+    pd.DataFrame({"id": [99], "name": ["z"]}).to_feather(p3)
+    df2, st2 = read_files_incremental(spark, f, "feather", st)
+    assert df2.count() == 1 and st2 > st
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="no options"):
+        read_files_incremental(spark, f, "feather", None, header=True)
