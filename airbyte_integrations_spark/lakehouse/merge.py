@@ -12,7 +12,7 @@ guard emerges from the ordering itself).
 
 Physical plan, designed for the 10^10-event point:
 
-1. batch winners: associative max-by-ordering groupBy on url
+1. batch winners: associative max-by-ordering groupBy on the key
    (map-side partial agg => hot-key safe) — operators/dedup.winner_agg.
 2. touched buckets = distinct bucket ids of winners (metadata-sized).
 3. semi-join reduction (reference's `new_data_ids` CTE,
@@ -26,7 +26,11 @@ Physical plan, designed for the 10^10-event point:
 
 Schema evolution is resolved first: target schema = union-by-name with
 widening casts of (table schema, batch schema); both sides conformed
-before the union (SURVEY §2.9).
+before the union (SURVEY §2.9). A widening the parquet reader cannot
+serve over existing files (e.g. int -> string; see
+schema.parquet_read_compatible) forces a FULL rewrite of every bucket
+in the same commit — otherwise the committed manifest schema would
+make untouched old files unreadable.
 """
 
 from __future__ import annotations
@@ -42,7 +46,7 @@ from airbyte_integrations_spark.operators.dedup import (
     winner_window,
 )
 
-from airbyte_integrations_spark.schema import merge_schemas
+from airbyte_integrations_spark.schema import incompatible_widenings, merge_schemas
 
 # Interchangeable batch-winner implementations (operators/dedup.py);
 # equivalence-tested in tests/test_dedup.py. "agg" (associative
@@ -74,12 +78,18 @@ def merge_into(
     keep_tombstones: bool = False,
     mode: str = "cow",
     dedup_impl: str = "agg",
+    key: tuple[str, ...] = ("url",),
+    n_buckets: int = 32,
 ) -> int:
     """Apply one micro-batch; returns the committed snapshot version.
 
     Exactly-once: if (stream, epoch) is already in the commit log the
     call is a no-op (BufferedStreamConsumer.java:39-57 state-after-
     commit rule, keyed by epoch instead of STATE message).
+
+    `key`/`n_buckets` take effect at table CREATION (the first epoch);
+    an existing table's manifest values win thereafter — a bucket/key
+    layout cannot change under committed data.
 
     mode:
       "cow" — copy-on-write: touched buckets rewritten; reads are raw
@@ -102,22 +112,12 @@ def merge_into(
         # tombstones and a stale pre-delete image could resurrect keys.
         table.want_props(keep_tombstones=True)
 
-    if mode == "mor" and table.exists():
-        key = table.key_cols()
-        target_schema = merge_schemas(table.schema, batch.schema)
-        winners = batch_winners(
-            conform(batch, target_schema), key, cursor, secondary, ab_id
-        )
-        if transform_winners is not None:
-            winners = conform(transform_winners(winners), target_schema)
-        return table.append_deltas(
-            winners, stream, epoch, epoch_meta,
-            order={"cursor": cursor, "secondary": list(secondary), "ab_id": ab_id},
-        )
-
     if not table.exists():
+        missing = [k for k in key if k not in batch.columns]
+        if missing:
+            raise ValueError(f"batch is missing primary-key column(s) {missing}")
         winners = batch_winners(
-            batch, ("url",), cursor, secondary, ab_id,
+            batch, key, cursor, secondary, ab_id,
             drop_tombstones=not keep_tombstones,
         )
         if transform_winners is not None:
@@ -130,12 +130,36 @@ def merge_into(
                 "order": {"cursor": cursor, "secondary": list(secondary), "ab_id": ab_id},
             }
         return table.create(
-            winners, ("url",), 32, stream, epoch, epoch_meta, props=props
+            winners, key, n_buckets, stream, epoch, epoch_meta, props=props
         )
 
     key = table.key_cols()
     n_buckets = table.n_buckets
+    missing = [k for k in key if k not in batch.columns]
+    if missing:
+        # conform() would null-backfill the key and collapse the whole
+        # batch into one null-key winner — data loss with a committed
+        # epoch. Fail loudly instead.
+        raise ValueError(
+            f"batch is missing the table's primary-key column(s) {missing}"
+        )
     target_schema = merge_schemas(table.schema, batch.schema)
+    # Widenings the parquet reader cannot serve over existing files
+    # (schema.py matrix) force a full rewrite in this same commit.
+    needs_rewrite = incompatible_widenings(table.schema, target_schema)
+
+    if mode == "mor" and not needs_rewrite:
+        order = {"cursor": cursor, "secondary": list(secondary), "ab_id": ab_id}
+        if not table.props().get("order"):
+            # COW-created table switched to MoR: the resolution order
+            # must be durable before any read_resolved/compact uses it.
+            table.want_props(mor=True, order=order)
+        winners = batch_winners(
+            conform(batch, target_schema), key, cursor, secondary, ab_id
+        )
+        if transform_winners is not None:
+            winners = conform(transform_winners(winners), target_schema)
+        return table.append_deltas(winners, stream, epoch, epoch_meta, order=order)
 
     winners = batch_winners(conform(batch, target_schema), key, cursor, secondary, ab_id)
     if transform_winners is not None:
@@ -151,6 +175,7 @@ def merge_into(
     if not touched:
         # Empty batch: still record the epoch (empty-sync state emission,
         # CdcSourceTest.testNoData semantics).
+        winners.unpersist()
         return table.replace_buckets(
             conform(batch.limit(0), target_schema),
             [],
@@ -160,7 +185,15 @@ def merge_into(
             epoch_meta,
         )
 
-    has_deltas = bool(table.manifest().get("deltas"))
+    m = table.manifest()
+    if needs_rewrite:
+        # Every existing bucket must be rewritten under the new schema
+        # (old physical types can't be scanned under it after commit).
+        existing = {int(b) for b in m.get("files", {})}
+        existing |= {int(b) for b in m.get("deltas", {})}
+        touched = sorted(existing | set(touched))
+
+    has_deltas = bool(m.get("deltas"))
     # A COW merge over a table carrying MoR deltas first resolves them
     # (the rewrite folds the touched buckets' deltas into the new base;
     # replace_buckets drops their manifest entries).
@@ -200,7 +233,13 @@ def merge_into(
     # (aligned=True); only the merged rows — O(batch keys) — pay the
     # repartition. This halves the MERGE's disk traffic: the dominant
     # cost at scale is moving the carried payload once, not twice.
-    parts = [(carried, not has_deltas), (merged, False)]
+    # Alignment holds ONLY when the carried side never shuffled: a
+    # broadcast anti-join preserves the bucket-pure scan partitioning,
+    # but the shuffled-hash fallback re-keys partitions by Spark's key
+    # hash — writing it unaligned would fan each task across buckets
+    # (partitions x buckets tiny files). Shuffled path repartitions.
+    carried_aligned = (not has_deltas) and bool(broadcast_keys)
+    parts = [(carried, carried_aligned), (merged, False)]
     try:
         return table.replace_buckets(
             parts, touched, target_schema, stream, epoch, epoch_meta

@@ -53,6 +53,7 @@ def apply_scd_batch(
 ) -> int:
     """Apply one batch to the SCD history table; returns the committed
     snapshot version. Idempotent per epoch via the commit log."""
+    max_broadcast_keys = 2_000_000
     if epoch is not None and table.exists() and table.is_epoch_committed(stream, epoch):
         return table.current_version()
 
@@ -65,7 +66,15 @@ def apply_scd_batch(
     )
     batch = conform(batch, target_input_schema)
 
-    keys_df = F.broadcast(batch.select(*key).distinct())
+    # Same size-guarded broadcast decision as merge_into: broadcast the
+    # key set for typical epochs (carried payload stays shuffle-free),
+    # degrade to a shuffled hash join past max_broadcast_keys instead of
+    # OOMing the driver on a 10^8-key backfill.
+    keys_df = batch.select(*key).distinct()
+    if keys_df.limit(max_broadcast_keys + 1).count() <= max_broadcast_keys:
+        keys_df = F.broadcast(keys_df)
+    else:
+        keys_df = keys_df.hint("shuffle_hash")
     winners_bucket = batch.withColumn("_bucket", bucket_expr(key, table.n_buckets))
     touched = [
         r["_bucket"] for r in winners_bucket.select("_bucket").distinct().collect()
@@ -88,7 +97,11 @@ def apply_scd_batch(
     # delete+insert by unique_key_scd: drop previously-stored rows whose
     # scd key reappears in the result (the prev-active row re-emitted
     # with an updated end_at/active flag, or an exact-duplicate event).
-    result_keys = F.broadcast(rewindowed.select("_airbyte_unique_key_scd").distinct())
+    result_keys = rewindowed.select("_airbyte_unique_key_scd").distinct()
+    if result_keys.limit(max_broadcast_keys + 1).count() <= max_broadcast_keys:
+        result_keys = F.broadcast(result_keys)
+    else:
+        result_keys = result_keys.hint("shuffle_hash")
     survivors = prev_inactive.join(result_keys, ["_airbyte_unique_key_scd"], "left_anti")
 
     out_schema = merge_schemas(table.schema, rewindowed.schema)

@@ -35,7 +35,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from airbyte_integrations_spark.schema import merge_schemas
+from airbyte_integrations_spark.schema import incompatible_widenings, merge_schemas
 
 META_DIR = "_meta"
 DATA_DIR = "data"
@@ -102,9 +102,13 @@ class LakeTable:
         if not self.exists():
             return None
         eps = self.committed_epochs(stream)
-        if not eps:
+        # Epochs committed by non-lsn writers (stream_sync batch ids,
+        # scd applies) carry no to_lsn; they don't advance the LSN
+        # watermark but must not crash resume on a mixed-lifecycle table.
+        bounds = [int(e["to_lsn"]) for e in eps.values() if "to_lsn" in e]
+        if not bounds:
             return None
-        return max(int(e["to_lsn"]) for e in eps.values())
+        return max(bounds)
 
     def _commit(self, manifest: dict) -> int:
         meta = os.path.join(self.root, META_DIR)
@@ -189,8 +193,8 @@ class LakeTable:
 
     # ---------- table operations ----------
 
-    def props(self) -> dict:
-        return self.manifest().get("props", {}) if self.exists() else {}
+    def props(self, version: int | None = None) -> dict:
+        return self.manifest(version).get("props", {}) if self.exists() else {}
 
     def read_live(self, **kw) -> DataFrame:
         """Visible rows: winner-resolves merge-on-read deltas and
@@ -199,7 +203,10 @@ class LakeTable:
         if self.manifest(kw.get("version")).get("deltas"):
             return self.read_resolved(**kw)
         df = self.read(**kw)
-        if self.props().get("keep_tombstones") and "_ab_cdc_deleted_at" in df.columns:
+        if (
+            self.props(kw.get("version")).get("keep_tombstones")
+            and "_ab_cdc_deleted_at" in df.columns
+        ):
             return df.filter(F.col("_ab_cdc_deleted_at").isNull())
         return df
 
@@ -246,7 +253,17 @@ class LakeTable:
         if stream is not None and epoch is not None and self.is_epoch_committed(stream, epoch):
             return self.current_version()
         m = self.manifest()
-        target = merge_schemas(T.StructType.fromJson(m["schema"]), df.schema)
+        old_schema = T.StructType.fromJson(m["schema"])
+        target = merge_schemas(old_schema, df.schema)
+        bad = incompatible_widenings(old_schema, target)
+        if bad:
+            # Committing this schema would make existing files
+            # unreadable; append never rewrites, so refuse — the COW
+            # merge path handles such widenings with a full rewrite.
+            raise ValueError(
+                f"append cannot widen {bad} over existing files; "
+                "use the copy-on-write merge path"
+            )
         df = conform(df, target)
         files = self._write_files(df, int(m["n_buckets"]), tuple(m["key"]))
         new_files = {b: list(ps) for b, ps in m["files"].items()}
@@ -350,7 +367,14 @@ class LakeTable:
                 base = winners.filter(F.col("_ab_cdc_deleted_at").isNull())
             return self.create(base, ("url",), 32, stream, epoch, epoch_meta, props=props)
         m = self.manifest()
-        target = merge_schemas(T.StructType.fromJson(m["schema"]), winners.schema)
+        old_schema = T.StructType.fromJson(m["schema"])
+        target = merge_schemas(old_schema, winners.schema)
+        bad = incompatible_widenings(old_schema, target)
+        if bad:
+            raise ValueError(
+                f"append_deltas cannot widen {bad} over existing files; "
+                "merge_into routes such epochs through the COW rewrite"
+            )
         files = self._write_files(
             conform(winners, target), int(m["n_buckets"]), tuple(m["key"])
         )
@@ -386,8 +410,8 @@ class LakeTable:
             *[os.path.join(self.root, p) for p in paths]
         )
 
-    def _order(self) -> dict:
-        return self.props().get("order") or {
+    def _order(self, version: int | None = None) -> dict:
+        return self.props(version).get("order") or {
             "cursor": "_ab_cdc_lsn",
             "secondary": ["_ab_cdc_updated_at", "_airbyte_emitted_at"],
             "ab_id": "_airbyte_ab_id",
@@ -409,12 +433,15 @@ class LakeTable:
         if not m.get("deltas"):
             out = base
         else:
-            o = self._order()
+            o = self._order(version)
             out = winner_agg(
                 base.unionByName(self.read_deltas(buckets, version)),
                 tuple(m["key"]), o["cursor"], tuple(o["secondary"]), o["ab_id"],
             )
-        if "_ab_cdc_deleted_at" in out.columns and not self.props().get("keep_tombstones"):
+        if (
+            "_ab_cdc_deleted_at" in out.columns
+            and not self.props(version).get("keep_tombstones")
+        ):
             out = out.filter(F.col("_ab_cdc_deleted_at").isNull())
         return out
 

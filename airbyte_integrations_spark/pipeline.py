@@ -43,5 +43,7 @@ def apply_batch(
             epoch_meta=epoch_meta,
             cursor=config.cursor_field[0],
             secondary=config.secondary_order,
+            key=config.primary_key,
+            n_buckets=config.n_buckets,
         )
     raise ValueError(f"unknown destination sync mode: {mode}")

@@ -115,3 +115,39 @@ def merge_schemas(old: T.StructType, new: T.StructType) -> T.StructType:
             # additive column: old rows are null-backfilled
             fields[f.name] = T.StructField(f.name, f.dataType, True)
     return T.StructType(list(fields.values()))
+
+
+# Parquet widened-read compatibility (Spark 4.1 vectorized reader),
+# verified empirically in this environment: integer upcasts, small-int
+# -> double, float -> double read fine against old files; everything
+# involving boolean, -> float, long -> double and -> string does NOT
+# (FAILED_READ_FILE.PARQUET_COLUMN_DATA_TYPE_MISMATCH). A widening
+# outside this set therefore requires rewriting existing files, or the
+# committed manifest schema would make old buckets unreadable.
+_PARQUET_WIDEN_OK = {
+    ("byte", "short"), ("byte", "integer"), ("byte", "long"), ("byte", "double"),
+    ("short", "integer"), ("short", "long"), ("short", "double"),
+    ("integer", "long"), ("integer", "double"),
+    ("float", "double"),
+}
+
+
+def parquet_read_compatible(old: T.DataType, new: T.DataType) -> bool:
+    """Can parquet files written with physical type `old` be scanned
+    under read schema `new` without a rewrite?"""
+    if old == new:
+        return True
+    return (old.typeName(), new.typeName()) in _PARQUET_WIDEN_OK
+
+
+def incompatible_widenings(
+    old_schema: T.StructType, target_schema: T.StructType
+) -> list[tuple[str, str, str]]:
+    """Columns whose old->target type change cannot be served by the
+    parquet reader over existing files -> [(name, old, new)]."""
+    old = {f.name: f.dataType for f in old_schema.fields}
+    out = []
+    for f in target_schema.fields:
+        if f.name in old and not parquet_read_compatible(old[f.name], f.dataType):
+            out.append((f.name, old[f.name].simpleString(), f.dataType.simpleString()))
+    return out

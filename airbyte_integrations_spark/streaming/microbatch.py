@@ -47,8 +47,18 @@ def plan_epochs(
 ) -> list[Epoch]:
     """Deterministic epoch slicing of the unread log tail.
 
-    Assumes lsn values are dense-ish; correctness only needs
-    monotonicity — a sparse lsn space just yields smaller epochs.
+    The LSN-axis slice width is derived from the tail's observed
+    density — width = ceil(span * max_events_per_epoch / n) — so the
+    epoch COUNT is ~n / max_events_per_epoch regardless of how sparse
+    the lsn space is. A naive fixed width of max_events_per_epoch would
+    explode on a WAL gap (Postgres lsn advances from unrelated traffic:
+    a 10^12 gap above the watermark would mean ~10^6 empty epochs, each
+    scanning the log and committing a snapshot). Correctness needs only
+    that slices are disjoint, monotone, and above the watermark — the
+    boundaries are deterministic in (watermark, min, max, count), so a
+    crashed-and-restarted run re-plans identical epochs for the same
+    unread tail. Density skew inside the span only unbalances epoch
+    SIZES, never correctness (the winner rule is order-free).
     """
     lo = from_lsn if from_lsn is not None else -(2**62)
     tail = events.filter(F.col(lsn_col) > F.lit(lo))
@@ -57,12 +67,17 @@ def plan_epochs(
     ).collect()[0]
     if row["n"] == 0:
         return []
-    lo_seen, hi = int(row["lo"]), int(row["hi"])
+    lo_seen, hi, n = int(row["lo"]), int(row["hi"]), int(row["n"])
     start = lo if from_lsn is not None else lo_seen - 1
+    span = hi - start
+    # Dense tail (span == n): width == max_events_per_epoch exactly —
+    # identical plans to the fixed-width scheme. Sparse tail: width
+    # scales with span/n so the epoch count stays ~n/max_events.
+    width = max(span * max_events_per_epoch // n, 1)
     epochs: list[Epoch] = []
     cur = start
     while cur < hi:
-        to = min(cur + max_events_per_epoch, hi)
+        to = min(cur + width, hi)
         epochs.append(Epoch(epoch_id=cur, from_lsn=cur, to_lsn=to))
         cur = to
     return epochs
@@ -115,6 +130,8 @@ def run_sync(
             transform_winners=transform,
             mode=config.write_mode,
             dedup_impl=config.dedup_impl,
+            key=config.primary_key,
+            n_buckets=config.n_buckets,
         )
     # Maintenance: bound small files (COW keeps touched buckets at ~1
     # file, but skewed batches and appends fragment; at the 10^10 point

@@ -93,6 +93,8 @@ def stream_sync(
             keep_tombstones=True,  # arbitrary arrival order: see module doc
             mode=config.write_mode,
             dedup_impl=config.dedup_impl,
+            key=config.primary_key,
+            n_buckets=config.n_buckets,
         )
         if compact_threshold is not None:
             table.compact(max_files_per_bucket=compact_threshold)

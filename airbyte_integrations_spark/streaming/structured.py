@@ -61,6 +61,8 @@ def start_stream(
             cursor=lsn_col,
             secondary=config.secondary_order,
             transform_winners=transform,
+            key=config.primary_key,
+            n_buckets=config.n_buckets,
         )
 
     reader = spark.readStream.schema(schema).parquet(log_dir)
