@@ -939,8 +939,13 @@ def q_docs_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     sig = register_persist(minhash_signature(docs, "doc_id", "text", shingles_df=sh))
     pairs = lsh_candidate_pairs(sig, "doc_id")
     jac = jaccard_pairs(docs, pairs, "doc_id", "text", shingles_df=sh)
+    # multiply-then-divide on the INTEGER columns, the same op order as
+    # the DuckDB oracle — divide-then-multiply can land one ulp below
+    # an exact integer and flip the floor at the >= 500 cut.
     return jac.select(
-        "id_a", "id_b", F.floor(F.col("jaccard") * 1000).cast("long").alias("jaccard_m")
+        "id_a",
+        "id_b",
+        F.floor(F.col("n_inter") * 1000.0 / F.col("n_union")).cast("long").alias("jaccard_m"),
     ).filter(F.col("jaccard_m") >= 500)
 
 

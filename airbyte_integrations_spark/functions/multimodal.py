@@ -29,14 +29,21 @@ IMAGE_META_SCHEMA = (
 
 
 def fake_image_payload(ident: Column, width: Column, height: Column) -> Column:
-    """Deterministic synthetic binary image payload (JVM-side)."""
+    """Deterministic synthetic binary image payload (JVM-side).
+
+    Fixed-width fields bound the range (width/height < 10^4); lpad
+    would silently truncate larger values into a wrong-but-parseable
+    header, so out-of-range inputs null the payload — the same rule as
+    the video/audio encoders."""
+    w_ok = width.isNotNull() & (width > 0) & (width < 10_000)
+    h_ok = height.isNotNull() & (height > 0) & (height < 10_000)
     hdr = F.concat(
         F.encode(F.lit("IMG1"), "UTF-8"),
         F.encode(F.lpad(width.cast("string"), 4, "0"), "UTF-8"),
         F.encode(F.lpad(height.cast("string"), 4, "0"), "UTF-8"),
         F.encode(F.md5(ident.cast("string")), "UTF-8"),
     )
-    return hdr
+    return F.when(w_ok & h_ok, hdr)
 
 
 def _parse_one(b: bytes | None, strict: bool) -> tuple[int, str, int, int]:

@@ -121,6 +121,8 @@ def jaccard_pairs(
         .select(
             "id_a",
             "id_b",
+            F.col("n_inter"),
+            (F.col("na") + F.col("nb") - F.col("n_inter")).alias("n_union"),
             (F.col("n_inter") / (F.col("na") + F.col("nb") - F.col("n_inter"))).alias(
                 "jaccard"
             ),

@@ -75,27 +75,33 @@ def _rank_struct(
 ) -> Column:
     """Total-order struct whose max == the window winner.
 
-    Field order mirrors the ORDER BY; every field is non-null:
-    (cursor IS NOT NULL, coalesce(cursor, MIN), *coalesce(secondary,
-    epoch0), ab_id, payload...). Timestamps are compared as-is after
-    coalescing to a floor value.
+    Field order mirrors the ORDER BY; every ordering value is paired
+    with an IS NOT NULL flag, so NULLs sort strictly below every real
+    value of ANY dtype — exactly Spark's `desc()` NULLS LAST that
+    winner_window uses. (A coalesce-to-a-floor-constant alone is wrong
+    for bounded dtypes: cast(LONG_MIN as int) wraps, and booleans have
+    no value below false — the flag makes the floor constant
+    ordering-irrelevant.)
     """
     dtypes = dict(df.dtypes)
 
     def _floor(dt: str) -> Column:
+        # Only a type-correct placeholder: the paired flag already
+        # decided the ordering whenever the value was NULL.
         if dt in ("timestamp", "timestamp_ntz"):
             return F.lit("0001-01-01 00:00:00").cast(dt)
         if dt == "date":
             return F.lit("0001-01-01").cast("date")
         if dt == "string":
             return F.lit("")
-        return F.lit(LONG_MIN).cast(dt)
+        return F.lit(0).cast(dt)
 
     fields: list[Column] = [
         F.col(cursor).isNotNull().alias("_nn"),
         F.coalesce(F.col(cursor), _floor(dtypes[cursor])).alias("_cur"),
     ]
     for i, c in enumerate(secondary):
+        fields.append(F.col(c).isNotNull().alias(f"_nn{i}"))
         fields.append(F.coalesce(F.col(c), _floor(dtypes[c])).alias(f"_s{i}"))
     fields.append(F.col(ab_id).alias("_ab"))
     payload = [c for c in df.columns if c != ab_id]
@@ -158,7 +164,9 @@ def winner_join(
         .agg(F.max(cursor).alias("__mc"))
         .select(*[F.col(k).alias(f"__k{i}") for i, k in enumerate(key)], "__mc")
     )
-    cond = [F.col(k) == F.col(f"__k{i}") for i, k in enumerate(key)]
+    # null-safe: a NULL-key group's rows must survive the join-back
+    # (plain equality drops them; winner_window/winner_agg keep them)
+    cond = [F.col(k).eqNullSafe(F.col(f"__k{i}")) for i, k in enumerate(key)]
     cond.append(F.col(cursor).eqNullSafe(F.col("__mc")))
     pred = cond[0]
     for c in cond[1:]:

@@ -36,8 +36,19 @@ def scd2(
     updated_at: str = "_ab_cdc_updated_at",
     log_pos: str = "_ab_cdc_log_pos",
 ) -> DataFrame:
+    # Reference window ordering (pos_dedup_cdcx_scd.sql:70-84):
+    # cursor IS NULL ASC, cursor DESC, updated_at DESC,
+    # [_ab_cdc_log_pos DESC,] emitted_at DESC — when the stream carries
+    # log_pos it joins the ORDER BY between updated_at and emitted_at,
+    # not only the duplicate-collapse key.
+    sec = list(secondary)
+    if log_pos in df.columns and log_pos not in sec:
+        try:
+            sec.insert(sec.index(updated_at) + 1, log_pos)
+        except ValueError:
+            sec.insert(0, log_pos)
     order = [F.col(cursor).isNull().asc(), F.col(cursor).desc()]
-    order += [F.col(c).desc() for c in secondary]
+    order += [F.col(c).desc() for c in sec]
     order.append(F.col(ab_id).desc())
     w = Window.partitionBy(*key).orderBy(*order)
 

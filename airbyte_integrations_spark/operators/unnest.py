@@ -51,9 +51,24 @@ def unnest_stream(
                 *[F.col(f"{name}.{f.name}").alias(f.name) for f in dt.fields],
             )
         out[name] = child
-        # recurse with the child's parent-id column as linkage
+        # Recurse with a PER-CHILD-ROW id (the reference's per-row
+        # `_airbyte_<child>_hashid`, stream_processor.py:631-660):
+        # md5(parent_id ~ index) distinguishes sibling array elements,
+        # so a grandchild row links to the exact child element it came
+        # from — reusing the grandparent id would collapse siblings
+        # into one ambiguous linkage key.
+        if "_airbyte_index" in child.columns:
+            child_id = F.md5(
+                F.concat_ws(
+                    "~",
+                    F.col("_airbyte_parent_id"),
+                    F.col("_airbyte_index").cast("string"),
+                )
+            )
+        else:  # struct child: one row per parent row
+            child_id = F.col("_airbyte_parent_id")
         for sub, sdf in unnest_stream(
-            child.withColumn("_airbyte_ab_id", F.col("_airbyte_parent_id")), parent_id="_airbyte_ab_id"
+            child.withColumn("_airbyte_ab_id", child_id), parent_id="_airbyte_ab_id"
         ).items():
             if sub not in ("_airbyte_parent_id",):
                 out[f"{name}.{sub}"] = sdf

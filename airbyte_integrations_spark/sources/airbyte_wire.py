@@ -51,6 +51,15 @@ def read_messages(spark: SparkSession, path: str) -> DataFrame:
         F.from_json("value", ENVELOPE).alias("m"),
         F.get_json_object("value", "$.record.data").alias("_airbyte_data"),
         F.get_json_object("value", "$.state").alias("_state_blob"),
+        # File/line order must be reconstructible: monotonically_
+        # increasing_id alone encodes the PARTITION index, and Spark
+        # packs splits largest-first, so across files it does not follow
+        # file order. Carry the file metadata + in-file block offset;
+        # _line_id then only breaks ties within one contiguous block,
+        # where it does increase with line order.
+        F.col("_metadata.file_modification_time").alias("_file_mtime"),
+        F.col("_metadata.file_path").alias("_file"),
+        F.col("_metadata.file_block_start").alias("_block_start"),
         F.monotonically_increasing_id().alias("_line_id"),
     )
     return env.select(
@@ -65,6 +74,9 @@ def read_messages(spark: SparkSession, path: str) -> DataFrame:
         F.col("m.record.stream").alias("stream"),
         F.col("m.type").alias("type"),
         F.col("_state_blob"),
+        F.col("_file_mtime"),
+        F.col("_file"),
+        F.col("_block_start"),
         F.col("_line_id"),
     )
 
@@ -75,7 +87,12 @@ def latest_state(messages: DataFrame) -> str | None:
     the latest committed STATE; ordering = file/line order)."""
     rows = (
         messages.filter(F.col("type") == "STATE")
-        .orderBy(F.col("_line_id").desc())
+        .orderBy(
+            F.col("_file_mtime").desc(),
+            F.col("_file").desc(),
+            F.col("_block_start").desc(),
+            F.col("_line_id").desc(),
+        )
         .limit(1)
         .collect()
     )

@@ -88,8 +88,18 @@ def read_files_incremental(
             reader = reader.option(k, v)
         df = reader.format(fmt).load([p for p, _m in files])
         df = df.withColumn(URL_COL, F.input_file_name())
+    # input_file_name()/binaryFile return percent-encoded URIs; a file
+    # named "my data.csv" comes back as .../my%20data.csv. Key the map
+    # under both the raw path and its URI-quoted form so special
+    # characters never orphan the cursor.
+    from urllib.parse import quote
+
+    entries = {}
+    for p, m2 in mtime_map.items():
+        entries[p] = m2
+        entries.setdefault(quote(p, safe="/"), m2)
     mtime_expr = F.create_map(
-        *[x for p, m in mtime_map.items() for x in (F.lit(p), F.lit(m))]
+        *[x for p, m2 in entries.items() for x in (F.lit(p), F.lit(m2))]
     )
     df = df.withColumn(
         CURSOR_COL,

@@ -166,12 +166,16 @@ def cursor_literal(value, jdbc_type: str) -> str:
     if t in ("BIT", "BOOLEAN"):
         return "TRUE" if value in (True, 1, "true", "TRUE", "1") else "FALSE"
     s = str(value).replace("'", "''")
+    # ANSI typed-literal form (TIMESTAMP '...'), which PostgreSQL,
+    # MySQL, Derby and DuckDB all accept — the function-call spelling
+    # TIMESTAMP('...') is a syntax error on PostgreSQL, the reference's
+    # primary source database.
     if t == "TIMESTAMP":
-        return f"TIMESTAMP('{s}')" if " " in s or "T" in s else f"'{s}'"
+        return f"TIMESTAMP '{s}'"
     if t == "DATE":
-        return f"DATE('{s}')"
+        return f"DATE '{s}'"
     if t == "TIME":
-        return f"TIME('{s}')"
+        return f"TIME '{s}'"
     return f"'{s}'"
 
 

@@ -65,8 +65,10 @@ def test_cursor_literal_strict_typing():
     assert cursor_literal(42, "BIGINT") == "42"
     assert cursor_literal(1.5, "DOUBLE") == "1.5"
     assert cursor_literal("o'brien", "VARCHAR") == "'o''brien'"
-    assert cursor_literal("2024-01-02", "DATE") == "DATE('2024-01-02')"
-    assert cursor_literal("2024-01-02 03:04:05", "TIMESTAMP") == "TIMESTAMP('2024-01-02 03:04:05')"
+    # ANSI typed-literal spelling: TIMESTAMP('...') is a syntax error
+    # on PostgreSQL; TIMESTAMP '...' works on Postgres/MySQL/Derby
+    assert cursor_literal("2024-01-02", "DATE") == "DATE '2024-01-02'"
+    assert cursor_literal("2024-01-02 03:04:05", "TIMESTAMP") == "TIMESTAMP '2024-01-02 03:04:05'"
     assert cursor_literal(True, "BOOLEAN") == "TRUE"
     # numeric path validates: a string checkpoint that isn't a number
     # (e.g. injection) must raise, never reach the database
@@ -251,3 +253,8 @@ def test_jdbc_read_slices_predicates(spark, derby):
     )
     assert df.rdd.getNumPartitions() == 2
     assert df.count() == 100
+
+    # the ANSI typed literal executes database-side
+    ts = cl("2023-12-31 00:00:00", "TIMESTAMP")
+    assert src.read_slices([f"UPDATED_AT > {ts}"]).count() == 100
+    assert src.read_slices([f"UPDATED_AT < {ts}"]).count() == 0
