@@ -166,16 +166,19 @@ def cursor_literal(value, jdbc_type: str) -> str:
     if t in ("BIT", "BOOLEAN"):
         return "TRUE" if value in (True, 1, "true", "TRUE", "1") else "FALSE"
     s = str(value).replace("'", "''")
-    # ANSI typed-literal form (TIMESTAMP '...'), which PostgreSQL,
-    # MySQL, Derby and DuckDB all accept — the function-call spelling
-    # TIMESTAMP('...') is a syntax error on PostgreSQL, the reference's
-    # primary source database.
+    # JDBC escape syntax ({ts '...'}/{d '...'}/{t '...'}): the driver
+    # itself rewrites it into the dialect's literal, so the SAME
+    # predicate works on PostgreSQL (which rejects TIMESTAMP('...')),
+    # Derby (which rejects the ANSI TIMESTAMP '...' spelling), MySQL
+    # and MSSQL. These predicates always travel through a JDBC
+    # connection (read_slices), where escape processing is on by
+    # default — the portable choice for a JDBC-source module.
     if t == "TIMESTAMP":
-        return f"TIMESTAMP '{s}'"
+        return f"{{ts '{s}'}}"
     if t == "DATE":
-        return f"DATE '{s}'"
+        return f"{{d '{s}'}}"
     if t == "TIME":
-        return f"TIME '{s}'"
+        return f"{{t '{s}'}}"
     return f"'{s}'"
 
 

@@ -65,10 +65,11 @@ def test_cursor_literal_strict_typing():
     assert cursor_literal(42, "BIGINT") == "42"
     assert cursor_literal(1.5, "DOUBLE") == "1.5"
     assert cursor_literal("o'brien", "VARCHAR") == "'o''brien'"
-    # ANSI typed-literal spelling: TIMESTAMP('...') is a syntax error
-    # on PostgreSQL; TIMESTAMP '...' works on Postgres/MySQL/Derby
-    assert cursor_literal("2024-01-02", "DATE") == "DATE '2024-01-02'"
-    assert cursor_literal("2024-01-02 03:04:05", "TIMESTAMP") == "TIMESTAMP '2024-01-02 03:04:05'"
+    # JDBC escape syntax: driver-rewritten to the dialect's literal
+    # (PostgreSQL rejects TIMESTAMP('...'), Derby rejects TIMESTAMP
+    # '...'; {ts '...'} works on both — pinned live on Derby below)
+    assert cursor_literal("2024-01-02", "DATE") == "{d '2024-01-02'}"
+    assert cursor_literal("2024-01-02 03:04:05", "TIMESTAMP") == "{ts '2024-01-02 03:04:05'}"
     assert cursor_literal(True, "BOOLEAN") == "TRUE"
     # numeric path validates: a string checkpoint that isn't a number
     # (e.g. injection) must raise, never reach the database
