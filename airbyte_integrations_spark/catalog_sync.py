@@ -1,0 +1,329 @@
+"""Multi-stream catalog orchestration: the reference's
+`AbstractSource.read(config, catalog, state)` loop re-expressed over
+LakeTable sinks.
+
+Reference parity:
+
+- `AbstractDbSource.read` walks the ConfiguredAirbyteCatalog and
+  builds the incremental iterators FIRST, then the full-refresh ones
+  (`source-relational-db/.../AbstractDbSource.java:135-140` — "data
+  syncs in the incremental stage ... full_refresh streams are
+  traversed after"), concatenating them into one ordered read.
+- Each stream's records flow through its own configured
+  (sync_mode, destination_sync_mode) pair — the pipeline.apply_batch
+  matrix — into its own destination table.
+- One protocol STATE message (PER_STREAM arm, airbyte_protocol.yaml:
+  71-108) is emitted after each stream's DURABLE commit, carrying the
+  state of every stream known so far — the CDK's per-stream state
+  cadence with the reference's state-after-commit rule
+  (BufferedStreamConsumer.java:175-193): nothing is emitted that is
+  not already recoverable from the sink's commit log.
+- Resume: the sink commit logs ARE the state of record (exactly-once
+  epochs). An incoming `state` document (the pinned wire shape) seeds
+  streams whose tables have no commits yet — the reference's
+  state-input path for a fresh destination.
+
+Spark-first notes: each stream is one bounded `run_sync` /
+`apply_batch` plan — declarative DataFrame reads (JDBC pushdown, file
+pruning, parquet scan) per stream; the catalog loop itself is
+metadata-only driver code.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+from datetime import datetime
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from airbyte_integrations_spark.config import DestinationSyncMode, SyncConfig, SyncMode
+from airbyte_integrations_spark.connector import resume_lsn
+from airbyte_integrations_spark.lakehouse.table import LakeTable
+from airbyte_integrations_spark.pipeline import apply_batch
+from airbyte_integrations_spark.streaming.microbatch import run_sync
+
+
+@dataclass(frozen=True)
+class ConfiguredStream:
+    """ConfiguredAirbyteStream analogue: the per-stream SyncConfig plus
+    a declarative source spec telling the loop how to read records.
+
+    source kinds:
+      {"kind": "cdc_log", "path": <parquet dir of change events>}
+      {"kind": "jdbc", "config": JdbcSourceConfig, "key_col": ...,
+       "cursor_col": ..., "deleted_at_col": None}
+      {"kind": "files", "root": ..., "format": ..., "suffix": ...,
+       "options": {...}}
+      {"kind": "dataframe", "df": DataFrame}  (tests / embedded use)
+    """
+
+    config: SyncConfig
+    source: dict = field(default_factory=dict)
+
+
+@dataclass(frozen=True)
+class ConfiguredCatalog:
+    streams: tuple[ConfiguredStream, ...]
+
+
+def ordered_streams(catalog: ConfiguredCatalog) -> list[ConfiguredStream]:
+    """Incremental streams first, then full-refresh, stable within each
+    group (AbstractDbSource.java:135-140 ordering)."""
+    inc = [s for s in catalog.streams if s.config.sync_mode == SyncMode.INCREMENTAL]
+    full = [s for s in catalog.streams if s.config.sync_mode != SyncMode.INCREMENTAL]
+    return inc + full
+
+
+def stream_table(spark: SparkSession, lake_root: str, stream: str) -> LakeTable:
+    return LakeTable(spark, os.path.join(lake_root, stream))
+
+
+# ----------------------------------------------------------- state I/O
+
+
+def _stream_state_blob(table: LakeTable, stream: str) -> dict:
+    if not table.exists():
+        return {"lsn_watermark": None, "n_epochs_committed": 0, "snapshot_version": None}
+    blob = {
+        "lsn_watermark": table.watermark(stream),
+        "n_epochs_committed": len(table.committed_epochs(stream)),
+        "snapshot_version": table.current_version(),
+    }
+    fc = file_mtime_cursor(table, stream)
+    if fc is not None:
+        blob["file_mtime_cursor"] = fc
+    return blob
+
+
+def catalog_state_message(
+    spark: SparkSession, catalog: ConfiguredCatalog, lake_root: str
+) -> dict:
+    """The combined PER_STREAM STATE document: one entry per catalog
+    stream, derived ONLY from the durable commit logs."""
+    return {
+        "type": "STATE",
+        "state": {
+            "state_type": "PER_STREAM",
+            "streams": [
+                {
+                    "name": cs.config.stream,
+                    "state": _stream_state_blob(
+                        stream_table(spark, lake_root, cs.config.stream),
+                        cs.config.stream,
+                    ),
+                }
+                for cs in catalog.streams
+            ],
+        },
+    }
+
+
+def file_mtime_cursor(table: LakeTable, stream: str) -> str | None:
+    """Durable mtime cursor for a file-source stream: the max
+    `file_mtime_cursor` recorded in committed epoch metadata (the
+    commit log plays StateManager: state == what was durably applied)."""
+    if not table.exists():
+        return None
+    vals = [
+        m["file_mtime_cursor"]
+        for m in table.committed_epochs(stream).values()
+        if isinstance(m, dict) and "file_mtime_cursor" in m
+    ]
+    return max(vals) if vals else None
+
+
+def _seed_state(state: dict | None, stream: str):
+    """Parse the incoming state document for a stream's seed values
+    (used only when the destination table has no commits yet)."""
+    lsn = resume_lsn(state, stream)
+    mtime = None
+    if state:
+        s = state.get("state", state)
+        try:
+            for entry in s.get("streams", []):
+                if entry.get("name") == stream:
+                    mtime = entry.get("state", {}).get("file_mtime_cursor")
+        except AttributeError:
+            pass
+    return lsn, mtime
+
+
+# ------------------------------------------------------------ the loop
+
+
+def _read_stream_events(
+    spark: SparkSession, cs: ConfiguredStream, table: LakeTable, state: dict | None
+):
+    """Produce (events DataFrame | None, epoch_key | None, epoch_meta)
+    for one stream according to its source kind + sync mode. CDC/JDBC
+    incremental return the full declarative frame (run_sync plans its
+    own epochs above the durable watermark); file sources return one
+    mtime-bounded batch with a deterministic epoch key."""
+    kind = cs.source.get("kind", "cdc_log")
+    cfg = cs.config
+    if kind in ("dataframe", "cdc_log"):
+        ev = (
+            cs.source["df"]
+            if kind == "dataframe"
+            else spark.read.parquet(cs.source["path"])
+        )
+        if cfg.sync_mode == SyncMode.INCREMENTAL and table.watermark(cfg.stream) is None:
+            # fresh destination + incoming state document: start past
+            # the seeded watermark (the filter pushes to the scan)
+            seed, _ = _seed_state(state, cfg.stream)
+            if seed is not None:
+                ev = ev.filter(F.col(cfg.cursor_field[0]) > F.lit(seed))
+        return ev, None, {}
+    if kind == "jdbc":
+        from airbyte_integrations_spark.sources.jdbc import JdbcSource, as_change_events
+
+        src = JdbcSource(spark, cs.source["config"])
+        if cfg.sync_mode == SyncMode.INCREMENTAL:
+            # Resume point: prefer the sink's durable watermark; fall
+            # back to the incoming state document for a fresh table.
+            cursor_col = cs.source["cursor_col"]
+            wm = table.watermark(cfg.stream)
+            if wm is None:
+                wm, _ = _seed_state(state, cfg.stream)
+            ev = as_change_events(
+                # watermark filtering happens below in lsn space (after
+                # as_change_events normalizes the cursor); the DB-side
+                # pushdown of `cursor > ?` needs the raw cursor value,
+                # which the lsn watermark does not round-trip for
+                # timestamps — so filter the normalized frame; Catalyst
+                # still pushes the comparison into the JDBC scan when
+                # the cursor is numeric.
+                src.read_full(),
+                key_col=cs.source["key_col"],
+                cursor_col=cursor_col,
+                updated_at_col=cs.source.get("updated_at_col"),
+                deleted_at_col=cs.source.get("deleted_at_col"),
+            )
+            if wm is not None:
+                ev = ev.filter(F.col("_ab_cdc_lsn") > F.lit(wm))
+            return ev, None, {}
+        return src.read_full(), None, {}
+    if kind == "files":
+        from airbyte_integrations_spark.sources.files import read_files_incremental
+
+        st = file_mtime_cursor(table, cfg.stream)
+        if st is None:
+            st, seeded = None, _seed_state(state, cfg.stream)[1]
+            st = seeded
+        st_dt = datetime.fromisoformat(st) if isinstance(st, str) else st
+        df, new_state = read_files_incremental(
+            spark,
+            cs.source["root"],
+            fmt=cs.source.get("format", "parquet"),
+            state=st_dt,
+            suffix=cs.source.get("suffix", ""),
+            **cs.source.get("options", {}),
+        )
+        if df is None:
+            return None, None, {}
+        iso = new_state.isoformat()
+        # deterministic, collision-proof epoch key: re-running the same
+        # file batch is a no-op (exactly-once for file syncs too)
+        return df, f"files:{iso}", {"file_mtime_cursor": iso}
+    raise ValueError(f"unknown source kind: {kind!r}")
+
+
+def read_catalog(
+    spark: SparkSession,
+    catalog: ConfiguredCatalog,
+    lake_root: str,
+    state: dict | None = None,
+    max_events_per_epoch: int = 1_000_000,
+    extract_missing_text: bool = False,
+    on_stream_committed=None,
+) -> list[dict]:
+    """Sync every configured stream; returns the emitted STATE messages
+    (one combined PER_STREAM document after each stream's commit).
+
+    Killing this loop at ANY point and re-running converges: completed
+    streams re-apply as epoch no-ops, the interrupted stream resumes
+    from its durable watermark, and unstarted streams run fresh.
+    `on_stream_committed(stream_name)` is a test hook fired after each
+    stream's durable commit (crash injection)."""
+    messages: list[dict] = []
+    for cs in ordered_streams(catalog):
+        cfg = cs.config
+        table = stream_table(spark, lake_root, cfg.stream)
+        events, epoch_key, epoch_meta = _read_stream_events(spark, cs, table, state)
+        if events is not None:
+            if (
+                cfg.sync_mode == SyncMode.INCREMENTAL
+                and cfg.destination_sync_mode == DestinationSyncMode.APPEND_DEDUP
+                and epoch_key is None
+            ):
+                # lsn-sliced exactly-once replay with resume
+                run_sync(
+                    spark,
+                    events,
+                    table,
+                    cfg,
+                    max_events_per_epoch=max_events_per_epoch,
+                    extract_missing_text=extract_missing_text,
+                )
+            else:
+                # full refresh / append paths: one batch through the
+                # (sync_mode, destination_sync_mode) matrix
+                if (
+                    epoch_key is None
+                    and cfg.destination_sync_mode == DestinationSyncMode.OVERWRITE
+                ):
+                    # overwrite truncates (create has no committed-skip),
+                    # so a constant key is safe; it marks the snapshot in
+                    # the fresh manifest's commit log for state reporting
+                    epoch_key = "full:0"
+                apply_batch(table, events, cfg, epoch=epoch_key, epoch_meta=epoch_meta)
+        msg = catalog_state_message(spark, catalog, lake_root)
+        messages.append(msg)
+        if on_stream_committed is not None:
+            on_stream_committed(cfg.stream)
+    return messages
+
+
+def jdbc_streams_from_discovery(
+    spark: SparkSession,
+    url: str,
+    driver: str | None = None,
+    cursor_overrides: dict[str, str] | None = None,
+    n_buckets: int = 8,
+) -> list[ConfiguredStream]:
+    """Build ConfiguredStreams from live DatabaseMetaData discovery
+    (AbstractJdbcSource.discoverInternal -> ConfiguredAirbyteCatalog):
+    source-defined primary key from getPrimaryKeys; streams with a
+    cursor override become incremental/append_dedup, the rest
+    full_refresh/overwrite."""
+    from airbyte_integrations_spark.sources.jdbc import JdbcSourceConfig, discover_tables
+
+    out = []
+    for name, meta in discover_tables(spark, url, driver=driver).items():
+        pk = tuple(meta.get("primary_key") or ())
+        cursor = (cursor_overrides or {}).get(name)
+        incremental = cursor is not None and bool(pk)
+        cfg = SyncConfig(
+            stream=name.replace(".", "_").lower(),
+            primary_key=("url",) if incremental else (pk or ("url",)),
+            sync_mode=SyncMode.INCREMENTAL if incremental else SyncMode.FULL_REFRESH,
+            destination_sync_mode=(
+                DestinationSyncMode.APPEND_DEDUP
+                if incremental
+                else DestinationSyncMode.OVERWRITE
+            ),
+            n_buckets=n_buckets,
+        )
+        source = {
+            "kind": "jdbc",
+            "config": JdbcSourceConfig(
+                url=url, table=meta["table"] if not meta.get("schema") else f"{meta['schema']}.{meta['table']}", driver=driver
+            ),
+        }
+        if incremental:
+            source["key_col"] = pk[0]
+            source["cursor_col"] = cursor
+        out.append(ConfiguredStream(config=cfg, source=source))
+    return out

@@ -215,8 +215,19 @@ def merge_into(
         keys_df = F.broadcast(keys_df)
     else:
         keys_df = keys_df.hint("shuffle_hash")
-    carried = current.join(keys_df, list(key), "left_anti")
-    contested = current.join(keys_df, list(key), "left_semi")
+    # Null-safe split, matching winner_join's NULL-key semantics: with
+    # plain equality a NULL-key base row would survive the anti-join
+    # (carried) while the NULL-key batch winner also lands via merged —
+    # two live rows for one key group. <=> keeps it one. Catalyst still
+    # plans both sides as a single Broadcast/ShuffledHashJoin (null-safe
+    # equality is a valid hash key), so the carried-aligned write path
+    # is unaffected.
+    split_cond = None
+    for k in key:
+        c = current[k].eqNullSafe(keys_df[k])
+        split_cond = c if split_cond is None else (split_cond & c)
+    carried = current.join(keys_df, split_cond, "left_anti")
+    contested = current.join(keys_df, split_cond, "left_semi")
 
     # contested + batch winners are <= 2 rows per contested key — the
     # exact window is cheap here and resolves ordering ties precisely.

@@ -246,10 +246,15 @@ class LakeTable:
         stream: str | None = None,
         epoch: int | None = None,
         epoch_meta: dict | None = None,
+        key: tuple[str, ...] = ("url",),
+        n_buckets: int = 32,
     ) -> int:
-        """incremental + append: add files, never rewrite."""
+        """incremental + append: add files, never rewrite. `key`/
+        `n_buckets` take effect only at table CREATION (first append);
+        the manifest's values win thereafter — same contract as
+        merge_into."""
         if not self.exists():
-            return self.create(df, ("url",), 32, stream, epoch, epoch_meta)
+            return self.create(df, key, n_buckets, stream, epoch, epoch_meta)
         if stream is not None and epoch is not None and self.is_epoch_committed(stream, epoch):
             return self.current_version()
         m = self.manifest()

@@ -94,8 +94,18 @@ def sync_summary(spark: SparkSession, table) -> DataFrame:
         F.sum("n_deletes").alias("n_deletes"),
         F.count("*").alias("n_partitions"),
     )
+    # Commit keys are either numeric lsn epochs or "stream:<batch_id>"
+    # (stream_sync's collision-proof namespace); the latter map to the
+    # lineage table's numeric metrics label STREAM_EPOCH_BASE+batch_id.
+    from airbyte_integrations_spark.streaming.stream_sync import STREAM_EPOCH_BASE
+
+    def _epoch_num(e: str) -> int:
+        if e.startswith("stream:"):
+            return STREAM_EPOCH_BASE + int(e.split(":", 1)[1])
+        return int(e)
+
     committed = [
-        (s, int(e))
+        (s, _epoch_num(e))
         for s, eps in table.manifest().get("committed", {}).items()
         for e in eps
     ]

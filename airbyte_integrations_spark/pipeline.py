@@ -33,7 +33,10 @@ def apply_batch(
             batch, config.primary_key, config.n_buckets, config.stream, epoch, epoch_meta
         )
     if mode == DestinationSyncMode.APPEND:
-        return table.append(batch, config.stream, epoch, epoch_meta)
+        return table.append(
+            batch, config.stream, epoch, epoch_meta,
+            key=config.primary_key, n_buckets=config.n_buckets,
+        )
     if mode == DestinationSyncMode.APPEND_DEDUP:
         return merge_into(
             table,

@@ -272,13 +272,15 @@ def read_avro(spark: SparkSession, paths: list[str]) -> DataFrame:
     import pandas as pd
 
     # Probe 1 MB for the header; a container whose metadata block is
-    # larger truncates mid-varint (IndexError/KeyError from the
-    # decoder) — fall back to reading the whole first file.
+    # larger truncates mid-varint (IndexError/KeyError) OR mid-value —
+    # the short avro.schema bytes then raise json.JSONDecodeError
+    # (a ValueError) or UnicodeDecodeError — fall back to reading the
+    # whole first file in every truncation shape.
     with open(paths[0], "rb") as f:
         head = f.read(1 << 20)
     try:
         schema = read_avro_header(head)[0]
-    except (IndexError, KeyError):
+    except (IndexError, KeyError, ValueError, UnicodeDecodeError):
         with open(paths[0], "rb") as f:
             schema = read_avro_header(f.read())[0]
     out_schema = avro_spark_schema(schema).add(PATH_COL, T.StringType(), False)

@@ -165,7 +165,29 @@ def cursor_literal(value, jdbc_type: str) -> str:
         return repr(value)
     if t in ("BIT", "BOOLEAN"):
         return "TRUE" if value in (True, 1, "true", "TRUE", "1") else "FALSE"
-    s = str(value).replace("'", "''")
+    s = str(value)
+    if "\\" in s:
+        # Quote-doubling alone is not portable: with MySQL's default
+        # (NO_BACKSLASH_ESCAPES off) a value ending in \ turns the
+        # rendered '...\'' into an escaped quote and the predicate
+        # breaks out of the literal. Doubling the backslash instead
+        # would corrupt the value on standard-conforming dialects
+        # (Postgres, Derby), so the only dialect-safe rendering is to
+        # reject such values — no legitimate temporal cursor contains
+        # one, and string cursors with backslashes must come through
+        # bound parameters, not interpolated slices.
+        raise ValueError(
+            f"cursor value {value!r} contains a backslash; not safely "
+            "renderable as a cross-dialect SQL literal"
+        )
+    if t in ("TIMESTAMP", "DATE", "TIME"):
+        # Temporal values have a closed character set; enforcing it is
+        # stronger than escaping (nothing to escape can get through).
+        import re as _re
+
+        if not _re.fullmatch(r"[0-9T:. +\-]+", s):
+            raise ValueError(f"{value!r} is not a valid {t} cursor literal")
+    s = s.replace("'", "''")
     # JDBC escape syntax ({ts '...'}/{d '...'}/{t '...'}): the driver
     # itself rewrites it into the dialect's literal, so the SAME
     # predicate works on PostgreSQL (which rejects TIMESTAMP('...')),
@@ -407,9 +429,13 @@ def as_change_events(
     table into a LakeTable exactly like a WAL tail:
 
     - `url`          <- key_col (the engine's PK column)
-    - `_ab_cdc_lsn`  <- cursor_col cast to long (the total order; for
+    - `_ab_cdc_lsn`  <- cursor_col as long (the total order; for
       non-CDC incremental the cursor plays the lsn's role, mirroring
-      the reference's cursor-based dedup)
+      the reference's cursor-based dedup). TIMESTAMP cursors map via
+      `unix_micros`, NOT a plain long cast: casting collapses to
+      whole seconds, so same-second updates would tie and fall to the
+      arbitrary md5 ab_id tiebreak — microseconds keep the database's
+      own update order.
     - `_ab_cdc_updated_at` / `_ab_cdc_deleted_at` <- optional columns
     - `_airbyte_ab_id` <- md5(key ~ cursor): deterministic, so a
       re-read of the same row dedups instead of forking winners
@@ -423,9 +449,15 @@ def as_change_events(
         "_airbyte_ab_id", "_airbyte_emitted_at",
     }
     payload = [c for c in df.columns if c not in (key_col, cursor_col) and c not in sys_cols]
+    cursor_dtype = dict(df.dtypes).get(cursor_col, "")
+    lsn_expr = (
+        F.unix_micros(F.col(cursor_col))
+        if cursor_dtype.startswith("timestamp")
+        else F.col(cursor_col).cast("long")
+    )
     cols = [
         F.col(key_col).cast("string").alias("url"),
-        F.col(cursor_col).cast("long").alias("_ab_cdc_lsn"),
+        lsn_expr.alias("_ab_cdc_lsn"),
         (
             F.col(updated_at_col) if updated_at_col else F.lit(None)
         ).cast("timestamp").alias("_ab_cdc_updated_at"),

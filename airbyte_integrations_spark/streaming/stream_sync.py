@@ -34,10 +34,20 @@ from airbyte_integrations_spark.lakehouse.merge import merge_into
 from airbyte_integrations_spark.lakehouse.table import LakeTable
 from airbyte_integrations_spark.lineage import compute_lineage, write_lineage
 
-# Stream epochs are batch_id-keyed and live in a namespace above any
-# lsn-keyed run_sync epoch, so the two modes cannot collide if a table
-# sees both during its lifetime.
+# Commit-log epochs are string keys in the manifest; stream batches
+# use the "stream:<batch_id>" prefix so they live in a disjoint key
+# space from run_sync's lsn-keyed epochs. (A numeric offset like 2^44
+# is NOT safe: Postgres LSNs are 64-bit WAL byte positions and exceed
+# 2^44 on long-lived clusters — a collision would make run_sync's
+# is_epoch_committed skip an uncommitted lsn slice.) Lineage keeps a
+# numeric epoch column for metrics; stream batches label it
+# STREAM_EPOCH_BASE + batch_id, which is display-only, never consulted
+# for exactly-once.
 STREAM_EPOCH_BASE = 2**44
+
+
+def stream_epoch_key(batch_id: int) -> str:
+    return f"stream:{int(batch_id)}"
 
 
 def stream_sync(
@@ -69,7 +79,7 @@ def stream_sync(
     events = reader.parquet(log_dir)
 
     def apply_batch(batch, batch_id: int) -> None:
-        epoch = STREAM_EPOCH_BASE + int(batch_id)
+        epoch = stream_epoch_key(batch_id)
         if table.is_epoch_committed(config.stream, epoch):
             return  # checkpoint replay of an already-durable batch
         if batch.isEmpty():
@@ -79,8 +89,9 @@ def stream_sync(
             if extract_missing_text and "html" in batch.columns
             else None
         )
-        lineage = compute_lineage(batch, config.stream, epoch, lsn_col)
-        write_lineage(lineage, table.root, epoch)
+        lineage_epoch = STREAM_EPOCH_BASE + int(batch_id)  # metrics label only
+        lineage = compute_lineage(batch, config.stream, lineage_epoch, lsn_col)
+        write_lineage(lineage, table.root, lineage_epoch)
         merge_into(
             table,
             batch,

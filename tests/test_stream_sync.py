@@ -10,10 +10,7 @@ from pyspark.sql import functions as F
 from airbyte_integrations_spark.config import SyncConfig
 from airbyte_integrations_spark.gen import gen_change_events
 from airbyte_integrations_spark.lakehouse.table import LakeTable
-from airbyte_integrations_spark.streaming.stream_sync import (
-    STREAM_EPOCH_BASE,
-    stream_sync,
-)
+from airbyte_integrations_spark.streaming.stream_sync import stream_sync
 from tests.util import duckdb_winners
 
 COLS = [
@@ -50,9 +47,10 @@ def test_stream_sync_converges_and_is_exactly_once(spark, tmp_path):
     )
     q.awaitTermination()
 
-    # one committed epoch per micro-batch, in the stream namespace
-    eps = {int(e) for e in table.committed_epochs("pages")}
-    assert len(eps) == 3 and all(e >= STREAM_EPOCH_BASE for e in eps)
+    # one committed epoch per micro-batch, in the collision-proof
+    # string namespace (a 64-bit WAL position can never equal these)
+    eps = set(table.committed_epochs("pages"))
+    assert len(eps) == 3 and all(e.startswith("stream:") for e in eps)
 
     # live state == batch winner oracle (tombstones filtered)
     live = table.read_live().toPandas()
@@ -69,7 +67,7 @@ def test_stream_sync_converges_and_is_exactly_once(spark, tmp_path):
     )
     q2.awaitTermination()
     assert table.current_version() == v
-    assert {int(e) for e in table.committed_epochs("pages")} == eps
+    assert set(table.committed_epochs("pages")) == eps
 
     # new log files arrive: the restarted stream picks up only them
     more = gen_change_events(spark, 2600, n_urls=80).filter(
