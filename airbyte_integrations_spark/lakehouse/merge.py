@@ -37,6 +37,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from airbyte_integrations_spark.lakehouse.table import LakeTable, bucket_expr, conform
 from airbyte_integrations_spark.operators.dedup import (
@@ -105,13 +106,6 @@ def merge_into(
         return table.current_version()
     batch_winners = DEDUP_IMPLS[dedup_impl]
 
-    if keep_tombstones and table.exists() and not table.props().get("keep_tombstones"):
-        # A retention-requiring writer (stream_sync) attached to a table
-        # created without the prop: make it durable at this commit, or a
-        # later compact()/read path would silently drop the retained
-        # tombstones and a stale pre-delete image could resurrect keys.
-        table.want_props(keep_tombstones=True)
-
     if not table.exists():
         missing = [k for k in key if k not in batch.columns]
         if missing:
@@ -133,8 +127,22 @@ def merge_into(
             winners, key, n_buckets, stream, epoch, epoch_meta, props=props
         )
 
-    key = table.key_cols()
-    n_buckets = table.n_buckets
+    # ONE manifest parse per merge: at the 10^10 point the manifest
+    # (bucket file lists + commit log) is MB-scale JSON; re-parsing it
+    # for every key_cols()/props()/schema accessor was ~8 reads/epoch.
+    m = table.manifest()
+    mprops = m.get("props", {})
+    table_schema = T.StructType.fromJson(m["schema"])
+    key = tuple(m["key"])
+    n_buckets = int(m["n_buckets"])
+
+    if keep_tombstones and not mprops.get("keep_tombstones"):
+        # A retention-requiring writer (stream_sync) attached to a table
+        # created without the prop: make it durable at this commit, or a
+        # later compact()/read path would silently drop the retained
+        # tombstones and a stale pre-delete image could resurrect keys.
+        table.want_props(keep_tombstones=True)
+
     missing = [k for k in key if k not in batch.columns]
     if missing:
         # conform() would null-backfill the key and collapse the whole
@@ -143,14 +151,14 @@ def merge_into(
         raise ValueError(
             f"batch is missing the table's primary-key column(s) {missing}"
         )
-    target_schema = merge_schemas(table.schema, batch.schema)
+    target_schema = merge_schemas(table_schema, batch.schema)
     # Widenings the parquet reader cannot serve over existing files
     # (schema.py matrix) force a full rewrite in this same commit.
-    needs_rewrite = incompatible_widenings(table.schema, target_schema)
+    needs_rewrite = incompatible_widenings(table_schema, target_schema)
 
     if mode == "mor" and not needs_rewrite:
         order = {"cursor": cursor, "secondary": list(secondary), "ab_id": ab_id}
-        if not table.props().get("order"):
+        if not mprops.get("order"):
             # COW-created table switched to MoR: the resolution order
             # must be durable before any read_resolved/compact uses it.
             table.want_props(mor=True, order=order)
@@ -185,7 +193,6 @@ def merge_into(
             epoch_meta,
         )
 
-    m = table.manifest()
     if needs_rewrite:
         # Every existing bucket must be rewritten under the new schema
         # (old physical types can't be scanned under it after commit).
@@ -234,7 +241,7 @@ def merge_into(
     # keep_tombstones mode (or a table created in it) retains delete
     # rows physically so even NON-monotone redelivery of a pre-delete
     # image cannot resurrect a key; read_live() hides them.
-    retain = keep_tombstones or bool(table.props().get("keep_tombstones"))
+    retain = keep_tombstones or bool(mprops.get("keep_tombstones"))
     merged = winner_window(
         contested.unionByName(wb), key, cursor, secondary, ab_id,
         drop_tombstones=not retain,

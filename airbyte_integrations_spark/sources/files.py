@@ -32,7 +32,7 @@ def list_files(root: str, suffix: str = "") -> list[tuple[str, datetime]]:
     return sorted(out, key=lambda t: (t[1], t[0]))
 
 
-SUPPORTED_FORMATS = ("parquet", "csv", "json", "text", "avro", "orc", "feather")
+SUPPORTED_FORMATS = ("parquet", "csv", "json", "text", "avro", "orc", "feather", "html")
 
 
 def read_files_incremental(
@@ -70,6 +70,30 @@ def read_files_incremental(
             )
         df = read_avro(spark, [p for p, _m in files]).withColumnRenamed(
             PATH_COL, URL_COL
+        )
+    elif fmt == "html":
+        # Reference: source-file's read_html branch (client.py:282,
+        # pandas table scraping). Engine mapping: one row per html
+        # FILE — raw bytes in `html` plus the canonical byte-stable
+        # text extraction (the same vectorized Arrow UDF the CDC
+        # winner path uses), so downstream operators see the
+        # (url, html, text) shape of the pages table. binaryFile
+        # ships each file to an executor; nothing is parsed on the
+        # driver.
+        if options:
+            raise ValueError(
+                f"html reader accepts no options; got {sorted(options)}"
+            )
+        from airbyte_integrations_spark.functions.extract import extract_text
+
+        df = (
+            spark.read.format("binaryFile")
+            .load([p for p, _m in files])
+            .select(
+                F.col("path").alias(URL_COL),
+                F.col("content").alias("html"),
+            )
+            .withColumn("text", extract_text(F.col("html")))
         )
     elif fmt == "feather":
         # Arrow IPC/Feather (the reference's source-file pandas engine,

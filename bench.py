@@ -113,6 +113,32 @@ def bench_stateful_stream(spark, n_events: int, n_urls: int) -> dict:
     return {"sec": dt, "events_per_sec": n_events / dt}
 
 
+def bench_stream_sync(spark, n_events: int, n_urls: int) -> dict:
+    """Unbounded-mode ingest: Structured Streaming foreachBatch ->
+    epoch-keyed MERGE (streaming/stream_sync.py), drained with
+    availableNow over a multi-file log — the continuous-CDC complement
+    to the bounded run_sync replay."""
+    from airbyte_integrations_spark.streaming.stream_sync import stream_sync
+
+    base = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    root = tempfile.mkdtemp(prefix="bench_stream_", dir=base)
+    log = os.path.join(root, "log")
+    gen_change_events(spark, n_events, n_urls=n_urls).select(
+        *BENCH_COLS
+    ).repartition(8).write.parquet(log)
+    table = LakeTable(spark, os.path.join(root, "lake"))
+    cfg = SyncConfig(stream="pages", n_buckets=64, write_mode="mor")
+    t0 = time.perf_counter()
+    q = stream_sync(
+        spark, log, table, cfg, os.path.join(root, "ck"),
+        max_files_per_trigger=4, available_now=True,
+    )
+    q.awaitTermination()
+    dt = time.perf_counter() - t0
+    shutil.rmtree(root, ignore_errors=True)
+    return {"sec": dt, "events_per_sec": n_events / dt}
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -159,6 +185,12 @@ def main() -> None:
     )
     timings["stateful_live_view"] = round(stateful["sec"], 3)
 
+    # continuous-ingest mode (stream_sync: foreachBatch MERGE, MoR)
+    streamed = bench_stream_sync(
+        spark, max(n_events // 4, 100_000), n_urls=max(n_events // 80, 1000)
+    )
+    timings["stream_sync_ingest"] = round(streamed["sec"], 3)
+
     out = {
         "metric": "change-events/sec sustained MERGE-apply (CDC replay into lake table)",
         "value": round(max(merge["events_per_sec"], merge_mor["events_per_sec"]), 1),
@@ -173,6 +205,7 @@ def main() -> None:
         "events_per_sec_mor": round(merge_mor["events_per_sec"], 1),
         "events_per_sec_with_extraction": round(merge_x["events_per_sec"], 1),
         "events_per_sec_stateful_view": round(stateful["events_per_sec"], 1),
+        "events_per_sec_stream_sync": round(streamed["events_per_sec"], 1),
         "cpus": cpus,
     }
     # Attach the last recorded N->4N scaling evidence (protocol +
@@ -220,6 +253,7 @@ def main() -> None:
         "events_per_sec_mor": out["events_per_sec_mor"],
         "events_per_sec_with_extraction": out["events_per_sec_with_extraction"],
         "events_per_sec_stateful_view": out["events_per_sec_stateful_view"],
+        "events_per_sec_stream_sync": out["events_per_sec_stream_sync"],
         "scaling_efficiency_N_to_4N": out.get("scaling_efficiency_N_to_4N"),
         "bench_events": out["bench_events"],
         "cpus": out["cpus"],

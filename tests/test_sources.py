@@ -216,3 +216,42 @@ def test_orc_and_feather_formats(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="no options"):
         read_files_incremental(spark, f, "feather", None, header=True)
+
+
+def test_file_source_html(spark, tmp_path):
+    """html branch (source-file client.py:282 read_html analogue):
+    one row per file with raw bytes + the canonical byte-stable text
+    extraction, mtime-cursor incremental like every other format."""
+    from airbyte_integrations_spark.functions.extract import extract_text_py
+
+    d = str(tmp_path / "web")
+    os.makedirs(d)
+    pages = {
+        "a.html": "<html><head><style>p{}</style></head>"
+                  "<body><h1>Title &amp; more</h1><p>Body A</p></body></html>",
+        "b.html": "<html><script>var x=1;</script><p>Body&nbsp;B</p></html>",
+    }
+    for name, content in pages.items():
+        with open(os.path.join(d, name), "w") as f:
+            f.write(content)
+    df, s1 = read_files_incremental(spark, d, "html", None, suffix=".html")
+    rows = {os.path.basename(r["_ab_source_file_url"]): r for r in df.collect()}
+    assert set(rows) == {"a.html", "b.html"}
+    for name, r in rows.items():
+        assert bytes(r["html"]).decode() == pages[name]
+        # byte-identical to the scalar oracle of the SAME rule the CDC
+        # path uses — scripts/styles dropped, entities unescaped
+        assert r["text"] == extract_text_py(pages[name].encode())
+        assert r["_ab_source_file_last_modified"] is not None
+    assert rows["a.html"]["text"] == "Title & more Body A"
+    assert rows["b.html"]["text"] == "Body B"
+
+    # mtime cursor: nothing new => None; a new file => only it
+    df2, s2 = read_files_incremental(spark, d, "html", s1, suffix=".html")
+    assert df2 is None and s2 == s1
+    time.sleep(1.1)
+    with open(os.path.join(d, "c.html"), "w") as f:
+        f.write("<p>late</p>")
+    df3, s3 = read_files_incremental(spark, d, "html", s1, suffix=".html")
+    assert df3.count() == 1 and s3 > s1
+    assert df3.first()["text"] == "late"
