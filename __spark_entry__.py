@@ -1408,6 +1408,83 @@ GROUP BY 1, 2, 3
 """
 
 
+def q_cdc_catalog_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-stream catalog orchestration through the REAL read loop
+    (catalog_sync.read_catalog — AbstractSource.read /
+    AbstractDbSource.java:135-140 parity): one incremental
+    append_dedup stream and one full-refresh overwrite stream over the
+    same change-event log, synced into per-stream LakeTables with the
+    incremental-first ordering and a combined PER_STREAM STATE per
+    commit. Result: per-stream row count + lsn checksum of the synced
+    tables — must equal the winner-rule / full-log oracles."""
+    import tempfile
+
+    from airbyte_integrations_spark.catalog_sync import (
+        ConfiguredCatalog,
+        ConfiguredStream,
+        read_catalog,
+        stream_table,
+    )
+    from airbyte_integrations_spark.config import (
+        DestinationSyncMode,
+        SyncConfig,
+        SyncMode,
+    )
+
+    tune_session(spark)
+    ce = change_events(spark, sf_dir)
+    hi = ce.agg(F.max("_ab_cdc_lsn")).collect()[0][0]
+    scratch = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    lake_root = tempfile.mkdtemp(prefix="catalog_entry_", dir=scratch)
+    cat = ConfiguredCatalog(
+        streams=(
+            # full-refresh listed FIRST in the catalog but ordered last
+            ConfiguredStream(
+                config=SyncConfig(
+                    stream="snap",
+                    sync_mode=SyncMode.FULL_REFRESH,
+                    destination_sync_mode=DestinationSyncMode.OVERWRITE,
+                    n_buckets=8,
+                ),
+                source={"kind": "dataframe", "df": ce},
+            ),
+            ConfiguredStream(
+                config=SyncConfig(stream="pages", n_buckets=8),
+                source={"kind": "dataframe", "df": ce},
+            ),
+        )
+    )
+    msgs = read_catalog(
+        spark, cat, lake_root, max_events_per_epoch=max(int(hi) // 4, 1)
+    )
+    assert len(msgs) == len(cat.streams)  # one combined STATE per stream
+    pages = stream_table(spark, lake_root, "pages").read()
+    snap = stream_table(spark, lake_root, "snap").read()
+    return pages.agg(
+        F.lit("pages").alias("stream"),
+        F.count("*").alias("n_rows"),
+        F.sum("_ab_cdc_lsn").alias("sum_lsn"),
+    ).unionByName(
+        snap.agg(
+            F.lit("snap").alias("stream"),
+            F.count("*").alias("n_rows"),
+            F.sum("_ab_cdc_lsn").alias("sum_lsn"),
+        )
+    )
+
+
+O_CDC_CATALOG_SYNC = f"""
+WITH {CE_SQL}, {WINNERS_SQL}
+SELECT 'pages' AS stream, count(*) AS n_rows,
+       CAST(sum(_ab_cdc_lsn) AS BIGINT) AS sum_lsn
+FROM w WHERE rn = 1 AND _ab_cdc_deleted_at IS NULL
+UNION ALL
+SELECT 'snap' AS stream, count(*) AS n_rows,
+       CAST(sum(_ab_cdc_lsn) AS BIGINT) AS sum_lsn
+FROM ce
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "cdc_latest_wins": q_cdc_latest_wins,
@@ -1423,6 +1500,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_snapshot_plus_log": q_cdc_snapshot_plus_log,
         "cdc_composite_pk_dedup": q_cdc_composite_pk_dedup,
         "cdc_event_time_rates": q_cdc_event_time_rates,
+        "cdc_catalog_sync": q_cdc_catalog_sync,
         "json_extract_cast": q_json_extract_cast,
         "docs_exact_dedup": q_docs_exact_dedup,
         "docs_fingerprint": q_docs_fingerprint,
@@ -1462,6 +1540,7 @@ def oracle_sql() -> dict[str, str]:
         "cdc_snapshot_plus_log": O_CDC_SNAPSHOT_PLUS_LOG,
         "cdc_composite_pk_dedup": O_CDC_COMPOSITE_PK_DEDUP,
         "cdc_event_time_rates": O_CDC_EVENT_TIME_RATES,
+        "cdc_catalog_sync": O_CDC_CATALOG_SYNC,
         "json_extract_cast": O_JSON_EXTRACT_CAST,
         "docs_exact_dedup": O_DOCS_EXACT_DEDUP,
         "docs_fingerprint": O_DOCS_FINGERPRINT,
