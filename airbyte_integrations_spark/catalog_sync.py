@@ -98,23 +98,45 @@ def _stream_state_blob(table: LakeTable, stream: str) -> dict:
 
 
 def catalog_state_message(
-    spark: SparkSession, catalog: ConfiguredCatalog, lake_root: str
+    spark: SparkSession,
+    catalog: ConfiguredCatalog,
+    lake_root: str,
+    flavor: str = "PER_STREAM",
 ) -> dict:
-    """The combined PER_STREAM STATE document: one entry per catalog
-    stream, derived ONLY from the durable commit logs."""
+    """The combined STATE document, derived ONLY from the durable
+    commit logs. flavor="PER_STREAM" (default): one entry per catalog
+    stream. flavor="GLOBAL": the protocol's other arm — log-based CDC
+    keeps ONE offset for the whole WAL (CdcStateManager.java:13-33),
+    so the blob is the MINIMUM watermark across every stream that has
+    one (resuming a laggard from another stream's higher watermark
+    would skip its events)."""
+    blobs = {
+        cs.config.stream: _stream_state_blob(
+            stream_table(spark, lake_root, cs.config.stream), cs.config.stream
+        )
+        for cs in catalog.streams
+    }
+    if flavor == "GLOBAL":
+        wms = [b["lsn_watermark"] for b in blobs.values() if b["lsn_watermark"] is not None]
+        return {
+            "type": "STATE",
+            "state": {
+                "state_type": "GLOBAL",
+                "global": {
+                    "lsn_watermark": min(wms) if wms else None,
+                    "n_epochs_committed": sum(
+                        b["n_epochs_committed"] for b in blobs.values()
+                    ),
+                    "snapshot_version": None,
+                },
+            },
+        }
     return {
         "type": "STATE",
         "state": {
             "state_type": "PER_STREAM",
             "streams": [
-                {
-                    "name": cs.config.stream,
-                    "state": _stream_state_blob(
-                        stream_table(spark, lake_root, cs.config.stream),
-                        cs.config.stream,
-                    ),
-                }
-                for cs in catalog.streams
+                {"name": name, "state": blob} for name, blob in blobs.items()
             ],
         },
     }

@@ -149,6 +149,19 @@ def main() -> None:
     spark = get_spark("bench", cores=cpus, shuffle_partitions=cpus)
     # JVM/codegen warmup so the first timed query isn't penalized
     spark.read.parquet(f"{sf_dir}/events.parquet").groupBy("event_type").count().collect()
+    # Warm the WRITE path too: parquet committer + lake commit machinery
+    # initialize lazily, and without this the first lake-writing query
+    # (cdc_mor_replay in registry order) absorbs ~10s of one-time init
+    # that belongs to the session, not the operator (measured r3:
+    # 16.8s first run vs 5.7-6.3s warm on an idle box).
+    _wroot = tempfile.mkdtemp(prefix="bench_warm_")
+    _wev = gen_change_events(spark, 20_000, n_urls=500).select(*BENCH_COLS)
+    run_sync(
+        spark, _wev, LakeTable(spark, os.path.join(_wroot, "t")),
+        SyncConfig(stream="pages", n_buckets=8, write_mode="mor"),
+        max_events_per_epoch=10_000, extract_missing_text=False,
+    )
+    shutil.rmtree(_wroot, ignore_errors=True)
 
     timings: dict[str, float] = {}
     for name, fn in ent.queries().items():

@@ -282,3 +282,27 @@ def test_state_seeding_fresh_lake(spark, tmp_path, derby_db):
         assert t2.read().agg(F.min("_ab_cdc_lsn")).first()[0] > wm
     # file stream honored the seeded mtime cursor the same way
     assert not stream_table(spark, lake2, "drops").exists()
+
+
+def test_global_state_flavor_min_watermark(spark, tmp_path, derby_db):
+    """GLOBAL arm: one shared offset for the whole WAL — the MINIMUM
+    watermark across streams (CdcStateManager.java:13-33 single
+    CdcState; resuming a laggard from a higher shared offset would
+    skip its events)."""
+    _ev, log = _cdc_log(spark, tmp_path, "gl")
+    root = _files_root(spark, tmp_path, "gl")
+    cat = _catalog(spark, tmp_path, derby_db, log, root)
+    lake = str(tmp_path / "lake")
+    read_catalog(spark, cat, lake, max_events_per_epoch=300)
+    g = catalog_state_message(spark, cat, lake, flavor="GLOBAL")
+    assert g["state"]["state_type"] == "GLOBAL"
+    per = catalog_state_message(spark, cat, lake)
+    wms = [
+        e["state"]["lsn_watermark"]
+        for e in per["state"]["streams"]
+        if e["state"]["lsn_watermark"] is not None
+    ]
+    assert g["state"]["global"]["lsn_watermark"] == min(wms)
+    assert g["state"]["global"]["n_epochs_committed"] == sum(
+        e["state"]["n_epochs_committed"] for e in per["state"]["streams"]
+    )
