@@ -1485,6 +1485,215 @@ FROM ce
 """
 
 
+# ------------------------------------------------- curation / eventlog (r3)
+
+def q_docs_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: training docs flagged by 5-gram
+    overlap with a held-out eval split (doc_id % 17 == 0 — the
+    deterministic stand-in for a benchmark suite).
+
+    Scale shape: eval grams are benchmark-sized -> DISTINCT + broadcast;
+    the training shingle explosion joins map-side and aggregates with
+    map-side combine — no shuffle of the 10^10-doc side beyond the
+    final per-doc agg."""
+    tune_session(spark)
+    from airbyte_integrations_spark.functions.curation import decontaminate
+
+    docs = load(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    eval_df = docs.filter(F.col("doc_id") % 17 == 0)
+    train = docs.filter(F.col("doc_id") % 17 != 0)
+    return decontaminate(train, eval_df, "doc_id", "text", k=5)
+
+
+O_DOCS_DECONTAMINATE = r"""
+WITH w AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS ws
+  FROM documents WHERE n_chars > 0
+),
+sh AS (
+  SELECT DISTINCT doc_id, array_to_string(ws[p:p + 4], ' ') AS shingle
+  FROM (
+    SELECT doc_id, ws,
+           unnest(generate_series(1, greatest(len(ws) - 4, 1))) AS p
+    FROM w
+  )
+),
+ev AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 17 = 0),
+tr AS (SELECT * FROM sh WHERE doc_id % 17 <> 0)
+SELECT tr.doc_id,
+       count(*) AS n_grams,
+       count(ev.shingle) AS n_hits,
+       CAST(count(ev.shingle) > 0 AS INTEGER) AS is_contaminated
+FROM tr LEFT JOIN ev USING (shingle)
+GROUP BY tr.doc_id
+"""
+
+
+def q_docs_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub: count + mask emails/phones. The synthetic corpus
+    carries no PII, so the query plants deterministic contacts first
+    (doc_id-derived — both engines synthesize the identical string),
+    then runs the shared-regex redactor; the md5 of the masked text is
+    the parity check. Pure codegen projection — scales linearly."""
+    tune_session(spark)
+    from airbyte_integrations_spark.functions.curation import redact_pii
+
+    docs = load(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    planted = docs.withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.when(
+                did % 3 == 0,
+                F.concat(F.lit(" contact user"), did.cast("string"),
+                         F.lit("@example.com")),
+            ).otherwise(F.lit("")),
+            F.when(
+                did % 5 == 0,
+                F.concat(F.lit(" call +1 (555) 010-"),
+                         F.lpad((did % 10000).cast("string"), 4, "0")),
+            ).otherwise(F.lit("")),
+        ),
+    )
+    return redact_pii(planted, "text").select(
+        "doc_id",
+        "n_emails",
+        "n_phones",
+        F.md5(F.col("redacted").cast("binary")).alias("redacted_md5"),
+        F.length("redacted").cast("long").alias("redacted_len"),
+    )
+
+
+O_DOCS_PII_REDACT = r"""
+WITH planted AS (
+  SELECT doc_id,
+         text ||
+         CASE WHEN doc_id % 3 = 0
+              THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+              ELSE '' END ||
+         CASE WHEN doc_id % 5 = 0
+              THEN ' call +1 (555) 010-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+              ELSE '' END AS text
+  FROM documents
+),
+masked AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+         CAST(len(regexp_extract_all(text, '\+[0-9]{1,2} \([0-9]{3}\) [0-9]{3}-[0-9]{4}')) AS BIGINT) AS n_phones,
+         regexp_replace(
+           regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+           '\+[0-9]{1,2} \([0-9]{3}\) [0-9]{3}-[0-9]{4}', '<PHONE>', 'g') AS redacted
+  FROM planted
+)
+SELECT doc_id, n_emails, n_phones,
+       md5(redacted) AS redacted_md5,
+       CAST(len(redacted) AS BIGINT) AS redacted_len
+FROM masked
+"""
+
+
+def q_docs_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization — the normalizer in front of exact URL
+    dedup (utm-tagged duplicates defeat a raw hash-groupBy). URLs are
+    synthesized deterministically from (source, doc_id) with messy
+    case, www, tracking params, and a fragment; the query emits the
+    canonical form + host + registered domain per doc. Projection-only
+    plan; the dedup that follows it is the existing hash-groupBy."""
+    tune_session(spark)
+    from airbyte_integrations_spark.functions.curation import (
+        url_canonicalize,
+        url_host,
+        url_registered_domain,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    url = F.concat(
+        F.lit("http://WWW."), F.col("source"), F.lit(".Example.COM/p/"),
+        did.cast("string"),
+        F.lit("?utm_source=feed&id="), (did % 50).cast("string"),
+        F.lit("&ref=r"), (did % 3).cast("string"),
+        F.lit("&q=x#frag"),
+    )
+    with_url = docs.select("doc_id", url.alias("url"))
+    return with_url.select(
+        "doc_id",
+        url_canonicalize(F.col("url")).alias("canon_url"),
+        url_host(F.col("url")).alias("host"),
+        url_registered_domain(F.col("url")).alias("domain"),
+    )
+
+
+O_DOCS_URL_CANONICAL = r"""
+WITH u AS (
+  SELECT doc_id,
+         'http://WWW.' || source || '.Example.COM/p/' || CAST(doc_id AS VARCHAR)
+         || '?utm_source=feed&id=' || CAST(doc_id % 50 AS VARCHAR)
+         || '&ref=r' || CAST(doc_id % 3 AS VARCHAR) || '&q=x#frag' AS url
+  FROM documents
+),
+parts AS (
+  SELECT doc_id, url,
+         regexp_replace(lower(regexp_extract(url, '^https?://([^/?#]+)', 1)), '^www\.', '') AS host,
+         regexp_extract(url, '^https?://[^/?#]+([^?#]*)', 1) AS path,
+         array_to_string(
+           list_filter(
+             string_split(regexp_extract(url, '\?([^#]*)', 1), '&'),
+             x -> x <> '' AND NOT regexp_matches(x, '^(utm_[a-z]+|ref|fbclid|gclid)=')
+           ), '&') AS kept
+  FROM u
+)
+SELECT doc_id,
+       'https://' || host || path ||
+         CASE WHEN kept <> '' THEN '?' || kept ELSE '' END AS canon_url,
+       host,
+       regexp_extract(host, '([^.]+\.[^.]+)$', 1) AS domain
+FROM parts
+"""
+
+
+def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30 min) of the event log, collapsed to
+    per-session stats. ONE user-keyed shuffle feeds the lag window, the
+    running-sum window, and the final agg (same partitioning reused);
+    value summed as exact integer cents so the hash is order-stable."""
+    tune_session(spark)
+    from airbyte_integrations_spark.operators.sessionize import (
+        session_stats,
+        sessionize,
+    )
+
+    ev = load(spark, sf_dir, "events")
+    sess = sessionize(ev, "user_id", "ts", gap_s=1800, tiebreak_col="event_id")
+    return session_stats(sess, "user_id", "ts", "value")
+
+
+O_EVENTS_SESSIONIZE = r"""
+WITH o AS (
+  SELECT user_id, ts, value, event_id,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+  FROM events
+),
+s AS (
+  SELECT user_id, ts, value,
+         sum(CASE WHEN prev_ts IS NULL
+                   OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000
+                  THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM o
+)
+SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+       count(*) AS n_events,
+       min(epoch_us(ts)) AS start_us,
+       max(epoch_us(ts)) AS end_us,
+       CAST(floor((max(epoch_us(ts)) - min(epoch_us(ts))) / 1000000) AS BIGINT) AS duration_s,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+FROM s GROUP BY user_id, session_id
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "cdc_latest_wins": q_cdc_latest_wins,
@@ -1509,6 +1718,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_repetition": q_docs_repetition,
         "docs_tfidf_top_terms": q_docs_tfidf_top_terms,
         "docs_curation_pipeline": q_docs_curation_pipeline,
+        "docs_decontaminate": q_docs_decontaminate,
+        "docs_pii_redact": q_docs_pii_redact,
+        "docs_url_canonical": q_docs_url_canonical,
+        "events_sessionize": q_events_sessionize,
         "emb_lsh_buckets": q_emb_lsh_buckets,
         "emb_knn_cosine": q_emb_knn_cosine,
         "emb_ann_lsh_topk": q_emb_ann_lsh_topk,
@@ -1549,6 +1762,10 @@ def oracle_sql() -> dict[str, str]:
         "docs_repetition": O_DOCS_REPETITION,
         "docs_tfidf_top_terms": O_DOCS_TFIDF_TOP_TERMS,
         "docs_curation_pipeline": O_DOCS_CURATION_PIPELINE,
+        "docs_decontaminate": O_DOCS_DECONTAMINATE,
+        "docs_pii_redact": O_DOCS_PII_REDACT,
+        "docs_url_canonical": O_DOCS_URL_CANONICAL,
+        "events_sessionize": O_EVENTS_SESSIONIZE,
         "emb_lsh_buckets": O_EMB_LSH_BUCKETS,
         "emb_knn_cosine": O_EMB_KNN_COSINE,
         "emb_ann_lsh_topk": O_EMB_ANN_LSH_TOPK,

@@ -1,0 +1,183 @@
+"""Unit pins for the r3 curation/eventlog operators: decontamination,
+PII redaction, URL canonicalization, sessionization. Each case is a
+hand-computed expectation on a constructed frame (the driver oracle
+covers the corpus-scale parity; these pin the semantic edges)."""
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from airbyte_integrations_spark.functions.curation import (
+    EMAIL_TOKEN,
+    PHONE_TOKEN,
+    decontaminate,
+    redact_pii,
+    url_canonicalize,
+    url_host,
+    url_registered_domain,
+)
+from airbyte_integrations_spark.operators.sessionize import (
+    session_stats,
+    sessionize,
+)
+
+
+# ------------------------------------------------------------ decontaminate
+
+def test_decontaminate_flags_shared_5gram(spark):
+    eval_df = spark.createDataFrame(
+        [Row(doc_id=100, text="the quick brown fox jumps over the lazy dog")]
+    )
+    train = spark.createDataFrame(
+        [
+            # shares "quick brown fox jumps over" (a 5-gram of eval)
+            Row(doc_id=1, text="a quick brown fox jumps over fences daily"),
+            # same words, different order => no shared 5-gram
+            Row(doc_id=2, text="fox brown quick the jumps lazy over dog the"),
+        ]
+    )
+    out = {
+        r["doc_id"]: r
+        for r in decontaminate(train, eval_df, "doc_id", "text", k=5).collect()
+    }
+    assert out[1]["is_contaminated"] == 1 and out[1]["n_hits"] >= 1
+    assert out[2]["is_contaminated"] == 0 and out[2]["n_hits"] == 0
+    # n_grams counts DISTINCT 5-grams: 8 words -> 4 positions
+    assert out[1]["n_grams"] == 4
+
+
+def test_decontaminate_short_doc_single_gram(spark):
+    # fewer than k words: one (short) shingle position, no crash
+    eval_df = spark.createDataFrame([Row(doc_id=9, text="tiny doc")])
+    train = spark.createDataFrame([Row(doc_id=1, text="tiny doc")])
+    row = decontaminate(train, eval_df, "doc_id", "text", k=5).collect()[0]
+    assert row["n_grams"] == 1 and row["is_contaminated"] == 1
+
+
+# ----------------------------------------------------------------- PII
+
+def test_redact_pii_counts_and_masks(spark):
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="mail a.b+c_d%e@sub.Example.org and x@y.io now"),
+            Row(doc_id=2, text="call +1 (555) 010-1234 or +44 (020) 946-0000"),
+            Row(doc_id=3, text="clean text, no pii at all"),
+        ]
+    )
+    out = {r["doc_id"]: r for r in redact_pii(df, "text").collect()}
+    assert out[1]["n_emails"] == 2 and out[1]["n_phones"] == 0
+    assert out[1]["redacted"] == f"mail {EMAIL_TOKEN} and {EMAIL_TOKEN} now"
+    assert out[2]["n_phones"] == 2
+    assert out[2]["redacted"] == f"call {PHONE_TOKEN} or {PHONE_TOKEN}"
+    assert out[3]["redacted"] == out[3]["text"]
+    assert out[3]["n_emails"] == 0 and out[3]["n_phones"] == 0
+
+
+# ----------------------------------------------------------------- URLs
+
+URL_CASES = [
+    (
+        "http://WWW.News.Example.COM/a/B?utm_source=x&id=7&ref=r2&q=z#frag",
+        "https://news.example.com/a/B?id=7&q=z",
+        "news.example.com",
+        "example.com",
+    ),
+    # all params tracking -> no '?'; no www to strip
+    (
+        "https://blog.site.org/post?utm_campaign=c&fbclid=abc",
+        "https://blog.site.org/post",
+        "blog.site.org",
+        "site.org",
+    ),
+    # no query, no path
+    ("https://Example.com", "https://example.com", "example.com", "example.com"),
+]
+
+
+@pytest.mark.parametrize("url,canon,host,domain", URL_CASES)
+def test_url_canonicalize(spark, url, canon, host, domain):
+    df = spark.createDataFrame([Row(url=url)])
+    row = df.select(
+        url_canonicalize(F.col("url")).alias("c"),
+        url_host(F.col("url")).alias("h"),
+        url_registered_domain(F.col("url")).alias("d"),
+    ).collect()[0]
+    assert row["c"] == canon
+    assert row["h"] == host
+    assert row["d"] == domain
+
+
+def test_url_canonical_merges_tracking_duplicates(spark):
+    # the point of the operator: utm-variants of one URL dedup to 1
+    df = spark.createDataFrame(
+        [
+            Row(url="https://a.com/x?utm_source=1&id=5"),
+            Row(url="https://WWW.A.com/x?id=5&utm_medium=2"),
+            Row(url="https://a.com/x?id=6"),
+        ]
+    )
+    n = (
+        df.select(url_canonicalize(F.col("url")).alias("c"))
+        .distinct()
+        .count()
+    )
+    assert n == 2
+
+
+# ------------------------------------------------------------- sessionize
+
+def _ts(s):
+    return dt.datetime(2024, 1, 1) + dt.timedelta(seconds=s)
+
+
+def test_sessionize_gap_boundary(spark):
+    # silence of EXACTLY gap does not split; gap+1 does
+    rows = [
+        Row(user_id=1, event_id=1, ts=_ts(0), value=1.0),
+        Row(user_id=1, event_id=2, ts=_ts(1800), value=2.0),   # == gap: same
+        Row(user_id=1, event_id=3, ts=_ts(3601), value=3.0),   # gap+1: new
+        Row(user_id=2, event_id=4, ts=_ts(10), value=4.0),
+    ]
+    sess = sessionize(
+        spark.createDataFrame(rows), "user_id", "ts", gap_s=1800,
+        tiebreak_col="event_id",
+    )
+    got = {
+        (r["user_id"], r["event_id"]): r["session_id"] for r in sess.collect()
+    }
+    assert got[(1, 1)] == 1 and got[(1, 2)] == 1
+    assert got[(1, 3)] == 2
+    assert got[(2, 4)] == 1
+
+
+def test_session_stats_exact_cents(spark):
+    rows = [
+        Row(user_id=1, event_id=1, ts=_ts(0), value=6.55),
+        Row(user_id=1, event_id=2, ts=_ts(60), value=12.31),
+    ]
+    sess = sessionize(
+        spark.createDataFrame(rows), "user_id", "ts", gap_s=1800,
+        tiebreak_col="event_id",
+    )
+    st = session_stats(sess, "user_id", "ts", "value").collect()[0]
+    assert st["n_events"] == 2
+    assert st["duration_s"] == 60
+    assert st["sum_cents"] == 655 + 1231
+
+
+def test_sessionize_single_exchange_plan(spark):
+    """Both windows + the stats agg must reuse ONE user-keyed shuffle —
+    the scale property the operator claims."""
+    rows = [
+        Row(user_id=i % 3, event_id=i, ts=_ts(i * 10), value=1.0)
+        for i in range(30)
+    ]
+    out = session_stats(
+        sessionize(spark.createDataFrame(rows), "user_id", "ts", 1800,
+                   tiebreak_col="event_id"),
+        "user_id", "ts", "value",
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") <= 2  # initial parallelize + one shuffle
