@@ -915,18 +915,16 @@ FROM sh GROUP BY doc_id
 """
 
 
-def q_docs_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Full near-dup pipeline: minhash (8 hashes) -> LSH banding
-    (4 bands of 2) -> candidate pairs -> exact-Jaccard verification,
-    keeping pairs with jaccard_m = floor(j*1000) >= 500."""
-    tune_session(spark)
+def _neardup_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared pipeline: minhash (8 hashes) -> LSH banding (4 bands of
+    2) -> candidate pairs -> exact-Jaccard verification, keeping pairs
+    with jaccard_m = floor(j*1000) >= 500."""
     from airbyte_integrations_spark.functions.neardup import (
         jaccard_pairs,
         lsh_candidate_pairs,
         minhash_signature,
+        shingles,
     )
-
-    from airbyte_integrations_spark.functions.neardup import shingles
 
     docs = load(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
     # The shingle explosion feeds minhash + both verification branches
@@ -947,6 +945,34 @@ def q_docs_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "id_b",
         F.floor(F.col("n_inter") * 1000.0 / F.col("n_union")).cast("long").alias("jaccard_m"),
     ).filter(F.col("jaccard_m") >= 500)
+
+
+def q_docs_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full near-dup pipeline: minhash (8 hashes) -> LSH banding
+    (4 bands of 2) -> candidate pairs -> exact-Jaccard verification,
+    keeping pairs with jaccard_m = floor(j*1000) >= 500."""
+    tune_session(spark)
+    return _neardup_verified_pairs(spark, sf_dir)
+
+
+def q_docs_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate CLUSTERS from verified near-dup pairs: connected
+    components by min-label propagation (a~b, b~c => one cluster), the
+    transitive-closure step that turns pairwise LSH output into a
+    keep-one-per-cluster dedup decision. cluster_id = min doc_id of the
+    component; is_canonical marks the survivor."""
+    tune_session(spark)
+    from airbyte_integrations_spark.functions.neardup import connected_components
+
+    pairs = _neardup_verified_pairs(spark, sf_dir)
+    comp = connected_components(pairs, "id_a", "id_b")
+    sizes = comp.groupBy("component").agg(F.count("*").alias("cluster_size"))
+    return comp.join(sizes, "component").select(
+        F.col("node").alias("doc_id"),
+        F.col("component").alias("cluster_id"),
+        F.col("cluster_size"),
+        (F.col("node") == F.col("component")).alias("is_canonical"),
+    )
 
 
 _MH = ", ".join(f"min(md5(shingle || '#{i}')) AS mh{i}" for i in range(8))
@@ -991,6 +1017,133 @@ FROM inter
 JOIN sizes za ON za.doc_id = id_a
 JOIN sizes zb ON zb.doc_id = id_b
 WHERE CAST(floor(n_inter * 1000.0 / (za.n_sh + zb.n_sh - n_inter)) AS BIGINT) >= 500
+"""
+
+# Duplicate clusters = connected components over the verified pairs.
+# Oracle closure via recursive CTE: reach(id, r) = "id can reach r";
+# min(r) per id is the component label (matches min-label propagation).
+_O_PAIRS_BODY = O_DOCS_NEARDUP_PAIRS.strip().removeprefix("WITH")
+
+O_DOCS_DUP_CLUSTERS = rf"""
+WITH RECURSIVE {_O_PAIRS_BODY.split("SELECT id_a, id_b,")[0].rstrip().rstrip(",")},
+vpairs AS (
+  SELECT id_a, id_b
+  FROM inter
+  JOIN sizes za ON za.doc_id = id_a
+  JOIN sizes zb ON zb.doc_id = id_b
+  WHERE CAST(floor(n_inter * 1000.0 / (za.n_sh + zb.n_sh - n_inter)) AS BIGINT) >= 500
+),
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM vpairs
+  UNION ALL
+  SELECT id_b AS a, id_a AS b FROM vpairs
+),
+reach(id, r) AS (
+  SELECT DISTINCT a, a FROM edges
+  UNION
+  SELECT e.a, reach.r FROM edges e JOIN reach ON reach.id = e.b
+),
+comp AS (SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id)
+SELECT doc_id, cluster_id,
+       count(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+       doc_id = cluster_id AS is_canonical
+FROM comp
+"""
+
+
+def q_docs_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style duplicated-span removal stats: chunk each document into
+    consecutive 10-word spans, find each span's corpus-wide first
+    occurrence (the minimum (doc_id, span_idx) encoded as one key), and
+    report per doc its span count, how many spans duplicate an earlier
+    occurrence, and the kept ratio (per-mille).
+
+    Scale shape: the chunking is a flatMap (rows = tokens/10, no
+    driver state), the first-occurrence pass is one hash aggregation
+    with map-side combine on the span string, and the verdict join is
+    span-keyed — the same dataflow C4 runs over Common Crawl. No
+    all-pairs anywhere."""
+    tune_session(spark)
+    docs = load(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    words = F.split(F.col("text"), " ")
+    n_spans = F.ceil(F.size(words) / F.lit(10.0)).cast("int")
+    spans = F.transform(
+        F.sequence(F.lit(0), n_spans - F.lit(1)),
+        lambda i: F.concat_ws(" ", F.slice(words, i * 10 + 1, 10)),
+    )
+    sp = docs.select(
+        "doc_id", F.posexplode(spans).alias("span_idx", "span")
+    ).withColumn("k", F.col("doc_id") * 1_000_000 + F.col("span_idx"))
+    first = sp.groupBy("span").agg(F.min("k").alias("first_k"))
+    dup = F.sum((F.col("k") != F.col("first_k")).cast("long")).alias("n_dup_spans")
+    return (
+        sp.join(first, "span")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_spans"), dup)
+        .select(
+            "doc_id",
+            "n_spans",
+            "n_dup_spans",
+            F.floor(
+                (F.col("n_spans") - F.col("n_dup_spans"))
+                * F.lit(1000.0)
+                / F.col("n_spans")
+            ).alias("kept_pm"),
+        )
+    )
+
+
+O_DOCS_SPAN_DEDUP = """
+WITH d AS (
+  SELECT doc_id, str_split(text, ' ') AS ws FROM documents WHERE n_chars > 0
+),
+e AS (
+  SELECT doc_id, ws,
+         unnest(range(0, CAST(ceil(len(ws) / 10.0) AS BIGINT))) AS i
+  FROM d
+),
+sp AS (
+  SELECT doc_id,
+         doc_id * 1000000 + i AS k,
+         array_to_string(list_slice(ws, i * 10 + 1, i * 10 + 10), ' ') AS span
+  FROM e
+),
+f AS (SELECT span, min(k) AS first_k FROM sp GROUP BY span)
+SELECT doc_id,
+       count(*) AS n_spans,
+       CAST(sum(CASE WHEN sp.k <> f.first_k THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_dup_spans,
+       CAST(floor((count(*) - sum(CASE WHEN sp.k <> f.first_k THEN 1 ELSE 0 END))
+                  * 1000.0 / count(*)) AS BIGINT) AS kept_pm
+FROM sp JOIN f USING (span)
+GROUP BY doc_id
+"""
+
+
+def q_docs_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified downsampling — the training-mix
+    rebalancer: per-language keep rates applied via a content-stable
+    hash threshold (hex prefix of md5(doc_id)), so the same document
+    always gets the same verdict across runs and machines. 'en' keeps
+    ~1/2 (prefix < '800'), every other language ~1/4 (< '400').
+
+    Scale shape: a pure narrow filter — no shuffle, no state, fully
+    pushed into the scan stage; the standard way to downsample a
+    100 TB corpus without a sort or a global count."""
+    tune_session(spark)
+    docs = load(spark, sf_dir, "documents")
+    h3 = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 3)
+    thr = F.when(F.col("lang") == "en", F.lit("800")).otherwise(F.lit("400"))
+    return docs.filter(h3 < thr).select(
+        "doc_id", "lang", h3.alias("h3"), "n_chars"
+    )
+
+
+O_DOCS_SAMPLE_STRATIFIED = """
+SELECT doc_id, lang, substr(md5(CAST(doc_id AS VARCHAR)), 1, 3) AS h3, n_chars
+FROM documents
+WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 3)
+      < CASE WHEN lang = 'en' THEN '800' ELSE '400' END
 """
 
 
@@ -1729,6 +1882,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_cosine_neardup": q_emb_cosine_neardup,
         "docs_minhash": q_docs_minhash,
         "docs_neardup_pairs": q_docs_neardup_pairs,
+        "docs_dup_clusters": q_docs_dup_clusters,
+        "docs_span_dedup": q_docs_span_dedup,
+        "docs_sample_stratified": q_docs_sample_stratified,
         "docs_simhash": q_docs_simhash,
         "docs_token_bpe": q_docs_token_bpe,
         "multimodal_binary_meta": q_multimodal_binary_meta,
@@ -1773,6 +1929,9 @@ def oracle_sql() -> dict[str, str]:
         "emb_cosine_neardup": O_EMB_COSINE_NEARDUP,
         "docs_minhash": O_DOCS_MINHASH,
         "docs_neardup_pairs": O_DOCS_NEARDUP_PAIRS,
+        "docs_dup_clusters": O_DOCS_DUP_CLUSTERS,
+        "docs_span_dedup": O_DOCS_SPAN_DEDUP,
+        "docs_sample_stratified": O_DOCS_SAMPLE_STRATIFIED,
         "docs_simhash": O_DOCS_SIMHASH,
         "docs_token_bpe": O_DOCS_TOKEN_BPE,
         "multimodal_binary_meta": O_MULTIMODAL_BINARY_META,

@@ -237,11 +237,14 @@ class JdbcDestination:
                     for k in primary_key
                 )
                 qcur = quote_identifier(cursor)
-                # (a) final rows beaten (or tied) by a staged winner go
+                # (a) final rows beaten (or tied) by a staged winner go.
+                # A NULL final cursor always loses (it carries no order
+                # information; without the OR arm the NULL comparison
+                # would keep the stale row AND block the winner's insert)
                 st.executeUpdate(
                     f"DELETE FROM {qfinal} f WHERE EXISTS ("
                     f"SELECT 1 FROM {qtmp} t WHERE {pk_eq} "
-                    f"AND t.{qcur} >= f.{qcur})"
+                    f"AND (t.{qcur} >= f.{qcur} OR f.{qcur} IS NULL))"
                 )
                 # (b) staged winners whose PK has no surviving final row
                 st.executeUpdate(

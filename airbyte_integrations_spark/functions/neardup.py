@@ -130,6 +130,69 @@ def jaccard_pairs(
     )
 
 
+def connected_components(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Connected components over an undirected edge list: returns
+    (node, component) where component = MIN node id in the component.
+    The capstone of near-dup dedup — LSH gives verified duplicate
+    PAIRS; keeping one doc per duplicate CLUSTER needs the transitive
+    closure (a~b, b~c => keep one of {a,b,c}).
+
+    Algorithm: min-label propagation (the Pregel/GraphX dataflow, each
+    round = one hash join + one map-side-combining min aggregation).
+    Rounds are bounded by component DIAMETER — for duplicate clusters
+    that is small (near-dups of one page form a dense clique-ish blob),
+    so convergence is a handful of rounds; an adversarial long chain is
+    bounded by max_iter and raises rather than silently truncating.
+    Scale notes baked in:
+    - the symmetrized edge list is localCheckpoint'ed ONCE and reused
+      every round (re-deriving LSH lineage per round would rescan the
+      corpus);
+    - labels are localCheckpoint'ed per round, so plan lineage stays
+      O(1) instead of O(rounds) — the classic iterative-Spark pitfall;
+    - convergence is an aggregate on the already-materialized frame
+      (no second execution).
+    """
+    sym = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = sym.select(F.col("a").alias("node")).distinct().select(
+        "node", F.col("node").alias("component")
+    ).localCheckpoint()
+    for _ in range(max_iter):
+        incoming = (
+            sym.join(labels, sym["a"] == labels["node"])
+            .groupBy(F.col("b").alias("nb"))
+            .agg(F.min("component").alias("cand"))
+        )
+        merged = (
+            labels.join(incoming, labels["node"] == incoming["nb"], "left")
+            .select(
+                "node",
+                F.col("component").alias("old"),
+                F.least("component", F.coalesce("cand", "component")).alias(
+                    "component"
+                ),
+            )
+            .localCheckpoint()
+        )
+        changed = merged.filter(F.col("component") != F.col("old")).count()
+        labels = merged.select("node", "component")
+        if changed == 0:
+            return labels
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iter} rounds "
+        "(component diameter exceeds the bound)"
+    )
+
+
 @F.pandas_udf(T.LongType())
 def simhash64(text: pd.Series) -> pd.Series:
     """64-bit SimHash over whitespace tokens (Charikar '02), vectorized.

@@ -392,3 +392,70 @@ def write_avro_file(
     out.write(sync)
     with open(path, "wb") as f:
         f.write(out.getvalue())
+
+
+def spark_schema_to_avro(schema, name: str = "record") -> dict:
+    """Map a Spark StructType to a writable Avro record schema, every
+    field nullable (union with null) — the shape the reference's Avro
+    destination emits (destination-s3 avro/AvroRecordFactory + the
+    JsonToAvroSchemaConverter's nullable-by-default rule).
+
+    Timestamps map to long/timestamp-micros and dates to int/date, the
+    logical types the vendored decoder round-trips (this file,
+    _decoder logical handling above).
+    """
+    from pyspark.sql import types as T
+
+    def conv(dt, path):
+        if isinstance(dt, T.StructType):
+            return {
+                "type": "record",
+                "name": path,
+                "fields": [
+                    {"name": f.name, "type": ["null", conv(f.dataType, f"{path}_{f.name}")]}
+                    for f in dt.fields
+                ],
+            }
+        if isinstance(dt, T.ArrayType):
+            return {"type": "array", "items": ["null", conv(dt.elementType, f"{path}_item")]}
+        if isinstance(dt, T.MapType):
+            return {"type": "map", "values": ["null", conv(dt.valueType, f"{path}_value")]}
+        if isinstance(dt, T.TimestampType):
+            return {"type": "long", "logicalType": "timestamp-micros"}
+        if isinstance(dt, T.DateType):
+            return {"type": "int", "logicalType": "date"}
+        prim = {
+            T.StringType: "string", T.BooleanType: "boolean",
+            T.LongType: "long", T.IntegerType: "int",
+            T.ShortType: "int", T.ByteType: "int",
+            T.DoubleType: "double", T.FloatType: "float",
+            T.BinaryType: "bytes",
+        }.get(type(dt))
+        if prim is None:
+            raise NotImplementedError(f"avro mapping for spark type {dt}")
+        return prim
+
+    return conv(schema, name)
+
+
+def to_avro_value(v):
+    """Render a Python/Spark row value into what the vendored encoder
+    expects for the schema produced by spark_schema_to_avro: datetimes
+    become micros-since-epoch, dates become days-since-epoch."""
+    import datetime as _dt
+
+    if isinstance(v, _dt.datetime):
+        if v.tzinfo is None:
+            v = v.replace(tzinfo=_dt.timezone.utc)
+        return int(v.timestamp() * 1_000_000)
+    if isinstance(v, _dt.date):
+        return (v - _dt.date(1970, 1, 1)).days
+    if hasattr(v, "asDict"):  # nested Row -> record dict
+        return {k: to_avro_value(x) for k, x in v.asDict().items()}
+    if isinstance(v, (list, tuple)):
+        return [to_avro_value(x) for x in v]
+    if isinstance(v, dict):
+        return {k: to_avro_value(x) for k, x in v.items()}
+    if isinstance(v, bytearray):
+        return bytes(v)
+    return v

@@ -181,3 +181,69 @@ def test_sessionize_single_exchange_plan(spark):
     )
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") <= 2  # initial parallelize + one shuffle
+
+
+def test_sessionize_stream_matches_batch(spark, tmp_path):
+    """Streaming session_window (complete drain) groups the same events
+    into the same (start,end,count) sessions as the batch gap rule when
+    no session exceeds the gap internally."""
+    rows = [
+        Row(user_id=1, event_id=1, ts=_ts(0), value=1.0),
+        Row(user_id=1, event_id=2, ts=_ts(600), value=1.0),
+        Row(user_id=1, event_id=3, ts=_ts(5000), value=1.0),   # new session
+        Row(user_id=2, event_id=4, ts=_ts(100), value=1.0),
+    ]
+    log = str(tmp_path / "ev")
+    spark.createDataFrame(rows).write.parquet(log)
+    schema = spark.read.parquet(log).schema
+
+    from airbyte_integrations_spark.operators.sessionize import (
+        sessionize_stream,
+    )
+
+    stream = spark.readStream.schema(schema).parquet(log)
+    out = sessionize_stream(stream, "user_id", "ts", gap="30 minutes")
+    q = (
+        out.writeStream.format("memory").queryName("sess_out")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["user_id"], r["session_start"]): r["n_events"]
+        for r in spark.sql("select * from sess_out").collect()
+    }
+    assert got == {
+        (1, _ts(0)): 2,       # events at t=0 and t=600 merge
+        (1, _ts(5000)): 1,
+        (2, _ts(100)): 1,
+    }
+
+
+def test_url_canonicalize_idempotent(spark):
+    """canon(canon(u)) == canon(u) over a messy generated corpus —
+    the invariant that makes the normalizer safe to re-apply in
+    multi-stage pipelines (raw -> staged -> final)."""
+    import random
+
+    rng = random.Random(42)
+    hosts = ["WWW.A.com", "a.b.C.org", "www.x.io", "Y.net", "z.co"]
+    params = ["utm_source=s", "utm_campaign=c", "ref=r", "fbclid=f",
+              "id=1", "q=term", "page=2", ""]
+    urls = []
+    for _ in range(60):
+        scheme = rng.choice(["http", "https"])
+        host = rng.choice(hosts)
+        path = rng.choice(["", "/", "/a", "/a/B/c"])
+        qs = "&".join(rng.sample(params, rng.randint(0, 4)))
+        frag = rng.choice(["", "#x"])
+        urls.append(f"{scheme}://{host}{path}" + (f"?{qs}" if qs else "") + frag)
+    df = spark.createDataFrame([Row(url=u) for u in urls])
+    once = url_canonicalize(F.col("url"))
+    out = df.select(
+        once.alias("c1"),
+        url_canonicalize(once).alias("c2"),
+    )
+    assert out.filter(F.col("c1") != F.col("c2")).count() == 0

@@ -1,0 +1,122 @@
+"""Object-store files destination (destination-s3 analogue).
+
+Pins the reference's contract: path-template resolution
+(S3StorageOperations.java:69-87), part-id continuation (:138,197),
+OVERWRITE regex cleanup (:240-258 + S3ConsumerFactory onStart), and
+format round-trips incl. gzip double extensions (:187-193) and the
+vendored executor-side Avro writer.
+"""
+
+import gzip
+import os
+from datetime import datetime, timezone
+
+import pytest
+from pyspark.sql import Row, functions as F
+
+from airbyte_integrations_spark.destinations.files import (
+    DEFAULT_PATH_FORMAT,
+    FilesDestination,
+    FilesDestinationConfig,
+    object_path_regex,
+    resolve_object_path,
+)
+
+DT = datetime(2023, 4, 5, 6, 7, 8, 90000, tzinfo=timezone.utc)
+
+
+def _df(spark, n=6, start=0):
+    return spark.range(start, start + n).select(
+        F.col("id").alias("pk"), F.concat(F.lit("v"), F.col("id")).alias("name")
+    )
+
+
+def test_resolve_object_path_default_template():
+    got = resolve_object_path(DEFAULT_PATH_FORMAT, "Public Ns", "My-Stream", DT)
+    epoch_ms = int(DT.timestamp() * 1000)
+    assert got == f"public_ns/my_stream/2023_04_05_{epoch_ms}_"
+
+
+def test_resolve_object_path_all_vars():
+    fmt = "${YEAR}/${MONTH}/${DAY}/${HOUR}${MINUTE}${SECOND}_${MILLISECOND}//x"
+    assert resolve_object_path(fmt, None, "s", DT) == "2023/04/05/060708_0090/x"
+
+
+def test_object_path_regex_matches_resolved():
+    import re
+
+    resolved = resolve_object_path(DEFAULT_PATH_FORMAT, "ns", "st", DT)
+    rx = re.compile(object_path_regex(DEFAULT_PATH_FORMAT, "ns", "st"))
+    assert rx.fullmatch(resolved + "0.jsonl")
+    assert not rx.fullmatch("ns/other/2023_04_05_99_0.jsonl")
+
+
+def test_jsonl_append_part_ids_continue(spark, tmp_path):
+    cfg = FilesDestinationConfig(root=str(tmp_path), format="jsonl")
+    dest = FilesDestination(spark, cfg)
+    w1 = dest.write(_df(spark, 4).coalesce(1), "pages", "ns", sync_dt=DT)
+    w2 = dest.write(_df(spark, 3, start=4).coalesce(1), "pages", "ns", sync_dt=DT)
+    assert len(w1) == 1 and w1[0].endswith("_0.jsonl")
+    assert len(w2) == 1 and w2[0].endswith("_1.jsonl")
+    back = spark.read.json(os.path.join(str(tmp_path), "ns/pages"))
+    assert back.count() == 7
+
+
+def test_overwrite_cleans_prior_sync_only_this_stream(spark, tmp_path):
+    cfg = FilesDestinationConfig(root=str(tmp_path), format="jsonl")
+    dest = FilesDestination(spark, cfg)
+    dest.write(_df(spark, 5), "pages", "ns", sync_dt=DT)
+    dest.write(_df(spark, 2), "other", "ns", sync_dt=DT)
+    dt2 = datetime(2024, 1, 2, tzinfo=timezone.utc)
+    dest.write(_df(spark, 3), "pages", "ns", mode="overwrite", sync_dt=dt2)
+    pages = spark.read.json(os.path.join(str(tmp_path), "ns/pages"))
+    assert pages.count() == 3  # first sync's objects removed
+    other = spark.read.json(os.path.join(str(tmp_path), "ns/other"))
+    assert other.count() == 2  # untouched
+
+
+def test_csv_gzip_roundtrip_and_extension(spark, tmp_path):
+    cfg = FilesDestinationConfig(root=str(tmp_path), format="csv", gzip=True)
+    dest = FilesDestination(spark, cfg)
+    (rel,) = dest.write(_df(spark, 5).coalesce(1), "s", "n", sync_dt=DT)
+    assert rel.endswith(".csv.gz")
+    with gzip.open(os.path.join(str(tmp_path), rel), "rt") as f:
+        lines = f.read().strip().splitlines()
+    assert lines[0] == "pk,name" and len(lines) == 6
+    back = spark.read.options(header=True).csv(os.path.dirname(os.path.join(str(tmp_path), rel)))
+    assert back.count() == 5
+
+
+def test_parquet_roundtrip(spark, tmp_path):
+    cfg = FilesDestinationConfig(root=str(tmp_path), format="parquet")
+    dest = FilesDestination(spark, cfg)
+    dest.write(_df(spark, 8), "s", None, sync_dt=DT)
+    back = spark.read.parquet(os.path.join(str(tmp_path), "s"))
+    assert back.count() == 8
+    assert {r["pk"] for r in back.collect()} == set(range(8))
+
+
+def test_avro_roundtrip_with_timestamps(spark, tmp_path):
+    cfg = FilesDestinationConfig(root=str(tmp_path), format="avro")
+    dest = FilesDestination(spark, cfg)
+    df = spark.createDataFrame(
+        [
+            Row(pk=1, name="a", ts=datetime(2023, 1, 2, 3, 4, 5)),
+            Row(pk=2, name=None, ts=datetime(2023, 6, 7, 8, 9, 10)),
+        ]
+    )
+    written = dest.write(df.coalesce(1), "s", None, sync_dt=DT)
+    assert all(w.endswith(".avro") for w in written)
+    from airbyte_integrations_spark.sources.avro_io import read_avro
+
+    back = read_avro(
+        spark, [os.path.join(str(tmp_path), w) for w in written]
+    ).toPandas().sort_values("pk")
+    assert list(back["pk"]) == [1, 2]
+    assert back["name"].tolist()[0] == "a" and back["name"].isna().tolist()[1]
+    assert back["ts"].tolist()[0] == datetime(2023, 1, 2, 3, 4, 5)
+
+
+def test_gzip_rejected_for_parquet():
+    with pytest.raises(ValueError):
+        FilesDestinationConfig(root="/tmp/x", format="parquet", gzip=True)

@@ -147,3 +147,25 @@ def test_additive_schema_evolution(spark, derby_url):
     assert got.loc["b", "score"] == 7.5
     import math
     assert math.isnan(got.loc["a", "score"]) or got.loc["a", "score"] is None
+
+
+def test_dedup_null_final_cursor_always_loses(spark, derby_url):
+    """A final row whose cursor is NULL carries no order information:
+    any staged winner for that PK must replace it (the bare >= would
+    evaluate NULL, keeping the stale row AND blocking the insert)."""
+    dest = _dest(spark, derby_url)
+    s1 = spark.createDataFrame(
+        [("a", None, "a-nullver"), ("b", 7, "b-v7")],
+        "pk string, ver long, name string",
+    )
+    dest.write(s1, "nullcur", mode="append_dedup",
+               primary_key=("pk",), cursor="ver",
+               create_table_column_types=COLTYPES)
+    s2 = _batch(spark, [("a", 1, "a-real")])
+    dest.write(s2, "nullcur", mode="append_dedup",
+               primary_key=("pk",), cursor="ver",
+               create_table_column_types=COLTYPES)
+    got = _read_back(spark, derby_url, "nullcur").toPandas().set_index("pk")
+    assert len(got) == 2
+    assert got.loc["a", "name"] == "a-real" and got.loc["a", "ver"] == 1
+    assert got.loc["b", "name"] == "b-v7"

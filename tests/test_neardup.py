@@ -106,3 +106,34 @@ def test_repetition_stats_toy_docs(spark):
     assert r[2]["dup_ngram_pm"] == 0 and r[2]["top_ngram_pm"] < 250
     assert r[3]["n_distinct_ngrams"] == 1 and r[3]["dup_ngram_pm"] == 750
     assert r[3]["top_ngram_pm"] == 1000
+
+
+def test_connected_components_transitive_chain(spark):
+    """a~b, b~c collapse into one cluster even though (a,c) is not a
+    pair; disjoint edges stay separate; labels are component minima."""
+    from airbyte_integrations_spark.functions.neardup import connected_components
+
+    edges = spark.createDataFrame(
+        [(2, 1), (2, 3), (3, 7), (10, 11)], "id_a long, id_b long"
+    )
+    got = {r["node"]: r["component"] for r in connected_components(edges).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 7: 1, 10: 10, 11: 10}
+
+
+def test_connected_components_long_chain_and_strings(spark):
+    """A 12-node path (worst-case diameter for propagation) converges,
+    and string ids order lexicographically."""
+    from airbyte_integrations_spark.functions.neardup import connected_components
+
+    chain = [(f"n{i:02d}", f"n{i + 1:02d}") for i in range(11)]
+    edges = spark.createDataFrame(chain, "id_a string, id_b string")
+    got = connected_components(edges).collect()
+    assert len(got) == 12
+    assert {r["component"] for r in got} == {"n00"}
+
+
+def test_connected_components_empty_edges(spark):
+    from airbyte_integrations_spark.functions.neardup import connected_components
+
+    edges = spark.createDataFrame([], "id_a long, id_b long")
+    assert connected_components(edges).count() == 0
