@@ -175,7 +175,9 @@ def main() -> None:
     # corpus-count crossJoin — a constant factor can't change ranking).
     import __spark_entry__ as ent
 
-    tmp_docs = docs.withColumn("n_chars", F.length("text"))
+    tmp_docs = docs.withColumn("n_chars", F.length("text")).withColumn(
+        "lang", F.when(F.col("doc_id") % 2 == 0, "en").otherwise("de")
+    )
     tmp_docs.write.mode("overwrite").parquet(root + "/docs_tbl/documents.parquet")
     tplan = (
         ent.q_docs_tfidf_top_terms(spark, root + "/docs_tbl")
@@ -185,6 +187,33 @@ def main() -> None:
         "tfidf: tf/df aggs map-side partial, no dead corpus-count join",
         tplan.count("partial_count") >= 2 and "NestedLoop" not in tplan,
         "partial_count in tf and df HashAggregates; no BroadcastNestedLoopJoin",
+    )
+
+    # Span dedup: the chunk explosion must be a Generate (flatMap, no
+    # join), and the first-occurrence pass a map-side-combining min agg.
+    splan2 = (
+        ent.q_docs_span_dedup(spark, root + "/docs_tbl")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    check(
+        "span dedup: Generate flatMap chunking + partial_min first-occurrence agg",
+        "Generate posexplode" in splan2
+        and "partial_min(k" in splan2
+        and "NestedLoop" not in splan2,
+        "Generate posexplode(spans) + HashAggregate(partial_min(k)) "
+        "before the span Exchange; no nested-loop join",
+    )
+
+    # Stratified sampling: a pure narrow filter — the whole plan must
+    # contain NO Exchange (nothing to shuffle at any scale).
+    saplan = (
+        ent.q_docs_sample_stratified(spark, root + "/docs_tbl")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    check(
+        "stratified sample: zero Exchanges (scan -> filter -> project only)",
+        "Exchange" not in saplan and "Filter" in saplan,
+        "no Exchange operator anywhere in the plan; Filter present above the scan",
     )
 
     out = ["# PLANS — physical-plan evidence (generated by tools/capture_plans.py)", ""]
