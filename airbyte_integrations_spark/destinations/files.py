@@ -82,20 +82,28 @@ def resolve_object_path(
 def object_path_regex(path_format: str, namespace: str | None, stream: str) -> str:
     """getRegexFormat (:240-258): the same template with every time
     variable widened to its digit class + `.*` for part id/extension —
-    what OVERWRITE uses to find the stream's prior sync objects."""
-    out = re.escape(
-        re.sub(r"/+", "/", path_format)
-    )
-    # re.escape escaped the ${...} tokens; substitute on escaped forms
-    def esc(v: str) -> str:
-        return re.escape(v)
+    what OVERWRITE uses to find the stream's prior sync objects.
 
-    out = out.replace(esc("${NAMESPACE}"), _norm_name(namespace or ""))
-    out = out.replace(esc("${STREAM_NAME}"), _norm_name(stream))
-    for var, (_, cls) in _VARS.items():
-        out = out.replace(esc(var), cls)
-    out = out.replace(esc("${UUID}"), ".*")
-    return out.lstrip("/") + ".*"
+    Substitutions and the duplicate-slash collapse happen in the SAME
+    order as resolve_object_path (substitute, then collapse): an empty
+    namespace collapses `a//b` to `a/b` in the resolved path, so the
+    regex must collapse identically or overwrite cleanup silently
+    matches nothing. Placeholders pass through the collapse as
+    slash-free sentinels and become regex classes only after escaping."""
+    out = path_format.replace("${NAMESPACE}", _norm_name(namespace or ""))
+    out = out.replace("${STREAM_NAME}", _norm_name(stream))
+    sentinels: dict[str, str] = {}
+    for i, (var, (_, cls)) in enumerate(_VARS.items()):
+        s = f"\x00{i}\x00"
+        out = out.replace(var, s)
+        sentinels[s] = cls
+    u = "\x00U\x00"
+    out = out.replace("${UUID}", u)
+    sentinels[u] = ".*"
+    out = re.escape(re.sub(r"/+", "/", out).lstrip("/"))
+    for s, cls in sentinels.items():
+        out = out.replace(re.escape(s), cls)
+    return out + ".*"
 
 
 @dataclass(frozen=True)

@@ -51,6 +51,19 @@ def test_object_path_regex_matches_resolved():
     assert not rx.fullmatch("ns/other/2023_04_05_99_0.jsonl")
 
 
+def test_object_path_regex_empty_namespace_collapse_parity():
+    """Empty namespace collapses `${NAMESPACE}/${STREAM_NAME}` to a single
+    path segment in resolve_object_path; the OVERWRITE cleanup regex must
+    collapse identically or it silently matches none of the prior sync's
+    objects (S3StorageOperations.getRegexFormat parity)."""
+    import re
+
+    resolved = resolve_object_path(DEFAULT_PATH_FORMAT, None, "st", DT)
+    assert resolved.startswith("st/")  # the double slash was collapsed
+    rx = re.compile(object_path_regex(DEFAULT_PATH_FORMAT, None, "st"))
+    assert rx.fullmatch(resolved + "0.jsonl")
+
+
 def test_jsonl_append_part_ids_continue(spark, tmp_path):
     cfg = FilesDestinationConfig(root=str(tmp_path), format="jsonl")
     dest = FilesDestination(spark, cfg)
