@@ -116,12 +116,22 @@ class FilesDestinationConfig:
     format: str = "jsonl"
     gzip: bool = False
     format_options: dict = field(default_factory=dict)
+    # Airbyte wire shape (S3CsvFormatConfig "flattening"): None keeps
+    # the engine-native plain columns; "no" emits the reference's
+    # 3-column envelope [_airbyte_ab_id, _airbyte_emitted_at,
+    # _airbyte_data] with the record as ONE json blob
+    # (NoFlatteningSheetGenerator.java:17-30); "root_level" emits the
+    # ab columns followed by the record's root fields in SORTED header
+    # order (RootLevelFlatteningSheetGenerator.java:24-35).
+    flattening: str | None = None
 
     def __post_init__(self):
         if self.format not in _FORMAT_EXT:
             raise ValueError(f"unsupported format: {self.format!r}")
         if self.gzip and self.format in ("parquet", "avro"):
             raise ValueError(f"gzip transport applies to csv/jsonl, not {self.format}")
+        if self.flattening not in (None, "no", "root_level"):
+            raise ValueError(f"unknown flattening: {self.flattening!r}")
 
     @property
     def extension(self) -> str:
@@ -157,6 +167,9 @@ class FilesDestination:
         dt = sync_dt or datetime.now(timezone.utc)
         obj_path = resolve_object_path(cfg.path_format, namespace, stream, dt)
 
+        if cfg.flattening is not None:
+            df = self._to_wire(df, dt)
+
         if mode == "overwrite":
             self._clean_prior(namespace, stream)
 
@@ -184,6 +197,34 @@ class FilesDestination:
             shutil.rmtree(staging, ignore_errors=True)
 
     # ---------------------------------------------------------- helpers
+
+    def _to_wire(self, df: DataFrame, dt: datetime) -> DataFrame:
+        """Airbyte envelope per the CsvSheetGenerator pair: ab_id +
+        emitted_at + either one `_airbyte_data` json blob
+        (NoFlatteningSheetGenerator.java:17-30) or the record's root
+        fields in sorted header order
+        (RootLevelFlatteningSheetGenerator.java:24-35).
+
+        Deviations, both deterministic on purpose so syncs replay
+        byte-identically: ab_id is the md5 of the serialized record in
+        UUID shape (the reference draws UUID.randomUUID per record),
+        and emitted_at is the pinned sync time in epoch millis (the
+        reference stamps Instant.now per record)."""
+        from pyspark.sql import functions as F
+
+        cols = list(df.columns)
+        blob = F.to_json(F.struct(*cols))
+        h = F.md5(blob)
+        ab_id = F.concat_ws(
+            "-",
+            F.substring(h, 1, 8), F.substring(h, 9, 4), F.substring(h, 13, 4),
+            F.substring(h, 17, 4), F.substring(h, 21, 12),
+        )
+        emitted = F.lit(int(dt.timestamp() * 1000)).cast("long")
+        head = [ab_id.alias("_airbyte_ab_id"), emitted.alias("_airbyte_emitted_at")]
+        if self.config.flattening == "no":
+            return df.select(*head, blob.alias("_airbyte_data"))
+        return df.select(*head, *sorted(cols))
 
     def _stage(self, df: DataFrame, staging: str) -> None:
         cfg = self.config

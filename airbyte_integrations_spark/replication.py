@@ -117,6 +117,7 @@ def replicate(
     destination,
     mapper: Callable[[DataFrame], DataFrame] | None = None,
     state: dict | None = None,
+    namespacing=None,
 ) -> ReplicationSummary:
     """Pump every stream into `destination` (any object with a
     .write(df, stream, **destination_args) — JdbcDestination,
@@ -133,8 +134,16 @@ def replicate(
       with partial committed counts and a state document covering only
       the streams that committed, so re-running resumes (:265-280).
     - streams already marked committed in the incoming `state` are
-      skipped (the resume path).
+      skipped (the resume path);
+    - `namespacing` (mappers.NamespacingMapper) rewrites each stream's
+      destination addressing BEFORE the pump, the engine's one-shot
+      analogue of the reference's per-message NamespacingMapper
+      (NamespacingMapper.java:63-78); state/stats are keyed by the
+      mapped name, matching the reference where the mapper sits ahead
+      of the destination and its state listener.
     """
+    if namespacing is not None:
+        streams = [namespacing.map_replication_stream(rs) for rs in streams]
     stats: dict[str, StreamSyncStats] = {}
     out_state: dict = dict(state or {})
     failure = None

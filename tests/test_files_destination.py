@@ -133,3 +133,50 @@ def test_avro_roundtrip_with_timestamps(spark, tmp_path):
 def test_gzip_rejected_for_parquet():
     with pytest.raises(ValueError):
         FilesDestinationConfig(root="/tmp/x", format="parquet", gzip=True)
+
+
+def test_wire_no_flattening_envelope(spark, tmp_path):
+    """NoFlatteningSheetGenerator.java:17-30 — 3-column envelope with
+    the record as one json blob; ab_id deterministic md5-uuid."""
+    cfg = FilesDestinationConfig(root=str(tmp_path), format="jsonl", flattening="no")
+    dest = FilesDestination(spark, cfg)
+    dest.write(_df(spark, 3).coalesce(1), "pages", "ns", sync_dt=DT)
+    back = spark.read.json(os.path.join(str(tmp_path), "ns/pages"))
+    assert sorted(back.columns) == [
+        "_airbyte_ab_id", "_airbyte_data", "_airbyte_emitted_at"
+    ]
+    rows = {r["_airbyte_data"] for r in back.collect()}
+    assert '{"pk":0,"name":"v0"}' in rows
+    one = back.collect()[0]
+    assert one["_airbyte_emitted_at"] == int(DT.timestamp() * 1000)
+    import re as _re
+    assert _re.fullmatch(
+        r"[0-9a-f]{8}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{12}",
+        one["_airbyte_ab_id"],
+    )
+
+
+def test_wire_root_level_flattening_sorted_headers(spark, tmp_path):
+    """RootLevelFlatteningSheetGenerator.java:24-35 — ab columns first,
+    then record fields in SORTED header order."""
+    cfg = FilesDestinationConfig(
+        root=str(tmp_path), format="csv", flattening="root_level"
+    )
+    dest = FilesDestination(spark, cfg)
+    df = _df(spark, 2).select("name", "pk")  # deliberately unsorted
+    paths = dest.write(df.coalesce(1), "pages", "ns", sync_dt=DT)
+    with open(os.path.join(str(tmp_path), paths[0])) as f:
+        header = f.readline().strip()
+    assert header == "_airbyte_ab_id,_airbyte_emitted_at,name,pk"
+
+
+def test_wire_replay_is_byte_identical(spark, tmp_path):
+    """Deterministic ab_id + pinned emitted_at: re-running the same
+    sync produces byte-identical objects (replayability invariant)."""
+    cfg = FilesDestinationConfig(root=str(tmp_path), format="jsonl", flattening="no")
+    dest = FilesDestination(spark, cfg)
+    p1 = dest.write(_df(spark, 4).coalesce(1), "pages", "ns", sync_dt=DT)
+    p2 = dest.write(_df(spark, 4).coalesce(1), "pages", "ns", sync_dt=DT)
+    b1 = open(os.path.join(str(tmp_path), p1[0]), "rb").read()
+    b2 = open(os.path.join(str(tmp_path), p2[0]), "rb").read()
+    assert sorted(b1.splitlines()) == sorted(b2.splitlines())

@@ -184,3 +184,60 @@ def test_jdbc_destination_end_to_end(spark, derby_db):
         url=derby_db, dbtable="rep_pump", driver=DERBY_DRIVER,
     ).load()
     assert back.count() == 6
+
+
+# ------------------------------------------------- namespacing mapper
+
+
+def test_namespacing_mapper_rules():
+    """NamespacingMapperTest.java case matrix: SOURCE passthrough,
+    DESTINATION nulls, CUSTOMFORMAT substitution (variable + literal +
+    empty-source fallback), stream prefix."""
+    from airbyte_integrations_spark.mappers import NamespacingMapper
+
+    src = NamespacingMapper(namespace_definition="source", stream_prefix="out_")
+    assert src.map_address("ns", "s") == ("ns", "out_s")
+    assert src.map_address(None, "s") == (None, "out_s")  # testEmptySourceNamespace
+
+    dst = NamespacingMapper(namespace_definition="destination")
+    assert dst.map_address("ns", "s") == (None, "s")
+
+    cf = NamespacingMapper("customformat", "${SOURCE_NAMESPACE}_suffix")
+    assert cf.map_namespace("ns") == "ns_suffix"
+    lit = NamespacingMapper("customformat", "hardcoded")
+    assert lit.map_namespace("ns") == "hardcoded"  # testCustomFormatWithoutVariable
+    # testEmptyCustomFormatWithVariableNamespace: "${SOURCE_NAMESPACE}"
+    # over a null source namespace collapses to null
+    empty = NamespacingMapper("customformat", "${SOURCE_NAMESPACE}")
+    assert empty.map_namespace(None) is None
+    blank = NamespacingMapper("customformat", "  ")
+    assert blank.map_namespace("ns") is None  # blank format -> destination default
+
+    with pytest.raises(ValueError):
+        NamespacingMapper(namespace_definition="bogus")
+
+
+def test_replicate_applies_namespacing(spark):
+    """The mapper sits ahead of the destination AND its state listener
+    (NamespacingMapper.java:63-78): writes, stats, and resume state are
+    all keyed by the mapped address."""
+    from airbyte_integrations_spark.mappers import NamespacingMapper
+
+    dest = MemoryDestination()
+    streams = [
+        ReplicationStream(
+            "pages", _df(spark, 4), destination_args={"namespace": "srcns"}
+        )
+    ]
+    ns = NamespacingMapper("customformat", "${SOURCE_NAMESPACE}_x", "pre_")
+    out = replicate(streams, dest, namespacing=ns)
+    assert out.status == "completed"
+    assert set(dest.written) == {"pre_pages"}
+    n, kwargs = dest.written["pre_pages"]
+    assert n == 4 and kwargs["namespace"] == "srcns_x"
+    assert out.state["pre_pages"]["committed"]
+    # resume with the same mapper skips the committed mapped stream
+    dest2 = MemoryDestination()
+    out2 = replicate(streams, dest2, namespacing=ns, state=out.state)
+    assert dest2.written == {}
+    assert out2.stream_stats["pre_pages"].records_committed == 4
