@@ -1257,6 +1257,121 @@ SELECT qid, cid, sim_c, rank FROM final WHERE rank <= 3
 """
 
 
+def q_emb_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic spherical k-means (2 Lloyd rounds) — the offline
+    refinement the IVF-Flat query's codebook points at. Seeds are the
+    IVF rule (every 97th vector); the Lloyd update keeps centroids as
+    exact long sums of floor(v*1000) so the distributed groupBy is
+    order-independent and the whole loop hash-matches the SQL oracle.
+    Per-round dataflow at 10^10 vectors: one broadcast-codebook pass +
+    one (cell, pos) hash agg with map-side combine -> k*dim rows."""
+    from airbyte_integrations_spark.functions.kmeans import (
+        embeddings_base,
+        spherical_kmeans,
+    )
+
+    tune_session(spark)
+    base = embeddings_base(load(spark, sf_dir, "embeddings"))
+    a2 = spherical_kmeans(base, seed_mod=97, iters=2)
+    return a2.groupBy("cell").agg(
+        F.count(F.lit(1)).alias("n_members"), F.sum("csim").alias("sum_csim")
+    )
+
+
+def q_emb_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup: cluster with the deterministic
+    k-means, then mark a vector duplicate iff a lower-id vector in the
+    SAME cell has floor(cos*100) >= 35 (the corpus' real similarity
+    tail). The pair join never leaves a cell — per-cluster blocks
+    instead of all-pairs, the shape that survives 10^10 vectors."""
+    from airbyte_integrations_spark.functions.kmeans import (
+        embeddings_base,
+        semantic_dedup,
+        spherical_kmeans,
+    )
+
+    tune_session(spark)
+    base = embeddings_base(load(spark, sf_dir, "embeddings"))
+    a2 = spherical_kmeans(base, seed_mod=97, iters=2)
+    return semantic_dedup(a2, threshold_pct=35)
+
+
+_O_KMEANS_CTE = """
+WITH base AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings
+),
+nb AS (
+  SELECT vec_id, v,
+         sqrt(list_reduce(list_transform(v, x -> x * x), (a, b) -> a + b)) AS nrm
+  FROM base
+),
+seeds AS (SELECT vec_id AS cent_id, v AS cv, nrm AS cn FROM nb WHERE vec_id % 97 = 0),
+s1 AS (
+  SELECT nb.vec_id, nb.v, nb.nrm, s.cent_id,
+    CAST(floor(list_reduce(list_transform(range(1, len(nb.v) + 1),
+            i -> nb.v[i] * s.cv[i]), (a, b) -> a + b)
+          / (nb.nrm * s.cn) * 1000) AS BIGINT) AS csim
+  FROM nb CROSS JOIN seeds s
+),
+a1 AS (
+  SELECT vec_id, v, nrm, cent_id AS cell, csim FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cent_id ASC) AS r
+    FROM s1
+  ) WHERE r = 1
+),
+ex AS (
+  SELECT cell,
+         unnest(range(1, len(v) + 1)) AS pos,
+         unnest(list_transform(v, x -> CAST(floor(x * 1000) AS BIGINT))) AS sv
+  FROM a1
+),
+sums AS (SELECT cell, pos, SUM(sv) AS s FROM ex GROUP BY cell, pos),
+arrs AS (SELECT cell, list(s ORDER BY pos) AS sums FROM sums GROUP BY cell),
+cnts AS (SELECT cell, count(*) AS cnt FROM a1 GROUP BY cell),
+c1 AS (
+  SELECT arrs.cell AS cent_id,
+         list_transform(arrs.sums, s -> s / cnts.cnt) AS cv
+  FROM arrs JOIN cnts ON arrs.cell = cnts.cell
+),
+c1n AS (
+  SELECT cent_id, cv,
+         sqrt(list_reduce(list_transform(cv, x -> x * x), (a, b) -> a + b)) AS cn
+  FROM c1
+),
+s2 AS (
+  SELECT nb.vec_id, nb.v, nb.nrm, c.cent_id,
+    CAST(floor(list_reduce(list_transform(range(1, len(nb.v) + 1),
+            i -> nb.v[i] * c.cv[i]), (a, b) -> a + b)
+          / (nb.nrm * c.cn) * 1000) AS BIGINT) AS csim
+  FROM nb CROSS JOIN c1n c
+),
+a2 AS (
+  SELECT vec_id, v, nrm, cent_id AS cell, csim FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cent_id ASC) AS r
+    FROM s2
+  ) WHERE r = 1
+)
+"""
+
+O_EMB_KMEANS = _O_KMEANS_CTE + """
+SELECT cell, count(*) AS n_members, CAST(SUM(csim) AS BIGINT) AS sum_csim
+FROM a2 GROUP BY cell
+"""
+
+O_EMB_SEMANTIC_DEDUP = _O_KMEANS_CTE + """
+, pairs AS (
+  SELECT b.vec_id AS dup_id
+  FROM a2 a JOIN a2 b ON a.cell = b.cell AND a.vec_id < b.vec_id
+  WHERE CAST(floor(list_reduce(list_transform(range(1, len(a.v) + 1),
+            i -> a.v[i] * b.v[i]), (x, y) -> x + y)
+          / (a.nrm * b.nrm) * 100) AS BIGINT) >= 35
+),
+dups AS (SELECT DISTINCT dup_id FROM pairs)
+SELECT a2.vec_id, a2.cell, dups.dup_id IS NULL AS is_kept
+FROM a2 LEFT JOIN dups ON a2.vec_id = dups.dup_id
+"""
+
+
 def q_docs_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash sketches (vectorized pandas UDF), Charikar '02: 64-bit,
     whitespace tokens, bit source = first 8 bytes of md5(token).
@@ -1880,6 +1995,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_ann_lsh_topk": q_emb_ann_lsh_topk,
         "emb_ann_ivf_topk": q_emb_ann_ivf_topk,
         "emb_cosine_neardup": q_emb_cosine_neardup,
+        "emb_kmeans": q_emb_kmeans,
+        "emb_semantic_dedup": q_emb_semantic_dedup,
         "docs_minhash": q_docs_minhash,
         "docs_neardup_pairs": q_docs_neardup_pairs,
         "docs_dup_clusters": q_docs_dup_clusters,
@@ -1927,6 +2044,8 @@ def oracle_sql() -> dict[str, str]:
         "emb_ann_lsh_topk": O_EMB_ANN_LSH_TOPK,
         "emb_ann_ivf_topk": O_EMB_ANN_IVF_TOPK,
         "emb_cosine_neardup": O_EMB_COSINE_NEARDUP,
+        "emb_kmeans": O_EMB_KMEANS,
+        "emb_semantic_dedup": O_EMB_SEMANTIC_DEDUP,
         "docs_minhash": O_DOCS_MINHASH,
         "docs_neardup_pairs": O_DOCS_NEARDUP_PAIRS,
         "docs_dup_clusters": O_DOCS_DUP_CLUSTERS,
