@@ -1257,6 +1257,139 @@ SELECT qid, cid, sim_c, rank FROM final WHERE rank <= 3
 """
 
 
+def q_docs_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-on-ingest — the CDC x curation fusion: a new batch of
+    documents (doc_id % 10 >= 8 stands in for the incoming micro-batch)
+    is deduplicated against the already-ingested corpus (% 10 < 8, the
+    lake's fingerprint index) AND within itself. Statuses mirror the
+    MERGE taxonomy: dup_of_corpus (anti-join hit), dup_in_batch (lost
+    the winner window to a lower doc_id), new (insert). At 10^10 docs
+    the corpus side is the bucketed lake fingerprint column — the join
+    hash-partitions by fingerprint exactly like the MERGE's PK join,
+    and the within-batch winner is the same winner_window idiom the
+    CDC path equivalence-tests.
+
+    The ingest key is the LEADING-SPAN fingerprint — md5 of the first
+    50 normalized chars — not the whole-document hash: crawl dedup
+    keys on document heads (boilerplate/title region) so re-crawled
+    pages with churned tails still collide, and the synthetic corpus
+    (which has zero whole-document duplicates at sf0.01) exercises
+    all three statuses under it."""
+    tune_session(spark)
+    docs = load(spark, sf_dir, "documents")
+    norm = F.substring(
+        F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")), 1, 50
+    )
+    fp = docs.select("doc_id", F.md5(norm).alias("fingerprint"))
+    corpus = (
+        fp.filter(F.col("doc_id") % 10 < 8)
+        .select("fingerprint").distinct()
+        .withColumn("in_corpus", F.lit(True))
+    )
+    batch = fp.filter(F.col("doc_id") % 10 >= 8)
+    w = Window.partitionBy("fingerprint").orderBy(F.col("doc_id").asc())
+    return (
+        batch.withColumn("rn", F.row_number().over(w))
+        .join(corpus, "fingerprint", "left")
+        .select(
+            "doc_id",
+            "fingerprint",
+            F.when(F.col("in_corpus"), F.lit("dup_of_corpus"))
+            .when(F.col("rn") > 1, F.lit("dup_in_batch"))
+            .otherwise(F.lit("new"))
+            .alias("status"),
+        )
+    )
+
+
+O_DOCS_INCREMENTAL_DEDUP = r"""
+WITH fp AS (
+  SELECT doc_id,
+         md5(substr(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), 1, 50))
+           AS fingerprint
+  FROM documents
+),
+corpus AS (
+  SELECT DISTINCT fingerprint, TRUE AS in_corpus FROM fp WHERE doc_id % 10 < 8
+),
+batch AS (
+  SELECT doc_id, fingerprint,
+         row_number() OVER (PARTITION BY fingerprint ORDER BY doc_id ASC) AS rn
+  FROM fp WHERE doc_id % 10 >= 8
+)
+SELECT b.doc_id, b.fingerprint,
+       CASE WHEN c.in_corpus THEN 'dup_of_corpus'
+            WHEN b.rn > 1 THEN 'dup_in_batch'
+            ELSE 'new' END AS status
+FROM batch b LEFT JOIN corpus c ON b.fingerprint = c.fingerprint
+"""
+
+
+def q_docs_trigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Char-trigram language-model quality proxy: train trigram counts
+    on the whole corpus (one hash agg with map-side combine), then
+    score each document by the summed floor-log2 frequency of its
+    trigrams — natural text reuses common trigrams, gibberish doesn't.
+    Exact-integer contract: floor(log2(count)) is computed as
+    length(bin(count)) - 1, so no transcendental function whose last
+    ulp differs between engines ever reaches a comparison; per-doc
+    sums are long-exact and order-independent. Scale shape: the model
+    is a trigram->count table joined trigram-keyed (skew-safe: the
+    hottest trigram is a bounded fraction of a uniform 3-char space),
+    both aggs reduce map-side."""
+    tune_session(spark)
+    docs = load(spark, sf_dir, "documents")
+    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+    base = docs.select("doc_id", norm.alias("nt")).filter(F.length("nt") >= 3)
+    tri = base.select(
+        "doc_id",
+        F.explode(
+            F.expr("transform(sequence(1, length(nt) - 2), i -> substring(nt, i, 3))")
+        ).alias("tg"),
+    )
+    model = tri.groupBy("tg").agg(F.count(F.lit(1)).alias("cnt"))
+    bits = (F.length(F.bin(F.col("cnt"))) - 1).cast("long")
+    return (
+        tri.join(model, "tg")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_trigrams"),
+            F.sum(bits).alias("sum_bits"),
+        )
+        .select(
+            "doc_id",
+            "n_trigrams",
+            "sum_bits",
+            F.floor(F.col("sum_bits") * 1000 / F.col("n_trigrams"))
+            .cast("long")
+            .alias("avg_bits_pm"),
+        )
+    )
+
+
+O_DOCS_TRIGRAM_LM_SCORE = r"""
+WITH base AS (
+  SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS nt
+  FROM documents
+),
+tri AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(nt) - 1), i -> substr(nt, i, 3))) AS tg
+  FROM base WHERE len(nt) >= 3
+),
+model AS (SELECT tg, count(*) AS cnt FROM tri GROUP BY tg),
+scored AS (
+  SELECT t.doc_id, count(*) AS n_trigrams,
+         CAST(SUM(CAST(length(bin(m.cnt)) - 1 AS BIGINT)) AS BIGINT) AS sum_bits
+  FROM tri t JOIN model m ON t.tg = m.tg
+  GROUP BY t.doc_id
+)
+SELECT doc_id, n_trigrams, sum_bits,
+       CAST(floor(sum_bits * 1000 / n_trigrams) AS BIGINT) AS avg_bits_pm
+FROM scored
+"""
+
+
 def q_emb_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic spherical k-means (2 Lloyd rounds) — the offline
     refinement the IVF-Flat query's codebook points at. Seeds are the
@@ -2002,6 +2135,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_dup_clusters": q_docs_dup_clusters,
         "docs_span_dedup": q_docs_span_dedup,
         "docs_sample_stratified": q_docs_sample_stratified,
+        "docs_incremental_dedup": q_docs_incremental_dedup,
+        "docs_trigram_lm_score": q_docs_trigram_lm_score,
         "docs_simhash": q_docs_simhash,
         "docs_token_bpe": q_docs_token_bpe,
         "multimodal_binary_meta": q_multimodal_binary_meta,
@@ -2051,6 +2186,8 @@ def oracle_sql() -> dict[str, str]:
         "docs_dup_clusters": O_DOCS_DUP_CLUSTERS,
         "docs_span_dedup": O_DOCS_SPAN_DEDUP,
         "docs_sample_stratified": O_DOCS_SAMPLE_STRATIFIED,
+        "docs_incremental_dedup": O_DOCS_INCREMENTAL_DEDUP,
+        "docs_trigram_lm_score": O_DOCS_TRIGRAM_LM_SCORE,
         "docs_simhash": O_DOCS_SIMHASH,
         "docs_token_bpe": O_DOCS_TOKEN_BPE,
         "multimodal_binary_meta": O_MULTIMODAL_BINARY_META,

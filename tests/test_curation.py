@@ -247,3 +247,36 @@ def test_url_canonicalize_idempotent(spark):
         url_canonicalize(once).alias("c2"),
     )
     assert out.filter(F.col("c1") != F.col("c2")).count() == 0
+
+
+def test_incremental_dedup_status_taxonomy(spark, tmp_path):
+    """All three MERGE-taxonomy statuses of dedup-on-ingest over a
+    crafted corpus/batch split (doc_id % 10 >= 8 = incoming batch):
+    dup_of_corpus beats dup_in_batch, within-batch winner is the
+    lowest doc_id, unique heads are new."""
+    from pyspark.sql import Row
+
+    head_a = "alpha " * 20           # shared head: corpus doc 1 + batch doc 8
+    head_b = "bravo " * 20           # batch-only head: docs 18 (winner) + 28
+    head_c = "charlie " * 20         # unique in batch: doc 38
+    rows = [
+        Row(doc_id=1, text=head_a + "corpus tail", lang="en", source="s", n_chars=1),
+        Row(doc_id=8, text=head_a + "recrawled tail", lang="en", source="s", n_chars=1),
+        Row(doc_id=18, text=head_b + "x", lang="en", source="s", n_chars=1),
+        Row(doc_id=28, text=head_b + "y", lang="en", source="s", n_chars=1),
+        Row(doc_id=38, text=head_c, lang="en", source="s", n_chars=1),
+    ]
+    spark.createDataFrame(rows).write.parquet(str(tmp_path / "documents.parquet"))
+
+    import __spark_entry__ as ent
+
+    got = {
+        r["doc_id"]: r["status"]
+        for r in ent.q_docs_incremental_dedup(spark, str(tmp_path)).collect()
+    }
+    assert got == {
+        8: "dup_of_corpus",
+        18: "new",
+        28: "dup_in_batch",
+        38: "new",
+    }
