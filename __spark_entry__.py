@@ -1390,6 +1390,63 @@ FROM scored
 """
 
 
+def q_docs_pack_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing for pretraining: documents are concatenated in
+    doc_id order and cut into fixed 8192-token windows — each doc gets
+    the byte-offset-style (start_offset, window_id, offset_in_window)
+    of where it lands in the packed stream. Packing is SHARD-LOCAL
+    (shard = doc_id div 256): every shard packs independently, so the
+    plan is one hash exchange on shard + an in-partition sort — no
+    global ordering, which is what makes the op embarrassingly
+    parallel at 10^10 docs (real packers pack within shards for
+    exactly this reason; cross-shard continuity is not a training
+    requirement). Integer-only arithmetic end to end."""
+    tune_session(spark)
+    docs = load(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    toks = F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long")
+    base = docs.select(
+        "doc_id",
+        (F.col("doc_id") / 256).cast("long").alias("shard"),
+        toks.alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(F.col("doc_id").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum("n_tokens").over(w)
+    start = (cum - F.col("n_tokens")).alias("start_offset")
+    return base.select(
+        "doc_id",
+        "shard",
+        "n_tokens",
+        start,
+        F.floor((cum - F.col("n_tokens")) / 8192).cast("long").alias("window_id"),
+        ((cum - F.col("n_tokens")) % 8192).alias("offset_in_window"),
+    )
+
+
+O_DOCS_PACK_WINDOWS = r"""
+WITH base AS (
+  SELECT doc_id,
+         CAST(floor(doc_id / 256) AS BIGINT) AS shard,
+         CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens
+  FROM documents WHERE n_chars > 0
+),
+packed AS (
+  SELECT doc_id, shard, n_tokens,
+         SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id ASC
+                             ROWS UNBOUNDED PRECEDING) AS cum
+  FROM base
+)
+SELECT doc_id, shard, n_tokens,
+       CAST(cum - n_tokens AS BIGINT) AS start_offset,
+       CAST(floor((cum - n_tokens) / 8192) AS BIGINT) AS window_id,
+       CAST((cum - n_tokens) % 8192 AS BIGINT) AS offset_in_window
+FROM packed
+"""
+
+
 def q_emb_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic spherical k-means (2 Lloyd rounds) — the offline
     refinement the IVF-Flat query's codebook points at. Seeds are the
@@ -2137,6 +2194,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_sample_stratified": q_docs_sample_stratified,
         "docs_incremental_dedup": q_docs_incremental_dedup,
         "docs_trigram_lm_score": q_docs_trigram_lm_score,
+        "docs_pack_windows": q_docs_pack_windows,
         "docs_simhash": q_docs_simhash,
         "docs_token_bpe": q_docs_token_bpe,
         "multimodal_binary_meta": q_multimodal_binary_meta,
@@ -2188,6 +2246,7 @@ def oracle_sql() -> dict[str, str]:
         "docs_sample_stratified": O_DOCS_SAMPLE_STRATIFIED,
         "docs_incremental_dedup": O_DOCS_INCREMENTAL_DEDUP,
         "docs_trigram_lm_score": O_DOCS_TRIGRAM_LM_SCORE,
+        "docs_pack_windows": O_DOCS_PACK_WINDOWS,
         "docs_simhash": O_DOCS_SIMHASH,
         "docs_token_bpe": O_DOCS_TOKEN_BPE,
         "multimodal_binary_meta": O_MULTIMODAL_BINARY_META,

@@ -216,6 +216,52 @@ def main() -> None:
         "no Exchange operator anywhere in the plan; Filter present above the scan",
     )
 
+    # Sequence packing: shard-local prefix sums — exactly one hash
+    # exchange on shard, no range partitioning (a global sort would be
+    # the 10^10-doc killer).
+    pplan = (
+        ent.q_docs_pack_windows(spark, root + "/docs_tbl")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    check(
+        "pack windows: one shard hash Exchange, no global range sort",
+        pplan.count("Exchange hashpartitioning") == 1
+        and "Exchange rangepartitioning" not in pplan
+        and "Window" in pplan,
+        "single Exchange hashpartitioning(shard); running-sum Window "
+        "sorts only within partitions",
+    )
+
+    # k-means: the assignment pass must broadcast the codebook (a
+    # BroadcastNestedLoopJoin over k centroids is the intended shape —
+    # never a shuffled cartesian), and the Lloyd update must partial-
+    # aggregate the (cell, pos) long sums map-side.
+    from airbyte_integrations_spark.functions.kmeans import (
+        embeddings_base, refine_centroids, seed_centroids, assign_cells,
+    )
+
+    emb = spark.range(0, 2000).select(
+        F.col("id").alias("vec_id"),
+        F.expr(
+            "transform(sequence(1, 8), i -> cast(pmod(id * i, 97) / 97.0 - 0.5 as float))"
+        ).alias("embedding"),
+    )
+    kbase = embeddings_base(emb)
+    a1 = assign_cells(kbase, seed_centroids(kbase, 97))
+    aplan = a1._jdf.queryExecution().executedPlan().toString()
+    rkplan = refine_centroids(a1)._jdf.queryExecution().executedPlan().toString()
+    check(
+        "kmeans assignment: broadcast codebook, no shuffled cartesian",
+        "BroadcastNestedLoopJoin" in aplan and "CartesianProduct" not in aplan,
+        "BroadcastNestedLoopJoin over the k-row codebook; corpus side never shuffles",
+    )
+    check(
+        "kmeans Lloyd update: map-side partial sums on (cell, pos)",
+        "partial_sum(sv" in rkplan and "partial_count" in rkplan,
+        "HashAggregate(partial_sum(sv)) on (cell, pos) + partial_count per cell "
+        "before their Exchanges — k*dim rows cross the wire",
+    )
+
     out = ["# PLANS — physical-plan evidence (generated by tools/capture_plans.py)", ""]
     ok_all = True
     for name, ok, ev in CHECKS:
