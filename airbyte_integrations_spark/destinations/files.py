@@ -196,6 +196,28 @@ class FilesDestination:
         finally:
             shutil.rmtree(staging, ignore_errors=True)
 
+    # ------------------------------------------------------------ check
+
+    def check(self) -> dict:
+        """CONNECTION_STATUS probe — S3Destination.attemptWriteAndDelete
+        (:133-152): write a probe object under the configured root,
+        list it back (the IAM listObjects check), delete it. Any
+        failure maps to FAILED + message."""
+        probe = os.path.join(
+            self.config.root, "_airbyte_connection_test_" + _uuid.uuid4().hex
+        )
+        try:
+            os.makedirs(self.config.root, exist_ok=True)
+            with open(probe, "w") as f:
+                f.write("check-content")
+            listed = set(os.listdir(self.config.root))
+            if os.path.basename(probe) not in listed:
+                return {"status": "FAILED", "message": "probe object not listed"}
+            os.remove(probe)
+            return {"status": "SUCCEEDED"}
+        except Exception as e:
+            return {"status": "FAILED", "message": str(e)[:200]}
+
     # ---------------------------------------------------------- helpers
 
     def _to_wire(self, df: DataFrame, dt: datetime) -> DataFrame:

@@ -111,6 +111,33 @@ class JdbcDestination:
             rs.close()
         return out
 
+    # ------------------------------------------------------------ check
+
+    def check(self) -> dict:
+        """CONNECTION_STATUS probe — AbstractJdbcDestination.check
+        (:57-91): verify write permission by creating a table with a
+        random name and dropping it again; any failure maps to
+        FAILED + message, success to SUCCEEDED."""
+        probe = "_airbyte_connection_test_" + uuid.uuid4().hex
+        try:
+            conn = self._connect()
+        except Exception as e:
+            return {"status": "FAILED", "message": str(e)[:200]}
+        try:
+            st = conn.createStatement()
+            try:
+                st.execute(
+                    f"CREATE TABLE {quote_identifier(probe)} (x INTEGER)"
+                )
+                st.execute(f"DROP TABLE {quote_identifier(probe)}")
+            finally:
+                st.close()
+            return {"status": "SUCCEEDED"}
+        except Exception as e:
+            return {"status": "FAILED", "message": str(e)[:200]}
+        finally:
+            conn.close()
+
     # ------------------------------------------------------------ write
 
     def write(

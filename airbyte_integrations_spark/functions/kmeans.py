@@ -62,10 +62,56 @@ def _floor_cos(v, nrm, cv, cn):
     return F.floor(dot / (nrm * cn) * SCALE).cast("long")
 
 
-def assign_cells(base: DataFrame, cents: DataFrame) -> DataFrame:
-    """One pass over the corpus against the broadcast codebook: each
-    vector goes to its argmax-floor-cosine centroid (lowest cent_id on
-    ties). Returns (vec_id, v, nrm, cell, csim)."""
+def assign_cells(
+    base: DataFrame, cents: DataFrame, impl: str = "expr"
+) -> DataFrame:
+    """One pass over the corpus: each vector goes to its argmax-floor-
+    cosine centroid (lowest cent_id on ties). Returns
+    (vec_id, v, nrm, cell, csim).
+
+    impl="expr" (default): the codebook is collected (k*dim doubles —
+    metadata-sized, same class as the MERGE's touched-bucket collect)
+    and inlined as a literal array; argmax is array_max over per-row
+    struct scores — a PURE NARROW projection, zero Exchange, nothing
+    but the corpus scan at any corpus size. Right up to k in the low
+    thousands (codegen grows with k*dim literals).
+
+    impl="join": broadcast-join explosion + per-vector winner window —
+    no driver collect and no literal-size ceiling, for codebooks too
+    large to inline. Costs an n-row Exchange for the window.
+    Both impls are equivalence-tested; winners are identical because
+    the (csim, cent_id) ordering is total."""
+    if impl == "expr":
+        rows = sorted(cents.collect(), key=lambda r: r["cent_id"])
+        if not rows:
+            raise ValueError("empty codebook")
+        arr = F.array(
+            *[
+                F.struct(
+                    F.lit(int(r["cent_id"])).alias("cent_id"),
+                    F.array(*[F.lit(float(x)) for x in r["cv"]]).alias("cv"),
+                    F.lit(float(r["cn"])).alias("cn"),
+                )
+                for r in rows
+            ]
+        )
+        scored = F.transform(
+            arr,
+            lambda c: F.struct(
+                _floor_cos(F.col("v"), F.col("nrm"), c["cv"], c["cn"]).alias(
+                    "csim"
+                ),
+                (-c["cent_id"]).alias("neg_cent"),
+            ),
+        )
+        best = F.array_max(scored)
+        return base.select(
+            "vec_id", "v", "nrm",
+            (-best["neg_cent"]).cast("long").alias("cell"),
+            best["csim"].alias("csim"),
+        )
+    if impl != "join":
+        raise ValueError(f"unknown assign impl: {impl!r}")
     scored = base.crossJoin(F.broadcast(cents)).select(
         "vec_id", "v", "nrm", "cent_id",
         _floor_cos(F.col("v"), F.col("nrm"), F.col("cv"), F.col("cn")).alias("csim"),
@@ -115,16 +161,16 @@ def refine_centroids(assigned: DataFrame) -> DataFrame:
 
 
 def spherical_kmeans(
-    base: DataFrame, seed_mod: int = 97, iters: int = 2
+    base: DataFrame, seed_mod: int = 97, iters: int = 2, impl: str = "expr"
 ) -> DataFrame:
     """iters rounds of assign->refine from the deterministic seeds;
     returns the final assignment (vec_id, v, nrm, cell, csim)."""
     if iters < 1:
         raise ValueError("iters must be >= 1")
     cents = seed_centroids(base, seed_mod)
-    assigned = assign_cells(base, cents)
+    assigned = assign_cells(base, cents, impl=impl)
     for _ in range(iters - 1):
-        assigned = assign_cells(base, refine_centroids(assigned))
+        assigned = assign_cells(base, refine_centroids(assigned), impl=impl)
     return assigned
 
 

@@ -180,3 +180,19 @@ def test_wire_replay_is_byte_identical(spark, tmp_path):
     b1 = open(os.path.join(str(tmp_path), p1[0]), "rb").read()
     b2 = open(os.path.join(str(tmp_path), p2[0]), "rb").read()
     assert sorted(b1.splitlines()) == sorted(b2.splitlines())
+
+
+def test_check_write_probe(spark, tmp_path):
+    """S3Destination.attemptWriteAndDelete parity: probe object written,
+    listed, deleted; no residue; unwritable root -> FAILED."""
+    cfg = FilesDestinationConfig(root=str(tmp_path / "bucket"))
+    dest = FilesDestination(spark, cfg)
+    assert dest.check() == {"status": "SUCCEEDED"}
+    assert os.listdir(str(tmp_path / "bucket")) == []  # probe removed
+    blocker = tmp_path / "blocker"
+    blocker.write_text("not a dir")
+    bad = FilesDestination(
+        spark, FilesDestinationConfig(root=str(blocker / "sub"))
+    )
+    out = bad.check()
+    assert out["status"] == "FAILED" and out["message"]

@@ -169,3 +169,20 @@ def test_dedup_null_final_cursor_always_loses(spark, derby_url):
     assert len(got) == 2
     assert got.loc["a", "name"] == "a-real" and got.loc["a", "ver"] == 1
     assert got.loc["b", "name"] == "b-v7"
+
+
+def test_check_create_drop_probe(spark, derby_url):
+    """AbstractJdbcDestination.check (:57-91) parity: create+drop a
+    random probe table -> SUCCEEDED; unreachable database -> FAILED."""
+    from airbyte_integrations_spark.destinations.jdbc import (
+        JdbcDestination,
+        JdbcDestinationConfig,
+    )
+
+    dest = JdbcDestination(spark, JdbcDestinationConfig(url=derby_url))
+    assert dest.check() == {"status": "SUCCEEDED"}
+    bad = JdbcDestination(
+        spark, JdbcDestinationConfig(url="jdbc:derby:/nonexistent/nope")
+    )
+    out = bad.check()
+    assert out["status"] == "FAILED" and out["message"]

@@ -91,3 +91,32 @@ def test_seed_centroids_rule(spark):
     base = embeddings_base(_two_clusters(spark))
     seeds = sorted(r["cent_id"] for r in seed_centroids(base, 97).collect())
     assert seeds == [0, 97]
+
+
+def test_assign_impl_equivalence(spark):
+    """expr (literal-codebook narrow pass) and join (broadcast
+    explosion + winner window) pick identical winners — the
+    (csim, cent_id) ordering is total, so both impls are the same
+    function. Also pins zero-Exchange on the expr plan."""
+    from pyspark.sql import functions as F
+
+    emb = spark.range(0, 300).select(
+        F.col("id").alias("vec_id"),
+        F.expr(
+            "transform(sequence(1, 6), i -> cast(pmod(id * i, 53) / 53.0 - 0.5 as float))"
+        ).alias("embedding"),
+    )
+    base = embeddings_base(emb)
+    cents = seed_centroids(base, 97)
+    a_expr = assign_cells(base, cents, impl="expr")
+    a_join = assign_cells(base, cents, impl="join")
+    rows_e = sorted((r["vec_id"], r["cell"], r["csim"]) for r in a_expr.collect())
+    rows_j = sorted((r["vec_id"], r["cell"], r["csim"]) for r in a_join.collect())
+    assert rows_e == rows_j
+    plan = a_expr._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "Join" not in plan
+    # full loop equivalence too
+    k_e = spherical_kmeans(base, 97, iters=2, impl="expr")
+    k_j = spherical_kmeans(base, 97, iters=2, impl="join")
+    assert sorted(map(tuple, k_e.select("vec_id", "cell", "csim").collect())) == \
+           sorted(map(tuple, k_j.select("vec_id", "cell", "csim").collect()))

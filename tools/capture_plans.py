@@ -251,8 +251,20 @@ def main() -> None:
     aplan = a1._jdf.queryExecution().executedPlan().toString()
     rkplan = refine_centroids(a1)._jdf.queryExecution().executedPlan().toString()
     check(
-        "kmeans assignment: broadcast codebook, no shuffled cartesian",
-        "BroadcastNestedLoopJoin" in aplan and "CartesianProduct" not in aplan,
+        "kmeans assignment (expr impl): literal codebook, pure narrow pass — "
+        "zero Exchange, zero join",
+        "Exchange" not in aplan and "Join" not in aplan,
+        "argmax over the inlined codebook array is a projection; "
+        "nothing but the corpus scan at any corpus size",
+    )
+    aplan_j = (
+        assign_cells(kbase, seed_centroids(kbase, 97), impl="join")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    check(
+        "kmeans assignment (join impl, large-k path): broadcast codebook, "
+        "no shuffled cartesian",
+        "BroadcastNestedLoopJoin" in aplan_j and "CartesianProduct" not in aplan_j,
         "BroadcastNestedLoopJoin over the k-row codebook; corpus side never shuffles",
     )
     check(
