@@ -1447,6 +1447,60 @@ FROM packed
 """
 
 
+def q_docs_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-composition mixing weights — the temperature-resampling
+    step that decides how much of each (lang, source) slice a training
+    run samples: per-slice doc/token counts, alpha=0.5 temperature
+    weight (floor(sqrt(tokens)) — sqrt is IEEE-exact in every engine,
+    unlike log), and the slice's per-mille share of the reweighted
+    corpus. Dataflow: one map-side-combining hash agg to slice stats
+    (k rows), then a broadcast of the single-row weight total — the
+    same broadcast-scalar shape the TF-IDF query uses. Scales as the
+    agg; the slice table is metadata-sized at any corpus size."""
+    tune_session(spark)
+    docs = load(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    toks = F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long")
+    slices = (
+        docs.select("lang", "source", toks.alias("t"))
+        .groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("t").alias("n_tokens"),
+        )
+        .withColumn(
+            "weight_sqrt", F.floor(F.sqrt(F.col("n_tokens"))).cast("long")
+        )
+    )
+    total = slices.agg(F.sum("weight_sqrt").alias("w_total"))
+    return (
+        slices.crossJoin(F.broadcast(total))
+        .select(
+            "lang", "source", "n_docs", "n_tokens", "weight_sqrt",
+            F.floor(F.col("weight_sqrt") * 1000 / F.col("w_total"))
+            .cast("long")
+            .alias("share_pm"),
+        )
+    )
+
+
+O_DOCS_SOURCE_MIX = r"""
+WITH slices AS (
+  SELECT lang, source,
+         count(*) AS n_docs,
+         CAST(SUM(CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)) AS BIGINT) AS n_tokens
+  FROM documents WHERE n_chars > 0
+  GROUP BY lang, source
+),
+w AS (
+  SELECT *, CAST(floor(sqrt(n_tokens)) AS BIGINT) AS weight_sqrt FROM slices
+),
+tot AS (SELECT CAST(SUM(weight_sqrt) AS BIGINT) AS w_total FROM w)
+SELECT lang, source, n_docs, n_tokens, weight_sqrt,
+       CAST(floor(weight_sqrt * 1000 / w_total) AS BIGINT) AS share_pm
+FROM w CROSS JOIN tot
+"""
+
+
 def q_emb_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic spherical k-means (2 Lloyd rounds) — the offline
     refinement the IVF-Flat query's codebook points at. Seeds are the
@@ -2195,6 +2249,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_incremental_dedup": q_docs_incremental_dedup,
         "docs_trigram_lm_score": q_docs_trigram_lm_score,
         "docs_pack_windows": q_docs_pack_windows,
+        "docs_source_mix": q_docs_source_mix,
         "docs_simhash": q_docs_simhash,
         "docs_token_bpe": q_docs_token_bpe,
         "multimodal_binary_meta": q_multimodal_binary_meta,
@@ -2247,6 +2302,7 @@ def oracle_sql() -> dict[str, str]:
         "docs_incremental_dedup": O_DOCS_INCREMENTAL_DEDUP,
         "docs_trigram_lm_score": O_DOCS_TRIGRAM_LM_SCORE,
         "docs_pack_windows": O_DOCS_PACK_WINDOWS,
+        "docs_source_mix": O_DOCS_SOURCE_MIX,
         "docs_simhash": O_DOCS_SIMHASH,
         "docs_token_bpe": O_DOCS_TOKEN_BPE,
         "multimodal_binary_meta": O_MULTIMODAL_BINARY_META,
