@@ -2206,6 +2206,436 @@ FROM s GROUP BY user_id, session_id
 """
 
 
+def q_cdc_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (as-of) join: every 7th change event probes the
+    page state just before its own LSN — "what did this url look like
+    when the event fired?", the temporal lookup CDC consumers run
+    against the SCD interval table (stream_processor.py:698-959's
+    active-row read generalized to any cursor position). Spark-first
+    shape: NOT an inequality join (O(p x v) per key, nested-loop) —
+    both sides UNION into ONE url-keyed window that carries the last
+    version payload forward (sort-merge as-of; one Exchange, zero
+    joins, linear per key). Oracle: DuckDB's native ASOF LEFT JOIN."""
+    tune_session(spark)
+    from airbyte_integrations_spark.operators.asof import asof_join
+
+    ce = change_events(spark, sf_dir)
+    versions = ce.select(
+        "url",
+        F.col("_ab_cdc_lsn").alias("lsn"),
+        "value_m",
+        F.col("_ab_cdc_deleted_at").isNotNull().cast("long").alias("deleted"),
+    )
+    probes = ce.select(
+        "url", (F.col("_ab_cdc_lsn") - 1).alias("probe_lsn")
+    ).filter(F.col("probe_lsn") % 7 == 0)
+    return asof_join(
+        probes, versions, ["url"], "probe_lsn", "lsn", ["value_m", "deleted"]
+    )
+
+
+O_CDC_ASOF_JOIN = f"""
+WITH {CE_SQL},
+v AS (
+  SELECT url, _ab_cdc_lsn AS lsn, value_m,
+         CASE WHEN _ab_cdc_deleted_at IS NOT NULL
+              THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS deleted
+  FROM ce
+),
+p AS (
+  SELECT url, _ab_cdc_lsn - 1 AS probe_lsn FROM ce
+  WHERE (_ab_cdc_lsn - 1) % 7 = 0
+)
+SELECT p.url, p.probe_lsn, v.lsn AS asof_lsn,
+       v.value_m AS asof_value_m, v.deleted AS asof_deleted
+FROM p ASOF LEFT JOIN v ON p.url = v.url AND p.probe_lsn >= v.lsn
+"""
+
+
+def q_cdc_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot time travel (Iceberg `VERSION AS OF` parity): the log
+    is applied as two MERGE epochs split at the mid LSN; the query
+    reads the table AS OF the first commit's snapshot version — the
+    second epoch must be invisible. Every commit is an immutable
+    manifest, so old versions stay readable until compaction GC; the
+    oracle recomputes winners over the lsn <= mid prefix. This is the
+    read side of the exactly-once contract (resume/debug tooling reads
+    the pre-crash snapshot)."""
+    import tempfile
+
+    from airbyte_integrations_spark.lakehouse.merge import merge_into
+    from airbyte_integrations_spark.lakehouse.table import LakeTable
+
+    tune_session(spark)
+    ce = change_events(spark, sf_dir)
+    hi = int(ce.agg(F.max("_ab_cdc_lsn")).collect()[0][0])
+    mid = hi // 2
+    scratch = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    table = LakeTable(
+        spark, tempfile.mkdtemp(prefix="tt_entry_", dir=scratch) + "/t"
+    )
+    v_mid = merge_into(table, ce.filter(F.col("_ab_cdc_lsn") <= mid), epoch=1)
+    merge_into(table, ce.filter(F.col("_ab_cdc_lsn") > mid), epoch=2)
+    return table.read_live(version=v_mid).select(
+        "url", "_ab_cdc_lsn", "event_type", "value_m"
+    )
+
+
+O_CDC_TIME_TRAVEL = f"""
+WITH {CE_SQL},
+st AS (SELECT CAST(floor(max(_ab_cdc_lsn) / 2.0) AS BIGINT) AS b FROM ce),
+w AS (
+  SELECT ce.*, row_number() OVER (PARTITION BY url ORDER BY {ORDER_SQL}) AS rn
+  FROM ce, st WHERE _ab_cdc_lsn <= st.b
+)
+SELECT url, _ab_cdc_lsn, event_type, value_m
+FROM w WHERE rn = 1 AND _ab_cdc_deleted_at IS NULL
+"""
+
+
+def q_docs_bloom_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-prefiltered dedup-on-ingest: the corpus fingerprint index
+    (doc_id % 10 < 8) folds into a broadcast Bloom bitmap; batch rows
+    that miss the bitmap are definitively new (no false negatives) and
+    SKIP the join, only bitmap-positives flow into the exact
+    verification join that removes Bloom false positives — so the
+    result equals the plain join (the SQL oracle) while the shuffle
+    sees a sliver of the batch. At 10^10 corpus rows this is the only
+    affordable per-micro-batch membership test; the bitmap build is a
+    shuffle-free mapInPandas fold (partial bitmap per partition,
+    driver ORs). Fingerprint = md5 of the first 64 normalized chars
+    (crawl dedup keys on document heads; 64 != the 50 of
+    docs_incremental_dedup so the two indexes are distinct)."""
+    tune_session(spark)
+    from airbyte_integrations_spark.functions.bloom import (
+        build_bloom,
+        might_contain,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    norm = F.substring(
+        F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")), 1, 64
+    )
+    fp = docs.select("doc_id", F.md5(norm).alias("fingerprint"))
+    corpus = fp.filter(F.col("doc_id") % 10 < 8).select("fingerprint").distinct()
+    batch = fp.filter(F.col("doc_id") % 10 >= 8)
+    bloom = build_bloom(corpus, "fingerprint", m_bits=1 << 17, k=5)
+    hit = might_contain(bloom, "fingerprint")
+    maybe = batch.filter(hit).join(
+        corpus.withColumn("in_corpus", F.lit(True)), "fingerprint", "left"
+    )
+    definitely_new = batch.filter(~hit).withColumn(
+        "in_corpus", F.lit(None).cast("boolean")
+    )
+    return maybe.unionByName(definitely_new).select(
+        "doc_id",
+        "fingerprint",
+        F.when(F.col("in_corpus"), F.lit("dup_of_corpus"))
+        .otherwise(F.lit("new"))
+        .alias("status"),
+    )
+
+
+O_DOCS_BLOOM_DEDUP = r"""
+WITH fp AS (
+  SELECT doc_id,
+         md5(substr(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), 1, 64))
+           AS fingerprint
+  FROM documents
+),
+corpus AS (
+  SELECT DISTINCT fingerprint, TRUE AS in_corpus FROM fp WHERE doc_id % 10 < 8
+)
+SELECT b.doc_id, b.fingerprint,
+       CASE WHEN c.in_corpus THEN 'dup_of_corpus' ELSE 'new' END AS status
+FROM fp b LEFT JOIN corpus c ON b.fingerprint = c.fingerprint
+WHERE b.doc_id % 10 >= 8
+"""
+
+
+def q_docs_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary: top-200 BPE-ish pre-tokens by frequency with
+    rank and cumulative per-mille coverage — the token-budget /
+    vocab-building step of a training-data pipeline (what fraction of
+    the corpus the first k vocab entries cover). Scale shape: one
+    map-side-combining hash agg over the token explosion, then
+    TakeOrderedAndProject (top-k, never a full sort) and a window over
+    only the 200 survivors; the corpus total rides in as a broadcast
+    1-row scalar. Integer-exact: coverage = (cum * 1000) div total —
+    no float division reaches the comparison."""
+    tune_session(spark)
+    docs = load(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    toks = F.explode(
+        F.regexp_extract_all(F.col("text"), F.lit(_BPE_RE), 0)
+    ).alias("token")
+    counts = docs.select(toks).groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    total = counts.agg(F.sum("cnt").alias("total"))
+    top = counts.orderBy(F.col("cnt").desc(), F.col("token").asc()).limit(200)
+    w = Window.orderBy(F.col("cnt").desc(), F.col("token").asc())
+    return (
+        top.crossJoin(F.broadcast(total))
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .withColumn(
+            "cum",
+            F.sum("cnt").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        .select(
+            "token",
+            "cnt",
+            "rank",
+            F.expr("(cum * 1000) div total").alias("cum_pm"),
+        )
+    )
+
+
+O_DOCS_VOCAB_TOPK = rf"""
+WITH t AS (
+  SELECT unnest(regexp_extract_all(text, '{_BPE_RE}')) AS token
+  FROM documents WHERE n_chars > 0
+),
+c AS (SELECT token, count(*) AS cnt FROM t GROUP BY token),
+tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM c),
+top AS (SELECT token, cnt FROM c ORDER BY cnt DESC, token ASC LIMIT 200),
+r AS (
+  SELECT token, cnt,
+         row_number() OVER (ORDER BY cnt DESC, token ASC) AS rank,
+         CAST(sum(cnt) OVER (ORDER BY cnt DESC, token ASC
+                             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+  FROM top
+)
+SELECT token, cnt, rank,
+       CAST((cum * 1000) // (SELECT total FROM tot) AS BIGINT) AS cum_pm
+FROM r
+"""
+
+
+def q_docs_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup-on-ingest: a NEW batch (doc_id % 10 >= 8) looked up
+    against the already-ingested corpus's LSH band index (% 10 < 8) —
+    the incremental counterpart of docs_bloom_dedup's exact-fingerprint
+    arm, and what a crawl pipeline actually runs per micro-batch
+    (re-banding the 10^10-doc corpus each sync, as the self-join
+    variant would, is not affordable; the index is persisted and the
+    join is band-bucket-keyed). Candidates are verified with exact
+    shingle-Jaccard (>= 0.5); per batch doc: candidate count, verified
+    near-dup count, status."""
+    tune_session(spark)
+    from airbyte_integrations_spark.functions.neardup import (
+        jaccard_pairs,
+        lsh_candidates_vs_index,
+        minhash_signature,
+        shingles,
+    )
+    from airbyte_integrations_spark.session import register_persist
+
+    docs = load(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    sh = register_persist(shingles(docs, "doc_id", "text"))
+    sig = register_persist(
+        minhash_signature(docs, "doc_id", "text", shingles_df=sh)
+    )
+    batch_sigs = sig.filter(F.col("doc_id") % 10 >= 8)
+    index_sigs = sig.filter(F.col("doc_id") % 10 < 8)
+    cand = lsh_candidates_vs_index(batch_sigs, index_sigs, "doc_id")
+    jac = jaccard_pairs(
+        docs,
+        cand.select(
+            F.col("batch_id").alias("id_a"), F.col("index_id").alias("id_b")
+        ),
+        "doc_id",
+        "text",
+        shingles_df=sh,
+    )
+    per_batch = (
+        jac.select(
+            F.col("id_a").alias("doc_id"),
+            (
+                F.floor(F.col("n_inter") * 1000.0 / F.col("n_union")).cast("long")
+                >= 500
+            ).cast("long").alias("is_dup"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_candidates"),
+            F.sum("is_dup").alias("n_near_dup"),
+        )
+    )
+    base = docs.filter(F.col("doc_id") % 10 >= 8).select("doc_id")
+    return base.join(per_batch, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("n_candidates"), F.lit(0).cast("long")).alias(
+            "n_candidates"
+        ),
+        F.coalesce(F.col("n_near_dup"), F.lit(0).cast("long")).alias(
+            "n_near_dup"
+        ),
+        F.when(F.coalesce(F.col("n_near_dup"), F.lit(0)) > 0,
+               F.lit("near_dup_of_corpus"))
+        .otherwise(F.lit("unique"))
+        .alias("status"),
+    )
+
+
+O_DOCS_MINHASH_INCREMENTAL = rf"""
+WITH w AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS ws
+  FROM documents WHERE n_chars > 0
+),
+sh AS (
+  SELECT DISTINCT doc_id, array_to_string(ws[p:p + 2], ' ') AS shingle
+  FROM (
+    SELECT doc_id, ws,
+           unnest(generate_series(1, greatest(len(ws) - 2, 1))) AS p
+    FROM w
+  )
+),
+sig AS (SELECT doc_id, {_MH} FROM sh GROUP BY doc_id),
+bands AS (
+  {_BANDS}
+),
+cand AS (
+  SELECT DISTINCT b.doc_id AS batch_id, c.doc_id AS index_id
+  FROM bands b JOIN bands c ON b.idx = c.idx AND b.band = c.band
+  WHERE b.doc_id % 10 >= 8 AND c.doc_id % 10 < 8
+),
+inter AS (
+  SELECT p.batch_id, p.index_id, count(*) AS n_inter
+  FROM cand p
+  JOIN sh sa ON sa.doc_id = p.batch_id
+  JOIN sh sb ON sb.doc_id = p.index_id AND sb.shingle = sa.shingle
+  GROUP BY 1, 2
+),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+agg AS (
+  SELECT batch_id,
+         count(*) AS n_candidates,
+         CAST(sum(CASE WHEN CAST(floor(n_inter * 1000.0 /
+                (za.n_sh + zb.n_sh - n_inter)) AS BIGINT) >= 500
+              THEN 1 ELSE 0 END) AS BIGINT) AS n_near_dup
+  FROM inter
+  JOIN sizes za ON za.doc_id = batch_id
+  JOIN sizes zb ON zb.doc_id = index_id
+  GROUP BY 1
+)
+SELECT d.doc_id,
+       COALESCE(a.n_candidates, 0) AS n_candidates,
+       COALESCE(a.n_near_dup, 0) AS n_near_dup,
+       CASE WHEN COALESCE(a.n_near_dup, 0) > 0 THEN 'near_dup_of_corpus'
+            ELSE 'unique' END AS status
+FROM (SELECT doc_id FROM documents WHERE n_chars > 0 AND doc_id % 10 >= 8) d
+LEFT JOIN agg a ON a.batch_id = d.doc_id
+"""
+
+
+def q_emb_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN quality measurement — recall@3 of the sign-LSH bucketed
+    search against exact brute-force top-3, per query ("measure, don't
+    guess": the eval harness that justifies the bucket-bit / nprobe
+    choice before a 10^10-vector rollout). The brute-force side is the
+    labeled oracle baseline restricted to the 2% probe set (|Q| x N —
+    the eval shape, never the serving path); the ANN side is the same
+    bucket-keyed join the serving query uses. Integer floor(cos*100)
+    scoring + cid tiebreak keep both rankings engine-exact. Bucket
+    width here is 2 bits (vs the serving query's 8): the synthetic
+    embeddings are near-orthogonal, so at 8 bits recall@3 is 0 for
+    every query — a true but signal-free measurement; 2 bits puts the
+    operating point where the recall/candidate-count tradeoff is
+    visible, which is exactly what the harness exists to show."""
+    tune_session(spark)
+    emb = load(spark, sf_dir, "embeddings")
+    dims = [1, 33]
+    dbl = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    bits = [
+        F.when(F.element_at(F.col("embedding"), d) >= 0, F.lit("1")).otherwise(F.lit("0"))
+        for d in dims
+    ]
+    base = emb.select(
+        "vec_id",
+        dbl.alias("v"),
+        F.sqrt(F.aggregate(dbl, F.lit(0.0), lambda a, x: a + x * x)).alias("nrm"),
+        F.concat(*bits).alias("bucket"),
+    )
+    q = base.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("qid"), F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"), F.col("bucket"),
+    )
+    c = base.select(
+        F.col("vec_id").alias("cid"), F.col("v").alias("cv"),
+        F.col("nrm").alias("cn"), F.col("bucket").alias("cbucket"),
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("qv"), F.col("cv"), lambda a, b: a * b),
+        F.lit(0.0), lambda a, x: a + x,
+    )
+    sim = F.floor(dot / (F.col("qn") * F.col("cn")) * 100).cast("long")
+    w = Window.partitionBy("qid").orderBy(F.col("sim_c").desc(), F.col("cid").asc())
+
+    def top3(pairs: DataFrame) -> DataFrame:
+        return (
+            pairs.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= 3)
+            .select("qid", "cid")
+        )
+
+    exact = top3(
+        q.crossJoin(c)
+        .filter(F.col("qid") != F.col("cid"))
+        .select("qid", "cid", sim.alias("sim_c"))
+    )
+    ann = top3(
+        q.join(c, F.col("bucket") == F.col("cbucket"))
+        .filter(F.col("qid") != F.col("cid"))
+        .select("qid", "cid", sim.alias("sim_c"))
+    )
+    return (
+        exact.join(ann.withColumn("hit", F.lit(1)), ["qid", "cid"], "left")
+        .groupBy("qid")
+        .agg(F.count("hit").alias("n_hits"))
+        .select(
+            "qid",
+            "n_hits",
+            F.expr("(n_hits * 1000) div 3").alias("recall_pm"),
+        )
+    )
+
+
+O_EMB_ANN_RECALL = """
+WITH base AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+         (CASE WHEN embedding[1] >= 0 THEN '1' ELSE '0' END ||
+          CASE WHEN embedding[33] >= 0 THEN '1' ELSE '0' END) AS bucket
+  FROM embeddings
+),
+base2 AS (SELECT vec_id, v, bucket, sqrt(list_dot_product(v, v)) AS nrm FROM base),
+q AS (SELECT vec_id AS qid, v AS qv, nrm AS qn, bucket FROM base2 WHERE vec_id % 50 = 0),
+exact AS (
+  SELECT qid, cid FROM (
+    SELECT q.qid, c.vec_id AS cid,
+           row_number() OVER (
+             PARTITION BY q.qid
+             ORDER BY CAST(floor(list_dot_product(q.qv, c.v) / (q.qn * c.nrm) * 100)
+                           AS BIGINT) DESC, c.vec_id ASC) AS rank
+    FROM q, base2 c WHERE q.qid != c.vec_id
+  ) WHERE rank <= 3
+),
+ann AS (
+  SELECT qid, cid FROM (
+    SELECT q.qid, c.vec_id AS cid,
+           row_number() OVER (
+             PARTITION BY q.qid
+             ORDER BY CAST(floor(list_dot_product(q.qv, c.v) / (q.qn * c.nrm) * 100)
+                           AS BIGINT) DESC, c.vec_id ASC) AS rank
+    FROM q JOIN base2 c USING (bucket) WHERE q.qid != c.vec_id
+  ) WHERE rank <= 3
+)
+SELECT e.qid,
+       count(a.cid) AS n_hits,
+       CAST((count(a.cid) * 1000) // 3 AS BIGINT) AS recall_pm
+FROM exact e LEFT JOIN ann a ON a.qid = e.qid AND a.cid = e.cid
+GROUP BY e.qid
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "cdc_latest_wins": q_cdc_latest_wins,
@@ -2234,6 +2664,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_pii_redact": q_docs_pii_redact,
         "docs_url_canonical": q_docs_url_canonical,
         "events_sessionize": q_events_sessionize,
+        "cdc_asof_join": q_cdc_asof_join,
+        "cdc_time_travel": q_cdc_time_travel,
+        "docs_bloom_dedup": q_docs_bloom_dedup,
+        "docs_vocab_topk": q_docs_vocab_topk,
+        "docs_minhash_incremental": q_docs_minhash_incremental,
+        "emb_ann_recall": q_emb_ann_recall,
         "emb_lsh_buckets": q_emb_lsh_buckets,
         "emb_knn_cosine": q_emb_knn_cosine,
         "emb_ann_lsh_topk": q_emb_ann_lsh_topk,
@@ -2287,6 +2723,12 @@ def oracle_sql() -> dict[str, str]:
         "docs_pii_redact": O_DOCS_PII_REDACT,
         "docs_url_canonical": O_DOCS_URL_CANONICAL,
         "events_sessionize": O_EVENTS_SESSIONIZE,
+        "cdc_asof_join": O_CDC_ASOF_JOIN,
+        "cdc_time_travel": O_CDC_TIME_TRAVEL,
+        "docs_bloom_dedup": O_DOCS_BLOOM_DEDUP,
+        "docs_vocab_topk": O_DOCS_VOCAB_TOPK,
+        "docs_minhash_incremental": O_DOCS_MINHASH_INCREMENTAL,
+        "emb_ann_recall": O_EMB_ANN_RECALL,
         "emb_lsh_buckets": O_EMB_LSH_BUCKETS,
         "emb_knn_cosine": O_EMB_KNN_COSINE,
         "emb_ann_lsh_topk": O_EMB_ANN_LSH_TOPK,

@@ -96,6 +96,47 @@ def lsh_candidate_pairs(
     return pairs.distinct()
 
 
+def lsh_candidates_vs_index(
+    batch_sigs: DataFrame,
+    index_sigs: DataFrame,
+    id_col: str,
+    n_hashes: int = 8,
+    band_size: int = 2,
+) -> DataFrame:
+    """Incremental LSH lookup: candidate (batch_id, index_id) pairs for
+    a NEW batch of signatures against the already-ingested corpus band
+    index — the near-dup counterpart of the exact-fingerprint
+    dedup-on-ingest join. Unlike `lsh_candidate_pairs` (corpus
+    self-join, O(corpus) rebanded per run), only the batch is banded
+    fresh; at 10^10 docs the corpus side is the persisted band index
+    read bucket-pruned, and each band join is keyed on band buckets —
+    never all-pairs, and never a corpus self-join per micro-batch."""
+    n_bands = n_hashes // band_size
+
+    def bands(df: DataFrame, out: str) -> DataFrame:
+        parts = []
+        for b in range(n_bands):
+            cols = [F.col(f"mh{b * band_size + j}") for j in range(band_size)]
+            parts.append(
+                df.select(
+                    F.col(id_col).alias(out),
+                    F.lit(b).alias("band_idx"),
+                    F.md5(F.concat_ws("|", *cols)).alias("band"),
+                )
+            )
+        u = parts[0]
+        for p in parts[1:]:
+            u = u.unionByName(p)
+        return u
+
+    return (
+        bands(batch_sigs, "batch_id")
+        .join(bands(index_sigs, "index_id"), ["band_idx", "band"])
+        .select("batch_id", "index_id")
+        .distinct()
+    )
+
+
 def jaccard_pairs(
     df: DataFrame, pairs: DataFrame, id_col: str, text_col: str, k: int = 3,
     shingles_df: DataFrame | None = None,

@@ -274,6 +274,45 @@ def main() -> None:
         "before their Exchanges — k*dim rows cross the wire",
     )
 
+    # as-of join: the sort-merge dataflow must never plan a join —
+    # union + ONE key-keyed window (an inequality theta-join would
+    # show BroadcastNestedLoopJoin and O(p x v) per key).
+    from airbyte_integrations_spark.operators.asof import asof_join
+
+    vsn = ev.select("url", F.col("_ab_cdc_lsn").alias("lsn"), "lang")
+    prb = ev.select("url", (F.col("_ab_cdc_lsn") - 1).alias("plsn"))
+    asof_plan = (
+        asof_join(prb, vsn, ["url"], "plsn", "lsn", ["lang"])
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    check(
+        "asof join: union + ONE window, zero joins",
+        "Join" not in asof_plan
+        and asof_plan.count("Exchange hashpartitioning") == 1,
+        "Window over union(versions, probes) keyed by url — one Exchange, "
+        "linear per key; never a nested-loop inequality join",
+    )
+
+    # bloom membership probe: a pure narrow pass (ArrowEvalPython over
+    # the scan) — the corpus join only ever sees bitmap-positives.
+    from airbyte_integrations_spark.functions.bloom import (
+        build_bloom, might_contain,
+    )
+
+    fps = ev.select(F.md5(F.col("url")).alias("fp"))
+    bloom = build_bloom(fps.limit(1000), "fp", m_bits=1 << 14, k=5)
+    probe_plan = (
+        fps.filter(might_contain(bloom, "fp"))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    check(
+        "bloom membership prefilter: narrow Arrow pass, zero Exchange/join",
+        "Exchange" not in probe_plan and "Join" not in probe_plan
+        and "ArrowEvalPython" in probe_plan,
+        "vectorized pandas probe over the scan; the exact verify join "
+        "downstream only receives bitmap-positives",
+    )
+
     out = ["# PLANS — physical-plan evidence (generated by tools/capture_plans.py)", ""]
     ok_all = True
     for name, ok, ev in CHECKS:
