@@ -2636,6 +2636,175 @@ GROUP BY e.qid
 """
 
 
+def q_emb_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization: each 64-dim vector is split into 4
+    16-dim subvectors, each assigned to its nearest sub-centroid from
+    a 4-entry codebook (seeded deterministically as the 4 lowest
+    vec_ids — the same seeding rule as the IVF codebook), emitting the
+    4 codes + total quantized error. This is the PQ half of IVF-PQ:
+    at 10^10 vectors the codes are bytes instead of 256-byte floats.
+    Scale shape: the codebook is metadata (k x dim ints), collected
+    once and inlined as literal arrays — assignment is a pure narrow
+    projection, zero Exchange/join at any corpus size (the zero-shuffle
+    k-means assignment pattern). Exactness: vectors are integer-scaled
+    (floor(x*1000)) BEFORE distances, so argmin compares exact longs —
+    no float summation order ever reaches a comparison; ties break to
+    the lowest centroid index in both engines."""
+    tune_session(spark)
+    emb = load(spark, sf_dir, "embeddings")
+    iv = F.transform(
+        F.col("embedding"), lambda x: F.floor(x.cast("double") * 1000).cast("long")
+    )
+    base = emb.select("vec_id", iv.alias("v"))
+    cents = [r["v"] for r in base.orderBy("vec_id").limit(4).collect()]
+    m, width = 4, 16
+    out = base
+    for s in range(m):
+        dists = F.array(
+            *[
+                F.aggregate(
+                    F.zip_with(
+                        F.slice("v", s * width + 1, width),
+                        F.array(
+                            *[F.lit(int(c[s * width + j])) for j in range(width)]
+                        ),
+                        lambda a, b: (a - b) * (a - b),
+                    ),
+                    F.lit(0).cast("long"),
+                    lambda acc, x: acc + x,
+                )
+                for c in cents
+            ]
+        )
+        out = out.withColumn(f"_d{s}", dists)
+    code = lambda s: (
+        F.array_position(F.col(f"_d{s}"), F.array_min(F.col(f"_d{s}"))) - 1
+    ).cast("long")
+    return out.select(
+        "vec_id",
+        code(0).alias("code0"),
+        code(1).alias("code1"),
+        code(2).alias("code2"),
+        code(3).alias("code3"),
+        sum(
+            [F.array_min(F.col(f"_d{s}")) for s in range(m)], F.lit(0).cast("long")
+        ).alias("err_q"),
+    )
+
+
+O_EMB_PQ_CODES = """
+WITH iv AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
+  FROM embeddings
+),
+cent AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cidx, v AS cv
+  FROM iv ORDER BY vec_id LIMIT 4
+),
+pos AS (SELECT unnest(generate_series(1, 64)) AS p),
+d AS (
+  SELECT i.vec_id, c.cidx, (pos.p - 1) // 16 AS sub,
+         sum((i.v[pos.p] - c.cv[pos.p]) * (i.v[pos.p] - c.cv[pos.p])) AS dist
+  FROM iv i, cent c, pos
+  GROUP BY 1, 2, 3
+),
+best AS (
+  SELECT vec_id, sub, cidx, dist,
+         row_number() OVER (PARTITION BY vec_id, sub
+                            ORDER BY dist ASC, cidx ASC) AS rn
+  FROM d
+)
+SELECT vec_id,
+       max(CASE WHEN sub = 0 THEN cidx END) AS code0,
+       max(CASE WHEN sub = 1 THEN cidx END) AS code1,
+       max(CASE WHEN sub = 2 THEN cidx END) AS code2,
+       max(CASE WHEN sub = 3 THEN cidx END) AS code3,
+       CAST(sum(dist) AS BIGINT) AS err_q
+FROM best WHERE rn = 1 GROUP BY vec_id
+"""
+
+
+def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel (view -> click -> purchase) per user, each step
+    within a 24 h conversion window of the previous one (24 h chosen so
+    the sandbox corpus shows all stages: 90/35/25 at sf0.01). ONE
+    user-keyed Exchange feeds three stacked full-partition windows and
+    the final collapse (Catalyst reuses the partitioning — the
+    sessionize plan idiom); per-user event counts are human-bounded so
+    no skew handling is needed at any corpus size."""
+    tune_session(spark)
+    win_us = 86_400 * 1_000_000
+    ev = load(spark, sf_dir, "events")
+    wfull = Window.partitionBy("user_id")
+    us = lambda c: F.unix_micros(F.col(c).cast("timestamp"))
+    step1 = ev.withColumn(
+        "t_view", F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(wfull)
+    )
+    step2 = step1.withColumn(
+        "t_click",
+        F.min(
+            F.when(
+                (F.col("event_type") == "click")
+                & (F.col("ts") >= F.col("t_view"))
+                & (us("ts") - us("t_view") <= win_us),
+                F.col("ts"),
+            )
+        ).over(wfull),
+    )
+    step3 = step2.withColumn(
+        "t_purchase",
+        F.min(
+            F.when(
+                (F.col("event_type") == "purchase")
+                & (F.col("ts") >= F.col("t_click"))
+                & (us("ts") - us("t_click") <= win_us),
+                F.col("ts"),
+            )
+        ).over(wfull),
+    )
+    return step3.groupBy("user_id").agg(
+        F.unix_micros(F.first("t_view").cast("timestamp")).alias("view_us"),
+        F.unix_micros(F.first("t_click").cast("timestamp")).alias("click_us"),
+        F.unix_micros(F.first("t_purchase").cast("timestamp")).alias("purchase_us"),
+        (
+            F.first("t_view").isNotNull().cast("long")
+            + F.first("t_click").isNotNull().cast("long")
+            + F.first("t_purchase").isNotNull().cast("long")
+        ).alias("stage"),
+    )
+
+
+O_EVENTS_FUNNEL = """
+WITH v AS (
+  SELECT user_id, min(ts) AS t FROM events WHERE event_type = 'view' GROUP BY 1
+),
+c AS (
+  SELECT e.user_id, min(e.ts) AS t
+  FROM events e JOIN v ON v.user_id = e.user_id AND e.ts >= v.t
+    AND epoch_us(e.ts) - epoch_us(v.t) <= 86400000000
+  WHERE e.event_type = 'click' GROUP BY 1
+),
+p AS (
+  SELECT e.user_id, min(e.ts) AS t
+  FROM events e JOIN c ON c.user_id = e.user_id AND e.ts >= c.t
+    AND epoch_us(e.ts) - epoch_us(c.t) <= 86400000000
+  WHERE e.event_type = 'purchase' GROUP BY 1
+)
+SELECT u.user_id,
+       epoch_us(v.t) AS view_us,
+       epoch_us(c.t) AS click_us,
+       epoch_us(p.t) AS purchase_us,
+       CAST(CASE WHEN v.t IS NOT NULL THEN 1 ELSE 0 END
+          + CASE WHEN c.t IS NOT NULL THEN 1 ELSE 0 END
+          + CASE WHEN p.t IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS stage
+FROM (SELECT DISTINCT user_id FROM events) u
+LEFT JOIN v ON v.user_id = u.user_id
+LEFT JOIN c ON c.user_id = u.user_id
+LEFT JOIN p ON p.user_id = u.user_id
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "cdc_latest_wins": q_cdc_latest_wins,
@@ -2670,6 +2839,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_vocab_topk": q_docs_vocab_topk,
         "docs_minhash_incremental": q_docs_minhash_incremental,
         "emb_ann_recall": q_emb_ann_recall,
+        "emb_pq_codes": q_emb_pq_codes,
+        "events_funnel": q_events_funnel,
         "emb_lsh_buckets": q_emb_lsh_buckets,
         "emb_knn_cosine": q_emb_knn_cosine,
         "emb_ann_lsh_topk": q_emb_ann_lsh_topk,
@@ -2729,6 +2900,8 @@ def oracle_sql() -> dict[str, str]:
         "docs_vocab_topk": O_DOCS_VOCAB_TOPK,
         "docs_minhash_incremental": O_DOCS_MINHASH_INCREMENTAL,
         "emb_ann_recall": O_EMB_ANN_RECALL,
+        "emb_pq_codes": O_EMB_PQ_CODES,
+        "events_funnel": O_EVENTS_FUNNEL,
         "emb_lsh_buckets": O_EMB_LSH_BUCKETS,
         "emb_knn_cosine": O_EMB_KNN_COSINE,
         "emb_ann_lsh_topk": O_EMB_ANN_LSH_TOPK,

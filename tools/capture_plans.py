@@ -313,6 +313,34 @@ def main() -> None:
         "downstream only receives bitmap-positives",
     )
 
+    # PQ assignment and funnel: entry-level plan shapes (inlined-literal
+    # codebook => pure narrow; stacked windows reuse one user Exchange).
+    import __spark_entry__ as ent
+
+    sf_small = "/root/testdata/sf0.001"
+    if os.path.isdir(sf_small):
+        pq_plan = (
+            ent.q_emb_pq_codes(spark, sf_small)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        check(
+            "PQ code assignment: literal codebook, pure narrow pass — zero Exchange/join",
+            "Exchange" not in pq_plan and "Join" not in pq_plan,
+            "16 integer subvector distances + argmin as a projection; "
+            "nothing but the corpus scan at any corpus size",
+        )
+        fu_plan = (
+            ent.q_events_funnel(spark, sf_small)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        check(
+            "funnel: three stacked windows + collapse on ONE user-keyed Exchange, zero joins",
+            fu_plan.count("Exchange hashpartitioning") == 1
+            and "Join" not in fu_plan,
+            "Catalyst reuses the user partitioning across all three step "
+            "windows and the final aggregation",
+        )
+
     out = ["# PLANS — physical-plan evidence (generated by tools/capture_plans.py)", ""]
     ok_all = True
     for name, ok, ev in CHECKS:
