@@ -26,11 +26,16 @@ GiB-scale bitmaps hand it to `SparkContext.broadcast` instead).
 Hashing: h1/h2 are computed JVM-side with xxhash64 (seeds 0 / 7) so
 the Python side never touches strings; positions are the standard
 Kirsch-Mitzenmacher double hash pos_i = (h1 + i*h2) mod m in uint64
-arithmetic — identical in build and probe by construction.
+arithmetic — identical in build and probe by construction. The hash
+count k is baked into the filter's 8-byte header so build and probe
+can never disagree on it: a probe with k' > k would manufacture FALSE
+NEGATIVES — the one failure mode Bloom must never have — and a
+mismatch here is silent by nature, so the API makes it unrepresentable.
 """
 
 from __future__ import annotations
 
+import struct
 from collections.abc import Iterator
 
 import numpy as np
@@ -41,6 +46,8 @@ from pyspark.sql.functions import pandas_udf
 
 H1_SEED = 0
 H2_SEED = 7
+_MAGIC = b"BLM1"
+_HEADER = 8  # magic (4) + k (uint16) + reserved (2)
 
 
 def hash_cols(col: str | Column) -> tuple[Column, Column]:
@@ -56,8 +63,18 @@ def _u64(s: pd.Series) -> np.ndarray:
     return s.to_numpy(dtype=np.int64).view(np.uint64)
 
 
+def _unpack(bloom: bytes) -> tuple[np.ndarray, int, int]:
+    if bloom[:4] != _MAGIC:
+        raise ValueError("not a bloom filter produced by build_bloom")
+    (k,) = struct.unpack("<H", bloom[4:6])
+    bm = np.frombuffer(bloom, dtype=np.uint8, offset=_HEADER)
+    return bm, len(bm) * 8, k
+
+
 def build_bloom(df: DataFrame, col: str, m_bits: int = 1 << 20, k: int = 5) -> bytes:
-    """Fold `df[col]` (non-null) into an m_bits Bloom bitmap.
+    """Fold `df[col]` (non-null) into an m_bits Bloom bitmap, returned
+    with an 8-byte header carrying k (probe reads it back — the two
+    sides cannot disagree).
 
     m_bits must be a multiple of 8. Partition-order independent (OR is
     commutative), so the result is byte-identical at any parallelism —
@@ -87,14 +104,14 @@ def build_bloom(df: DataFrame, col: str, m_bits: int = 1 << 20, k: int = 5) -> b
     out = np.zeros(m_bytes, dtype=np.uint8)
     for row in hashed.mapInPandas(fold, "bitmap binary").collect():
         out |= np.frombuffer(row["bitmap"], dtype=np.uint8)
-    return out.tobytes()
+    return _MAGIC + struct.pack("<H", k) + b"\x00\x00" + out.tobytes()
 
 
-def might_contain(bloom: bytes, col: str | Column, k: int = 5) -> Column:
+def might_contain(bloom: bytes, col: str | Column) -> Column:
     """Boolean column: True iff all k probe bits are set (possible
-    member — false positives exist, false negatives do not)."""
-    m_bits = len(bloom) * 8
-    bm = np.frombuffer(bloom, dtype=np.uint8)
+    member — false positives exist, false negatives do not). k and the
+    bitmap width come from the filter itself."""
+    bm, m_bits, k = _unpack(bloom)
 
     @pandas_udf("boolean")
     def probe(h1: pd.Series, h2: pd.Series) -> pd.Series:

@@ -487,6 +487,58 @@ class LakeTable:
             data, fragmented, T.StructType.fromJson(m["schema"])
         )
 
+    def rebucket(self, n_buckets: int) -> int:
+        """Partition evolution (Iceberg partition-spec evolution +
+        rewrite_data_files analogue): rewrite the table into a
+        different hash-bucket count as ONE new snapshot.
+
+        Bucket counts are sized for a data volume; a table that grew
+        100x needs more write parallelism and smaller per-bucket files.
+        The migration preserves every contract the layout change could
+        threaten: old snapshots keep their own layout and stay
+        time-travel readable (read() lists files from the pinned
+        manifest, never the directory); the epoch commit log carries
+        forward unchanged so exactly-once resume and the LSN watermark
+        survive; subsequent MERGEs read n_buckets from the manifest and
+        bucket-align to the new layout automatically. Merge-on-read
+        deltas are folded into the new base by the winner rule (as in
+        compact — tombstones drop unless keep_tombstones, under which
+        they are physically retained). Single-writer discipline applies
+        as for compact/expire_snapshots."""
+        if not self.exists():
+            raise ValueError("cannot rebucket a table that does not exist")
+        if n_buckets < 1:
+            raise ValueError("n_buckets must be >= 1")
+        m = self.manifest()
+        if int(m["n_buckets"]) == n_buckets:
+            return m["version"]
+        if any(ps for ps in m.get("deltas", {}).values()):
+            from airbyte_integrations_spark.operators.dedup import winner_agg
+
+            o = self._order()
+            data = winner_agg(
+                self.read().unionByName(self.read_deltas()),
+                tuple(m["key"]), o["cursor"], tuple(o["secondary"]), o["ab_id"],
+            )
+            if "_ab_cdc_deleted_at" in data.columns and not self.props().get(
+                "keep_tombstones"
+            ):
+                data = data.filter(F.col("_ab_cdc_deleted_at").isNull())
+        else:
+            data = self.read()
+        files = self._write_files(data, n_buckets, tuple(m["key"]))
+        manifest = {
+            "parent": m["version"],
+            "schema": m["schema"],
+            "key": m["key"],
+            "n_buckets": n_buckets,
+            "files": files,
+            "deltas": {},
+            "committed": m.get("committed", {}),
+            "props": {**m.get("props", {}), **self._pending_props},
+        }
+        return self._commit(manifest)
+
     def expire_snapshots(self, keep_last: int = 1) -> dict:
         """Maintenance: Iceberg `expire_snapshots` + `remove_orphan_files`
         analogue. At the 10^10-event point a sync commits one snapshot

@@ -43,7 +43,11 @@ def asof_join(
     strict=False matches versions with ordinal <= probe ordinal;
     strict=True matches strictly earlier versions only. `version_ord`
     must be unique per key (true for LSNs / commit versions); equal
-    probe ordinals are fine and all receive the same match.
+    probe ordinals are fine and all receive the same match. Ordinals
+    are compared as longs; a NULL ordinal sorts first (a NULL-ordinal
+    version behaves as "before everything", a NULL-ordinal probe
+    matches nothing) — CDC LSNs are never NULL, so this is a contract
+    note, not a hot path.
     """
     payload = F.struct(
         F.col(version_ord).alias(f"{prefix}{version_ord}"),

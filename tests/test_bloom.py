@@ -42,7 +42,7 @@ def test_prefilter_plus_verify_equals_plain_join(spark):
     )
     # deliberately tiny bitmap so false positives actually occur
     bloom = build_bloom(corpus, "fp", m_bits=1 << 10, k=3)
-    candidates = probe.filter(might_contain(bloom, "fp", k=3))
+    candidates = probe.filter(might_contain(bloom, "fp"))
     n_candidates = candidates.count()
     assert n_candidates >= 300  # all members + some false positives
     verified = candidates.join(corpus, "fp", "left_semi").count()
@@ -55,7 +55,21 @@ def test_null_values_skipped(spark):
     bloom = build_bloom(df, "fp", m_bits=1 << 10, k=3)
     assert (
         spark.createDataFrame([("a",)], "fp string")
-        .filter(might_contain(bloom, "fp", k=3))
+        .filter(might_contain(bloom, "fp"))
         .count()
         == 1
     )
+
+
+def test_k_travels_inside_the_filter(spark):
+    # probe reads k from the header: a build with k=7 must be probed
+    # with k=7 even though the caller never says so (a k mismatch would
+    # silently manufacture false negatives).
+    import pytest
+
+    corpus = _corpus(spark, 100)
+    bloom = build_bloom(corpus, "fp", m_bits=1 << 12, k=7)
+    assert bloom[:4] == b"BLM1" and bloom[4] == 7
+    assert corpus.filter(might_contain(bloom, "fp")).count() == 100
+    with pytest.raises(ValueError):
+        might_contain(b"junkbytes", F.col("fp"))
