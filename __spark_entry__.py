@@ -1501,6 +1501,75 @@ FROM w CROSS JOIN tot
 """
 
 
+def q_docs_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style data-selection importance weights (Xie et al. 2023,
+    "Data Selection for Language Models via Importance Resampling"):
+    score every document by how much its hashed unigram features look
+    like a target domain (here sources src0/src1 standing in for
+    wiki+books) versus the raw corpus. Features are md5-prefix hash
+    buckets (4,096 of them — DSIR's hashed n-gram trick), so the
+    feature-stats table is BOUNDED at any corpus size and broadcasts;
+    the per-doc score is one explode + broadcast join + map-side-
+    combining sum. Integer-exact scoring: per-token contribution is
+    floor(log2(cnt_target+1)) - floor(log2(cnt_raw+1)) computed as
+    length(bin(n))-1, so the log-likelihood-ratio sum is a BIGINT and
+    hash-stable cross-engine (the raw/target normalization constants
+    shift every token equally — a rank-preserving offset per token,
+    as in the trigram-LM query). At 10^10 docs: token explode is
+    narrow, the stats agg is one map-side-combined shuffle of <=4096
+    groups, and the scoring join is broadcast — no corpus-sized
+    shuffle anywhere."""
+    tune_session(spark)
+    docs = load(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    tok = (
+        docs.select(
+            "doc_id",
+            F.col("source").isin("src0", "src1").alias("tgt"),
+            F.explode(
+                F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+            ).alias("w"),
+        )
+        .filter(F.col("w") != "")
+        .select("doc_id", "tgt", F.substring(F.md5("w"), 1, 3).alias("feat"))
+    )
+    bits = lambda c: (F.length(F.bin(c + F.lit(1))) - 1).cast("long")  # noqa: E731
+    stats = tok.groupBy("feat").agg(
+        (
+            bits(F.sum(F.when(F.col("tgt"), 1).otherwise(0)))
+            - bits(F.count(F.lit(1)))
+        ).alias("b")
+    )
+    return (
+        tok.join(F.broadcast(stats), "feat")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("b").alias("dsir_bits"),
+        )
+    )
+
+
+O_DOCS_DSIR_WEIGHTS = r"""
+WITH toks AS (
+  SELECT doc_id, source IN ('src0', 'src1') AS tgt,
+         unnest(string_split_regex(trim(lower(text)), '\s+')) AS w
+  FROM documents WHERE n_chars > 0
+),
+tok AS (
+  SELECT doc_id, tgt, substr(md5(w), 1, 3) AS feat FROM toks WHERE w <> ''
+),
+stats AS (
+  SELECT feat,
+         CAST(length(bin(SUM(CASE WHEN tgt THEN 1 ELSE 0 END) + 1)) - 1 AS BIGINT)
+       - CAST(length(bin(COUNT(*) + 1)) - 1 AS BIGINT) AS b
+  FROM tok GROUP BY feat
+)
+SELECT tok.doc_id, COUNT(*) AS n_tokens, CAST(SUM(stats.b) AS BIGINT) AS dsir_bits
+FROM tok JOIN stats USING (feat)
+GROUP BY tok.doc_id
+"""
+
+
 def q_emb_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic spherical k-means (2 Lloyd rounds) — the offline
     refinement the IVF-Flat query's codebook points at. Seeds are the
@@ -2293,6 +2362,51 @@ FROM w WHERE rn = 1 AND _ab_cdc_deleted_at IS NULL
 """
 
 
+def q_cdc_changed_since(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Changed-since scan over manifest zone maps (Iceberg changelog /
+    incremental-scan analogue): the log lands as two MoR epochs split
+    at the mid LSN, then a downstream consumer whose watermark is the
+    mid LSN asks for everything that changed since. `read_since`
+    prunes every file whose per-file max cursor (recorded from parquet
+    footers into the manifest at commit — zone maps) is <= the
+    watermark BEFORE the scan: here the whole epoch-1 base drops out
+    and only epoch-2 delta files are read; at the 10^10-event point a
+    consumer one epoch behind reads one epoch's files, not the table.
+    Value-equality with the unpruned live view filter is the oracle;
+    pruning file counts are pinned in tests/test_zonemap.py."""
+    import tempfile
+
+    from airbyte_integrations_spark.lakehouse.merge import merge_into
+    from airbyte_integrations_spark.lakehouse.table import LakeTable
+
+    tune_session(spark)
+    ce = change_events(spark, sf_dir)
+    hi = int(ce.agg(F.max("_ab_cdc_lsn")).collect()[0][0])
+    mid = hi // 2
+    scratch = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    table = LakeTable(
+        spark, tempfile.mkdtemp(prefix="zs_entry_", dir=scratch) + "/t"
+    )
+    merge_into(table, ce.filter(F.col("_ab_cdc_lsn") <= mid), epoch=1, mode="mor")
+    merge_into(table, ce.filter(F.col("_ab_cdc_lsn") > mid), epoch=2, mode="mor")
+    return table.read_since(mid).select(
+        "url", "_ab_cdc_lsn", "event_type", "value_m"
+    )
+
+
+O_CDC_CHANGED_SINCE = f"""
+WITH {CE_SQL},
+st AS (SELECT CAST(floor(max(_ab_cdc_lsn) / 2.0) AS BIGINT) AS b FROM ce),
+w AS (
+  SELECT ce.*, row_number() OVER (PARTITION BY url ORDER BY {ORDER_SQL}) AS rn
+  FROM ce
+)
+SELECT url, _ab_cdc_lsn, event_type, value_m
+FROM w, st
+WHERE rn = 1 AND _ab_cdc_deleted_at IS NULL AND _ab_cdc_lsn > st.b
+"""
+
+
 def q_docs_bloom_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom-prefiltered dedup-on-ingest: the corpus fingerprint index
     (doc_id % 10 < 8) folds into a broadcast Bloom bitmap; batch rows
@@ -2835,6 +2949,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessionize": q_events_sessionize,
         "cdc_asof_join": q_cdc_asof_join,
         "cdc_time_travel": q_cdc_time_travel,
+        "cdc_changed_since": q_cdc_changed_since,
         "docs_bloom_dedup": q_docs_bloom_dedup,
         "docs_vocab_topk": q_docs_vocab_topk,
         "docs_minhash_incremental": q_docs_minhash_incremental,
@@ -2857,6 +2972,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_trigram_lm_score": q_docs_trigram_lm_score,
         "docs_pack_windows": q_docs_pack_windows,
         "docs_source_mix": q_docs_source_mix,
+        "docs_dsir_weights": q_docs_dsir_weights,
         "docs_simhash": q_docs_simhash,
         "docs_token_bpe": q_docs_token_bpe,
         "multimodal_binary_meta": q_multimodal_binary_meta,
@@ -2896,6 +3012,7 @@ def oracle_sql() -> dict[str, str]:
         "events_sessionize": O_EVENTS_SESSIONIZE,
         "cdc_asof_join": O_CDC_ASOF_JOIN,
         "cdc_time_travel": O_CDC_TIME_TRAVEL,
+        "cdc_changed_since": O_CDC_CHANGED_SINCE,
         "docs_bloom_dedup": O_DOCS_BLOOM_DEDUP,
         "docs_vocab_topk": O_DOCS_VOCAB_TOPK,
         "docs_minhash_incremental": O_DOCS_MINHASH_INCREMENTAL,
@@ -2914,6 +3031,7 @@ def oracle_sql() -> dict[str, str]:
         "docs_dup_clusters": O_DOCS_DUP_CLUSTERS,
         "docs_span_dedup": O_DOCS_SPAN_DEDUP,
         "docs_sample_stratified": O_DOCS_SAMPLE_STRATIFIED,
+        "docs_dsir_weights": O_DOCS_DSIR_WEIGHTS,
         "docs_incremental_dedup": O_DOCS_INCREMENTAL_DEDUP,
         "docs_trigram_lm_score": O_DOCS_TRIGRAM_LM_SCORE,
         "docs_pack_windows": O_DOCS_PACK_WINDOWS,

@@ -110,9 +110,106 @@ class LakeTable:
             return None
         return max(bounds)
 
+    # Zone maps: per-file [min, max] kept in the manifest for the key
+    # columns and the winner cursor. Strings longer than this are
+    # truncated — lower bounds truncate plainly, upper bounds truncate
+    # and increment the last code point (the Iceberg truncate()
+    # transform rule) so the bound stays a true upper bound.
+    _STATS_TRUNCATE = 96
+
+    def _stats_cols(self, manifest: dict) -> list[str]:
+        order = (manifest.get("props") or {}).get("order") or {}
+        cursor = order.get("cursor", "_ab_cdc_lsn")
+        fields = {
+            f["name"]: f["type"]
+            for f in manifest["schema"]["fields"]
+            if isinstance(f.get("type"), str)
+        }
+        # JSON-representable, totally-ordered types only; timestamps/
+        # dates would need an epoch encoding and no key/cursor needs
+        # them here (timestamp cursors map via unix_micros upstream).
+        ok = {"string", "long", "integer", "short", "byte"}
+        return [
+            c
+            for c in [*manifest["key"], cursor]
+            if fields.get(c) in ok
+        ]
+
+    @staticmethod
+    def _truncate_upper(s: str, limit: int) -> str | None:
+        """A string >= every string with this prefix-truncation, or
+        None when no such bound exists (all chars at the max code
+        point — then the file simply reports no upper bound and is
+        never pruned by it)."""
+        if len(s) <= limit:
+            return s
+        t = s[:limit]
+        for i in range(len(t) - 1, -1, -1):
+            cp = ord(t[i])
+            if cp < 0x10FFFF:
+                return t[:i] + chr(cp + 1)
+        return None
+
+    def _file_stats(self, manifest: dict) -> dict:
+        """{relpath: {col: [min, max]}} for every data+delta file in
+        the manifest. Files inherited from the parent snapshot copy
+        their stats forward (immutable files, immutable stats); only
+        files new to this commit read their parquet footers — O(new
+        files) metadata reads per commit, the Iceberg manifest-file
+        economics. A column absent from a file's entry means "unknown"
+        and the file is never pruned on it. In a multi-executor
+        deployment the footer read would ride back with the write task
+        (as Iceberg's DataFile metrics do); driver-side footer reads
+        are the single-writer sandbox analogue."""
+        import pyarrow.parquet as pq
+
+        prev = self.manifest().get("stats", {}) if self.exists() else {}
+        cols = self._stats_cols(manifest)
+        paths = [p for ps in manifest["files"].values() for p in ps]
+        paths += [p for ps in manifest.get("deltas", {}).values() for p in ps]
+        out: dict[str, dict] = {}
+        for p in paths:
+            if p in prev:
+                out[p] = prev[p]
+                continue
+            try:
+                md = pq.ParquetFile(os.path.join(self.root, p)).metadata
+            except Exception:
+                continue  # unreadable footer => no stats, never pruned
+            idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
+            entry: dict[str, list] = {}
+            for c in cols:
+                if c not in idx:
+                    continue
+                lo = hi = None
+                complete = True
+                for rg in range(md.num_row_groups):
+                    st = md.row_group(rg).column(idx[c]).statistics
+                    if st is None or not st.has_min_max:
+                        complete = False
+                        break
+                    mn, mx = st.min, st.max
+                    if isinstance(mn, bytes):
+                        try:
+                            mn, mx = mn.decode(), mx.decode()
+                        except UnicodeDecodeError:
+                            complete = False
+                            break
+                    lo = mn if lo is None else min(lo, mn)
+                    hi = mx if hi is None else max(hi, mx)
+                if not complete or lo is None:
+                    continue
+                if isinstance(lo, str):
+                    lo = lo[: self._STATS_TRUNCATE]
+                    hi = self._truncate_upper(hi, self._STATS_TRUNCATE)
+                entry[c] = [lo, hi]
+            out[p] = entry
+        return out
+
     def _commit(self, manifest: dict) -> int:
         meta = os.path.join(self.root, META_DIR)
         os.makedirs(meta, exist_ok=True)
+        manifest["stats"] = self._file_stats(manifest)
         version = (self.current_version() + 1) if self.exists() else 0
         manifest["version"] = version
         with open(os.path.join(meta, f"v{version}.json"), "w") as f:
@@ -448,6 +545,148 @@ class LakeTable:
             and not self.props(version).get("keep_tombstones")
         ):
             out = out.filter(F.col("_ab_cdc_deleted_at").isNull())
+        return out
+
+    # ---------- zone-map pruned reads ----------
+
+    def _read_paths(self, paths: list[str], schema: T.StructType) -> DataFrame:
+        if not paths:
+            return self.spark.createDataFrame([], schema)
+        return self.spark.read.schema(schema).parquet(
+            *[os.path.join(self.root, p) for p in paths]
+        )
+
+    def _pruned_paths(
+        self, version: int | None, keep, buckets: set[str] | None = None
+    ) -> tuple[list[str], list[str], int]:
+        """(base_paths, delta_paths, n_total_candidates) keeping files
+        where keep(stats_entry) is True. Missing stats keep the file
+        (pruning must never be able to lose rows)."""
+        m = self.manifest(version)
+        stats = m.get("stats", {})
+
+        def walk(fmap: dict) -> tuple[list[str], int]:
+            kept, total = [], 0
+            for b, ps in fmap.items():
+                if buckets is not None and b not in buckets:
+                    continue
+                for p in ps:
+                    total += 1
+                    if keep(stats.get(p, {})):
+                        kept.append(p)
+            return kept, total
+
+        base, n1 = walk(m["files"])
+        deltas, n2 = walk(m.get("deltas", {}))
+        return base, deltas, n1 + n2
+
+    def _resolve(self, base: DataFrame, deltas: DataFrame, version: int | None,
+                 include_deletes: bool = False) -> DataFrame:
+        from airbyte_integrations_spark.operators.dedup import winner_agg
+
+        m = self.manifest(version)
+        if any(ps for ps in m.get("deltas", {}).values()):
+            o = self._order(version)
+            out = winner_agg(
+                base.unionByName(deltas), tuple(m["key"]),
+                o["cursor"], tuple(o["secondary"]), o["ab_id"],
+            )
+        else:
+            # COW invariant: the base is already winner-unique per key
+            # — resolution would be an identity shuffle.
+            out = base
+        if "_ab_cdc_deleted_at" in out.columns and not include_deletes:
+            out = out.filter(F.col("_ab_cdc_deleted_at").isNull())
+        return out
+
+    def read_since(self, cursor_gt: int, version: int | None = None,
+                   include_deletes: bool = False) -> DataFrame:
+        """Changed-since scan: live rows whose winning cursor is
+        strictly greater than `cursor_gt` — the downstream-consumer
+        feed ("give me everything that changed since my watermark").
+        Zone maps prune every file whose max cursor <= the watermark
+        BEFORE the scan: at the 10^10-event point a consumer that is
+        one epoch behind reads one epoch's delta files, not the table.
+
+        Correct under pruning because the winner rule is a max: a key
+        whose winner beats the watermark has that winner row in a kept
+        file (its file's max >= the row's cursor > watermark), and the
+        winner beats every pruned older version by definition; keys
+        whose winner is <= the watermark are removed by the final
+        filter wherever they survive pruning. Equality with the
+        unpruned `read_live().filter(cursor > X)` is pinned in
+        tests/test_zonemap.py.
+
+        include_deletes=True keeps tombstone winners (a delete IS a
+        change) — complete for uncompacted epochs, and at any age on a
+        keep_tombstones table; an Iceberg changelog-scan analogue."""
+        m = self.manifest(version)
+        cursor = self._order(version)["cursor"]
+
+        def keep(entry: dict) -> bool:
+            rng = entry.get(cursor)
+            return rng is None or rng[1] > cursor_gt
+
+        base_p, delta_p, _ = self._pruned_paths(version, keep)
+        schema = T.StructType.fromJson(m["schema"])
+        out = self._resolve(
+            self._read_paths(base_p, schema),
+            self._read_paths(delta_p, schema),
+            version, include_deletes,
+        )
+        return out.filter(F.col(cursor) > F.lit(cursor_gt))
+
+    def key_bucket(self, *values) -> int:
+        """Bucket id for a primary-key value (same JVM xxhash64 the
+        writer uses — computed via a one-row plan so Python never
+        reimplements the hash)."""
+        m = self.manifest()
+        key = list(m["key"])
+        fields = {f["name"]: f for f in m["schema"]["fields"]}
+        schema = T.StructType.fromJson(
+            {"type": "struct", "fields": [fields[c] for c in key]}
+        )
+        row = self.spark.createDataFrame([tuple(values)], schema)
+        return row.select(
+            bucket_expr(tuple(key), int(m["n_buckets"])).alias("b")
+        ).first()["b"]
+
+    def read_key(self, *values, version: int | None = None) -> DataFrame:
+        """Point lookup: the live row(s) for one primary-key value.
+        Prunes to the key's hash bucket (manifest, no listing), then
+        inside the bucket to files whose key zone map covers the value
+        — with the writer's within-bucket key clustering
+        (sortWithinPartitions in _write_files) most files hold a
+        disjoint key range, so a lookup touches O(versions of this
+        key) files, not O(bucket). Every surviving version of the key
+        is in the kept set (covering ranges are kept), so winner
+        resolution over the subset equals resolution over the table."""
+        m = self.manifest(version)
+        key = list(m["key"])
+        if len(values) != len(key):
+            raise ValueError(f"expected {len(key)} key values ({key})")
+        bucket = str(self.key_bucket(*values))
+
+        def keep(entry: dict) -> bool:
+            for c, v in zip(key, values):
+                rng = entry.get(c)
+                if rng is None:
+                    continue
+                lo, hi = rng
+                probe = v[: self._STATS_TRUNCATE] if isinstance(v, str) else v
+                if probe < lo or (hi is not None and probe > hi):
+                    return False
+            return True
+
+        base_p, delta_p, _ = self._pruned_paths(version, keep, buckets={bucket})
+        schema = T.StructType.fromJson(m["schema"])
+        out = self._resolve(
+            self._read_paths(base_p, schema),
+            self._read_paths(delta_p, schema),
+            version,
+        )
+        for c, v in zip(key, values):
+            out = out.filter(F.col(c) == F.lit(v))
         return out
 
     def compact(self, max_files_per_bucket: int = 1) -> int:
