@@ -778,6 +778,109 @@ class LakeTable:
         }
         return self._commit(manifest)
 
+    def purge_key(self, *values, erase_history: bool = True) -> dict:
+        """GDPR hard delete (right to be forgotten): physically remove
+        EVERY row of one primary-key value — current version, every
+        historical version in retained deltas, tombstone markers, all
+        of it. This is the operation a CDC delete event is NOT: a
+        tombstone is a logical delete that still stores the before-
+        image; purge rewrites the bytes away.
+
+        Scoped like the point lookup: only the key's hash bucket is
+        touched, and inside it only files whose key zone map covers
+        the value — at the 10^10-event point a purge rewrites
+        O(versions of this key) files, not the table. Base files are
+        rewritten into base, delta files into deltas (a rewritten
+        delta must keep masking the base under the winner rule);
+        zero-row rewrites are dropped.
+
+        erase_history=True (the default — a purge that leaves the
+        value readable via time travel is not a purge) expires all
+        prior snapshots afterwards, exactly Iceberg's documented
+        erasure recipe (DELETE + rewrite_data_files + expire_snapshots).
+        Pass erase_history=False to stage several purges and expire
+        once. Single-writer discipline as for compact/expire."""
+        import pyarrow.parquet as pq
+
+        m = self.manifest()
+        key = list(m["key"])
+        if len(values) != len(key):
+            raise ValueError(f"expected {len(key)} key values ({key})")
+        bucket = str(self.key_bucket(*values))
+        stats = m.get("stats", {})
+
+        def covers(p: str) -> bool:
+            entry = stats.get(p, {})
+            for c, v in zip(key, values):
+                rng = entry.get(c)
+                if rng is None:
+                    continue
+                lo, hi = rng
+                probe = v[: self._STATS_TRUNCATE] if isinstance(v, str) else v
+                if probe < lo or (hi is not None and probe > hi):
+                    return False
+            return True
+
+        schema = T.StructType.fromJson(m["schema"])
+        pred = None
+        for c, v in zip(key, values):
+            clause = F.col(c).eqNullSafe(F.lit(v))
+            pred = clause if pred is None else (pred & clause)
+
+        out = {"rows_removed": 0, "files_rewritten": 0, "version": m["version"]}
+
+        def rewrite(paths: list[str]) -> list[str]:
+            """Rewrite `paths` without the key's rows; returns the
+            replacement relpaths (zero-row outputs dropped)."""
+            n_before = sum(
+                pq.ParquetFile(os.path.join(self.root, p)).metadata.num_rows
+                for p in paths
+            )
+            df = self._read_paths(paths, schema).filter(~pred)
+            written = self._write_files(df, int(m["n_buckets"]), tuple(key),
+                                        aligned=True)
+            kept, n_after = [], 0
+            for ps in written.values():
+                for p in ps:
+                    nr = pq.ParquetFile(
+                        os.path.join(self.root, p)
+                    ).metadata.num_rows
+                    if nr:
+                        kept.append(p)
+                        n_after += nr
+            out["rows_removed"] += n_before - n_after
+            out["files_rewritten"] += len(paths)
+            return kept
+
+        new_files = {b: list(ps) for b, ps in m["files"].items()}
+        new_deltas = {b: list(ps) for b, ps in m.get("deltas", {}).items()}
+        touched = False
+        for fmap in (new_files, new_deltas):
+            cand = [p for p in fmap.get(bucket, []) if covers(p)]
+            if not cand:
+                continue
+            touched = True
+            fmap[bucket] = [
+                p for p in fmap.get(bucket, []) if p not in set(cand)
+            ] + rewrite(cand)
+        if not touched:
+            return out
+
+        manifest = {
+            "parent": m["version"],
+            "schema": m["schema"],
+            "key": m["key"],
+            "n_buckets": m["n_buckets"],
+            "files": new_files,
+            "deltas": {b: ps for b, ps in new_deltas.items() if ps},
+            "committed": m.get("committed", {}),
+            "props": {**m.get("props", {}), **self._pending_props},
+        }
+        out["version"] = self._commit(manifest)
+        if erase_history:
+            out["expired"] = self.expire_snapshots(keep_last=1)
+        return out
+
     def expire_snapshots(self, keep_last: int = 1) -> dict:
         """Maintenance: Iceberg `expire_snapshots` + `remove_orphan_files`
         analogue. At the 10^10-event point a sync commits one snapshot
