@@ -2275,6 +2275,66 @@ FROM s GROUP BY user_id, session_id
 """
 
 
+def q_events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users grouped by first-seen day, retention at
+    day offset d = share of the cohort active d days later — the
+    engagement-analytics staple. ONE user-keyed exchange produces both
+    the cohort day (min) and the distinct active-day set (collect_set
+    — bounded by the retention horizon in days, so per-user state is
+    O(horizon) at any event volume, never O(events)); the exploded set
+    feeds one cohort-keyed agg, and cohort sizes broadcast (cohorts
+    are date-cardinality — metadata-sized forever). Per-mille shares
+    via integer floor; cohort day emitted as a yyyy-MM-dd string so
+    the value hash is dtype-stable cross-engine."""
+    tune_session(spark)
+    ev = load(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.min(F.to_date("ts")).alias("cohort_day"),
+        F.collect_set(F.to_date("ts")).alias("days"),
+    )
+    x = per_user.select(
+        "cohort_day", F.explode("days").alias("day")
+    )
+    ret = x.groupBy(
+        "cohort_day", F.datediff("day", "cohort_day").alias("day_offset")
+    ).agg(F.count(F.lit(1)).alias("n_active"))
+    sizes = per_user.groupBy("cohort_day").agg(
+        F.count(F.lit(1)).alias("n_cohort")
+    )
+    return (
+        ret.join(F.broadcast(sizes), "cohort_day")
+        .select(
+            F.date_format("cohort_day", "yyyy-MM-dd").alias("cohort"),
+            F.col("day_offset").cast("long").alias("day_offset"),
+            "n_active",
+            "n_cohort",
+            F.floor(F.col("n_active") * 1000 / F.col("n_cohort"))
+            .cast("long")
+            .alias("retention_pm"),
+        )
+    )
+
+
+O_EVENTS_RETENTION = """
+WITH pu AS (
+  SELECT user_id, min(CAST(ts AS DATE)) AS cohort_day
+  FROM events GROUP BY user_id
+),
+ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+r AS (
+  SELECT pu.cohort_day,
+         CAST(date_diff('day', pu.cohort_day, ud.day) AS BIGINT) AS day_offset,
+         count(*) AS n_active
+  FROM ud JOIN pu USING (user_id) GROUP BY 1, 2
+),
+s AS (SELECT cohort_day, count(*) AS n_cohort FROM pu GROUP BY 1)
+SELECT strftime(r.cohort_day, '%Y-%m-%d') AS cohort, r.day_offset,
+       r.n_active, s.n_cohort,
+       CAST(floor(r.n_active * 1000 / s.n_cohort) AS BIGINT) AS retention_pm
+FROM r JOIN s USING (cohort_day)
+"""
+
+
 def q_cdc_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Point-in-time (as-of) join: every 7th change event probes the
     page state just before its own LSN — "what did this url look like
@@ -2956,6 +3016,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_ann_recall": q_emb_ann_recall,
         "emb_pq_codes": q_emb_pq_codes,
         "events_funnel": q_events_funnel,
+        "events_retention": q_events_retention,
         "emb_lsh_buckets": q_emb_lsh_buckets,
         "emb_knn_cosine": q_emb_knn_cosine,
         "emb_ann_lsh_topk": q_emb_ann_lsh_topk,
@@ -3019,6 +3080,7 @@ def oracle_sql() -> dict[str, str]:
         "emb_ann_recall": O_EMB_ANN_RECALL,
         "emb_pq_codes": O_EMB_PQ_CODES,
         "events_funnel": O_EVENTS_FUNNEL,
+        "events_retention": O_EVENTS_RETENTION,
         "emb_lsh_buckets": O_EMB_LSH_BUCKETS,
         "emb_knn_cosine": O_EMB_KNN_COSINE,
         "emb_ann_lsh_topk": O_EMB_ANN_LSH_TOPK,

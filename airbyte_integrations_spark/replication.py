@@ -89,6 +89,7 @@ class StreamSyncStats:
     records_committed: int | None = None
     validation_failures: int = 0
     validation_messages: tuple[str, ...] = ()
+    records_quarantined: int = 0
 
 
 @dataclass
@@ -112,12 +113,17 @@ class ReplicationSummary:
 # ----------------------------------------------------------------- pump
 
 
+REJECTED_SUFFIX = "__rejected"
+ERRORS_COL = "_airbyte_validation_errors"
+
+
 def replicate(
     streams: list[ReplicationStream],
     destination,
     mapper: Callable[[DataFrame], DataFrame] | None = None,
     state: dict | None = None,
     namespacing=None,
+    quarantine=None,
 ) -> ReplicationSummary:
     """Pump every stream into `destination` (any object with a
     .write(df, stream, **destination_args) — JdbcDestination,
@@ -141,6 +147,19 @@ def replicate(
       (NamespacingMapper.java:63-78); state/stats are keyed by the
       mapped name, matching the reference where the mapper sits ahead
       of the destination and its state listener.
+    - `quarantine` (a destination-like object, or the same destination)
+      turns validation into a dead-letter queue instead of a metric:
+      rows with schema violations are written to
+      `<stream>__rejected` carrying an `_airbyte_validation_errors`
+      array column, and ONLY valid rows reach the destination — the
+      rejected-records flow of the modern platform. The DLQ write is
+      at-least-once (a retry after a mid-stream failure may re-write
+      rejected rows — the DLQ is diagnostic, the destination commit is
+      the record of truth); `records_committed` counts valid rows
+      only. A field missing from the frame entirely rejects every row
+      of the stream, matching the reference's stream-level message.
+      Without `quarantine`, invalid rows flow through and are only
+      counted/sampled, exactly the reference worker's behavior.
     """
     if namespacing is not None:
         streams = [namespacing.map_replication_stream(rs) for rs in streams]
@@ -183,13 +202,24 @@ def replicate(
             validation_messages=tuple(dict.fromkeys(row["msgs"])),
         )
         stats[rs.stream] = st
+        to_write = df
+        use_dlq = quarantine is not None and rs.expected_schema and st.validation_failures
         try:
-            destination.write(df, rs.stream, **rs.destination_args)
+            if use_dlq:
+                rejected = df.withColumn(ERRORS_COL, err).filter(
+                    F.size(F.col(ERRORS_COL)) > 0
+                )
+                quarantine.write(
+                    rejected, rs.stream + REJECTED_SUFFIX, **rs.destination_args
+                )
+                st.records_quarantined = st.validation_failures
+                to_write = df.filter(F.size(err) == 0)
+            destination.write(to_write, rs.stream, **rs.destination_args)
         except Exception as e:  # partial-success summary (:265-280)
             failure = f"destination failed for stream {rs.stream!r}: {e}"
             break
-        st.records_committed = st.records_emitted
-        out_state[rs.stream] = {"committed": True, "records": st.records_emitted}
+        st.records_committed = st.records_emitted - st.records_quarantined
+        out_state[rs.stream] = {"committed": True, "records": st.records_committed}
 
     return ReplicationSummary(
         status="completed" if failure is None else "failed",
