@@ -2066,6 +2066,246 @@ FROM ce
 """
 
 
+def q_cdc_incremental_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunked incremental snapshot (DBLog watermark algorithm;
+    Debezium incremental snapshots) through the REAL interleaved loop
+    (sources/incremental_snapshot.py): 4 PK-hash chunks of a simulated
+    live source read BETWEEN WAL epochs, each chunk window-deduped
+    against the events that landed during its select, stamped at the
+    low watermark, and merged as its own `chunk:<i>` epoch; the tail
+    drains afterwards. Final PAYLOAD must equal the monolithic
+    snapshot-then-tail replay — the convergence theorem the algorithm
+    promises (the reference's monolithic phase is pinned at
+    DebeziumRecordIterator.java:114-139 / SnapshotMetadata.java)."""
+    import tempfile
+
+    from airbyte_integrations_spark.config import SyncConfig
+    from airbyte_integrations_spark.lakehouse.table import LakeTable
+    from airbyte_integrations_spark.sources.cdc import LogTailSource
+    from airbyte_integrations_spark.sources.incremental_snapshot import (
+        incremental_snapshot_sync,
+    )
+
+    tune_session(spark)
+    ce = change_events(spark, sf_dir).cache()
+    hi = int(ce.agg(F.max("_ab_cdc_lsn")).collect()[0][0])
+    t0 = F.lit("2020-01-01 00:00:00").cast("timestamp")
+    snap = ce.select("url").distinct().select(
+        "url",
+        F.lit(0).cast("long").alias("_ab_cdc_lsn"),
+        t0.alias("_ab_cdc_updated_at"),
+        F.lit(None).cast("timestamp").alias("_ab_cdc_deleted_at"),
+        F.md5(F.col("url")).alias("_airbyte_ab_id"),
+        t0.alias("_airbyte_emitted_at"),
+        F.lit("snapshot").alias("event_type"),
+        F.lit(0).cast("long").alias("value_m"),
+    )
+    log = LogTailSource(ce)
+    scratch = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    table = LakeTable(
+        spark, tempfile.mkdtemp(prefix="isnap_entry_", dir=scratch) + "/pages"
+    )
+    cfg = SyncConfig(stream="pages", n_buckets=8)
+    payload = ["url", "event_type", "value_m"]
+
+    def select_chunk(pred):
+        # live source at `seen` = applied watermark + arrivals that land
+        # during the select (exercises the watermark-window dedup)
+        lw = table.watermark("pages") or 0
+        seen = min(lw + max(hi // 8, 1), hi)
+        state = winner_window(
+            snap.unionByName(
+                ce.filter(F.col("_ab_cdc_lsn") <= F.lit(seen))
+            ),
+            drop_tombstones=True,
+        )
+        return state.select(*payload).filter(pred), seen
+
+    incremental_snapshot_sync(
+        spark,
+        select_chunk,
+        log,
+        table,
+        cfg,
+        n_chunks=4,
+        wal_step_events=max(hi // 6, 1),
+    )
+    return table.read_live().select(*payload)
+
+
+O_CDC_INCREMENTAL_SNAPSHOT = f"""
+WITH {CE_SQL},
+snap AS (
+  SELECT DISTINCT url, CAST(0 AS BIGINT) AS _ab_cdc_lsn,
+         TIMESTAMP '2020-01-01 00:00:00' AS _ab_cdc_updated_at,
+         CAST(NULL AS TIMESTAMP) AS _ab_cdc_deleted_at,
+         md5(url) AS _airbyte_ab_id,
+         TIMESTAMP '2020-01-01 00:00:00' AS _airbyte_emitted_at,
+         'snapshot' AS event_type, CAST(0 AS BIGINT) AS value_m
+  FROM ce
+),
+u AS (SELECT * FROM snap UNION ALL SELECT * FROM ce),
+w AS (
+  SELECT *, row_number() OVER (PARTITION BY url ORDER BY {ORDER_SQL}) AS rn
+  FROM u
+)
+SELECT url, event_type, value_m FROM w WHERE rn = 1 AND _ab_cdc_deleted_at IS NULL
+"""
+
+
+def q_cdc_replication_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-epoch replication-lag metrics — the heartbeat/monitoring
+    surface (DebeziumRecordIterator's heartbeat + first-record wait
+    bound the same quantity operationally): for each 1000-lsn epoch,
+    how far pipeline time (emitted_at) trails source transaction time
+    (updated_at), and the tombstone share. Integer microseconds so the
+    value hash is exact; one map-side-combining hash agg — the metrics
+    stream costs one pass at any WAL rate."""
+    tune_session(spark)
+    ce = change_events(spark, sf_dir)
+    epoch = (F.floor((F.col("_ab_cdc_lsn") - 1) / 1000) * 1000).cast("long")
+    lag = _us("_airbyte_emitted_at") - _us("_ab_cdc_updated_at")
+    return ce.groupBy(epoch.alias("epoch_from")).agg(
+        F.count("*").alias("n_events"),
+        F.min(lag).alias("min_lag_us"),
+        F.max(lag).alias("max_lag_us"),
+        F.floor(F.avg(lag)).cast("long").alias("avg_lag_us"),
+        F.floor(
+            F.sum(F.col("_ab_cdc_deleted_at").isNotNull().cast("long"))
+            * 1000
+            / F.count("*")
+        )
+        .cast("long")
+        .alias("tombstone_pm"),
+    )
+
+
+O_CDC_REPLICATION_LAG = f"""
+WITH {CE_SQL}
+SELECT CAST(floor((_ab_cdc_lsn - 1) / 1000.0) * 1000 AS BIGINT) AS epoch_from,
+       count(*) AS n_events,
+       min(epoch_us(_airbyte_emitted_at) - epoch_us(_ab_cdc_updated_at)) AS min_lag_us,
+       max(epoch_us(_airbyte_emitted_at) - epoch_us(_ab_cdc_updated_at)) AS max_lag_us,
+       CAST(floor(avg(epoch_us(_airbyte_emitted_at) - epoch_us(_ab_cdc_updated_at))) AS BIGINT) AS avg_lag_us,
+       CAST(floor(sum(CASE WHEN _ab_cdc_deleted_at IS NOT NULL THEN 1 ELSE 0 END) * 1000.0 / count(*)) AS BIGINT) AS tombstone_pm
+FROM ce GROUP BY 1
+"""
+
+
+def q_cdc_tx_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transaction-aligned epoch plan (streaming/microbatch.py
+    plan_epochs_tx — Debezium transaction-metadata contract: a commit
+    boundary never exposes half a transaction). Transactions are
+    7-event lsn runs (commit-serialized, as logical decoding emits
+    them); boundaries snap DOWN to the last complete tx end under each
+    density-derived naive boundary. The dataflow is the scale shape:
+    per-tx end agg -> per-bucket max agg (K = ~n/1000 rows,
+    metadata-sized) -> running max over K -> per-epoch stats via an
+    equality broadcast join on the bucket id (valid because
+    snapped[k-1] < e <= snapped[k] for every tx end e in bucket k).
+    Returns per epoch: bounds, event count, transaction count."""
+    tune_session(spark)
+    ce = change_events(spark, sf_dir)
+    p = ce.agg(
+        F.min("_ab_cdc_lsn").alias("lo"),
+        F.max("_ab_cdc_lsn").alias("hi"),
+        F.count("*").alias("n"),
+    ).collect()[0]
+    start = int(p["lo"]) - 1
+    width = max((int(p["hi"]) - start) * 1000 // int(p["n"]), 1)
+    txid = F.floor((F.col("_ab_cdc_lsn") - 1) / 7).cast("long")
+    ends = ce.groupBy(txid.alias("txid")).agg(
+        F.max("_ab_cdc_lsn").alias("e"), F.count("*").alias("n_ev")
+    )
+    k = F.expr(f"div(e - {start} + {width - 1}, {width})")
+    bk = ends.withColumn("k", k)
+    sn = (
+        bk.groupBy("k")
+        .agg(F.max("e").alias("bmax"))
+        .withColumn(
+            "snapped",
+            F.max("bmax").over(
+                Window.orderBy("k").rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+        .select("k", "snapped")
+    )
+    agg = (
+        bk.join(F.broadcast(sn), "k")
+        .groupBy(F.col("snapped").alias("to_lsn"))
+        .agg(F.sum("n_ev").alias("n_events"), F.count("*").alias("n_txs"))
+    )
+    out = agg.withColumn(
+        "from_lsn",
+        F.coalesce(
+            F.lag("to_lsn").over(Window.orderBy("to_lsn")), F.lit(start)
+        ),
+    ).select("from_lsn", "to_lsn", "n_events", "n_txs")
+    # cross-check against the REAL planner the sync loop uses
+    from airbyte_integrations_spark.streaming.microbatch import plan_epochs_tx
+
+    eps = plan_epochs_tx(ce.withColumn("txid", txid), None, 1000, "txid")
+    assert [(e.from_lsn, e.to_lsn) for e in eps] == sorted(
+        (r["from_lsn"], r["to_lsn"]) for r in out.collect()
+    )
+    return out
+
+
+O_CDC_TX_EPOCHS = f"""
+WITH {CE_SQL},
+p AS (SELECT min(_ab_cdc_lsn) - 1 AS start, max(_ab_cdc_lsn) AS hi,
+             count(*) AS n FROM ce),
+w AS (SELECT start, greatest((hi - start) * 1000 // n, 1) AS width FROM p),
+ends AS (SELECT (_ab_cdc_lsn - 1) // 7 AS txid, max(_ab_cdc_lsn) AS e,
+                count(*) AS n_ev FROM ce GROUP BY 1),
+bk AS (SELECT (e - start + width - 1) // width AS k, e, n_ev FROM ends, w),
+sn AS (
+  SELECT k, max(bmax) OVER (ORDER BY k ROWS UNBOUNDED PRECEDING) AS snapped
+  FROM (SELECT k, max(e) AS bmax FROM bk GROUP BY k)
+),
+agg AS (
+  SELECT snapped AS to_lsn, CAST(sum(n_ev) AS BIGINT) AS n_events,
+         count(*) AS n_txs
+  FROM bk JOIN sn USING (k) GROUP BY 1
+)
+SELECT coalesce(lag(to_lsn) OVER (ORDER BY to_lsn),
+                (SELECT start FROM p)) AS from_lsn,
+       to_lsn, n_events, n_txs
+FROM agg
+"""
+
+
+def q_docs_topk_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped top-k selection: the 3 longest documents per language
+    (doc_id tiebreak) — the "best docs per stratum under a budget"
+    curation step. The window partitions by lang, so the shuffle is
+    one lang-keyed Exchange; at 10^10 docs per-group top-k would be
+    computed with the same window after a per-partition pre-top-k
+    (Spark's TakeOrderedAndProject shape per group)."""
+    tune_session(spark)
+    docs = load(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id").asc()
+    )
+    return (
+        docs.withColumn("rank_in_lang", F.row_number().over(w))
+        .filter(F.col("rank_in_lang") <= 3)
+        .select("lang", "rank_in_lang", "doc_id", "n_chars")
+    )
+
+
+O_DOCS_TOPK_PER_LANG = """
+WITH r AS (
+  SELECT lang, doc_id, n_chars,
+         row_number() OVER (PARTITION BY lang ORDER BY n_chars DESC, doc_id ASC)
+           AS rank_in_lang
+  FROM documents
+)
+SELECT lang, CAST(rank_in_lang AS INT) AS rank_in_lang, doc_id, n_chars
+FROM r WHERE rank_in_lang <= 3
+"""
+
+
 # ------------------------------------------------- curation / eventlog (r3)
 
 def q_docs_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3017,6 +3257,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_pq_codes": q_emb_pq_codes,
         "events_funnel": q_events_funnel,
         "events_retention": q_events_retention,
+        "cdc_incremental_snapshot": q_cdc_incremental_snapshot,
+        "cdc_replication_lag": q_cdc_replication_lag,
+        "cdc_tx_epochs": q_cdc_tx_epochs,
+        "docs_topk_per_lang": q_docs_topk_per_lang,
         "emb_lsh_buckets": q_emb_lsh_buckets,
         "emb_knn_cosine": q_emb_knn_cosine,
         "emb_ann_lsh_topk": q_emb_ann_lsh_topk,
@@ -3081,6 +3325,10 @@ def oracle_sql() -> dict[str, str]:
         "emb_pq_codes": O_EMB_PQ_CODES,
         "events_funnel": O_EVENTS_FUNNEL,
         "events_retention": O_EVENTS_RETENTION,
+        "cdc_incremental_snapshot": O_CDC_INCREMENTAL_SNAPSHOT,
+        "cdc_replication_lag": O_CDC_REPLICATION_LAG,
+        "cdc_tx_epochs": O_CDC_TX_EPOCHS,
+        "docs_topk_per_lang": O_DOCS_TOPK_PER_LANG,
         "emb_lsh_buckets": O_EMB_LSH_BUCKETS,
         "emb_knn_cosine": O_EMB_KNN_COSINE,
         "emb_ann_lsh_topk": O_EMB_ANN_LSH_TOPK,

@@ -83,6 +83,68 @@ def plan_epochs(
     return epochs
 
 
+def plan_epochs_tx(
+    events: DataFrame,
+    from_lsn: int | None,
+    max_events_per_epoch: int,
+    tx_col: str,
+    lsn_col: str = "_ab_cdc_lsn",
+) -> list[Epoch]:
+    """Transaction-aligned epoch slicing: like plan_epochs, but no
+    boundary ever splits a source transaction (Debezium's transaction
+    metadata contract — consumers must never observe half a
+    transaction; the reference's record iterator likewise only
+    checkpoints at event boundaries the source declared safe).
+
+    Dataflow (all map-side-combining aggs; nothing event-sized reaches
+    the driver):
+      1. per-tx end position  e = max(lsn)          — one hash agg
+      2. density width as in plan_epochs
+      3. bucket k = ceil((e - start) / width); per-bucket max end
+         — second hash agg, K = ~n/max_events rows (metadata-sized:
+         10^4 at the 10^10-event point)
+      4. driver-side running max over the K bucket maxima, deduped:
+         each distinct value is an epoch boundary. Snapping is always
+         DOWNWARD to the last complete transaction end <= the naive
+         boundary, so an epoch is at most one transaction larger than
+         the naive plan and a transaction bigger than `width` simply
+         owns its whole epoch.
+
+    The highest observed lsn of a tx is taken as its end; if the
+    source can be tailed mid-transaction, bound the read at the last
+    committed position first (target_position semantics) — same rule
+    as the reference's CdcTargetPosition.
+    """
+    lo = from_lsn if from_lsn is not None else -(2**62)
+    tail = events.filter(F.col(lsn_col) > F.lit(lo))
+    row = tail.agg(
+        F.min(lsn_col).alias("lo"), F.max(lsn_col).alias("hi"), F.count("*").alias("n")
+    ).collect()[0]
+    if row["n"] == 0:
+        return []
+    lo_seen, hi, n = int(row["lo"]), int(row["hi"]), int(row["n"])
+    start = from_lsn if from_lsn is not None else lo_seen - 1
+    width = max((hi - start) * max_events_per_epoch // n, 1)
+    ends = tail.groupBy(tx_col).agg(F.max(lsn_col).alias("e"))
+    bk = (
+        # integer ceil-div (never float: lsns are 64-bit WAL positions)
+        ends.groupBy(
+            F.expr(f"div(e - {start} + {width - 1}, {width})").alias("k")
+        )
+        .agg(F.max("e").alias("bmax"))
+        .orderBy("k")
+        .collect()
+    )
+    epochs: list[Epoch] = []
+    prev, run = start, start
+    for r in bk:
+        run = max(run, int(r["bmax"]))
+        if run != prev:
+            epochs.append(Epoch(epoch_id=prev, from_lsn=prev, to_lsn=run))
+            prev = run
+    return epochs
+
+
 def run_sync(
     spark: SparkSession,
     events: DataFrame,
@@ -92,15 +154,22 @@ def run_sync(
     extract_missing_text: bool = True,
     max_epochs: int | None = None,
     compact_threshold: int | None = 8,
+    tx_col: str | None = None,
 ) -> list[Epoch]:
     """One bounded sync: plan epochs past the committed watermark and
     apply each as dedup -> MERGE -> atomic commit (+ lineage).
+
+    With `tx_col`, epoch boundaries are snapped to transaction ends
+    (plan_epochs_tx) so no commit ever exposes half a transaction.
 
     Returns the epochs applied. Safe to re-run at any time (idempotent
     per epoch); safe to kill at any point (snapshot isolation)."""
     lsn_col = config.cursor_field[0]
     wm = table.watermark(config.stream)
-    epochs = plan_epochs(events, wm, max_events_per_epoch, lsn_col)
+    if tx_col is not None:
+        epochs = plan_epochs_tx(events, wm, max_events_per_epoch, tx_col, lsn_col)
+    else:
+        epochs = plan_epochs(events, wm, max_events_per_epoch, lsn_col)
     if max_epochs is not None:
         epochs = epochs[:max_epochs]
     for ep in epochs:
