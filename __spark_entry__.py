@@ -2306,6 +2306,143 @@ FROM r WHERE rank_in_lang <= 3
 """
 
 
+def q_cdc_patch_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partial-image (patch) CDC fold (operators/patch.py): some CDC
+    sources emit sparse after-images — only touched fields are non-NULL
+    (MongoDB update descriptions; the reference's Debezium Mongo
+    connector surfaces this shape). Final state is per-key, per-column
+    LATEST NON-NULL, with deletes as hard resets (a pre-delete write
+    never leaks past a re-insert). Sparse columns are derived
+    deterministically from the log (event_type nulled when lsn%3==0,
+    value_m when lsn%2==0). ONE aggregation with map-side combine —
+    every term an associative max-by-ordering-struct (partial_max below
+    the key exchange); hot keys cost O(n_mappers)."""
+    from airbyte_integrations_spark.operators.patch import coalesce_patches
+
+    tune_session(spark)
+    ce = change_events(spark, sf_dir)
+    sparse = ce.withColumn(
+        "event_type",
+        F.when(F.col("_ab_cdc_lsn") % 3 != 0, F.col("event_type")),
+    ).withColumn(
+        "value_m", F.when(F.col("_ab_cdc_lsn") % 2 != 0, F.col("value_m"))
+    )
+    out = coalesce_patches(sparse, patch_cols=("event_type", "value_m"))
+    return out.select("url", "_ab_cdc_lsn", "event_type", "value_m")
+
+
+O_CDC_PATCH_COALESCE = f"""
+WITH {CE_SQL},
+sp AS (
+  SELECT url, _ab_cdc_lsn, _ab_cdc_deleted_at,
+         CASE WHEN _ab_cdc_lsn % 3 <> 0 THEN event_type END AS pa,
+         CASE WHEN _ab_cdc_lsn % 2 <> 0 THEN value_m END AS pb
+  FROM ce
+),
+d AS (
+  SELECT url, max(_ab_cdc_lsn) AS dlsn
+  FROM sp WHERE _ab_cdc_deleted_at IS NOT NULL GROUP BY 1
+),
+live AS (
+  SELECT sp.* FROM sp LEFT JOIN d USING (url)
+  WHERE d.dlsn IS NULL OR sp._ab_cdc_lsn > d.dlsn
+),
+f AS (
+  SELECT url, _ab_cdc_lsn,
+         last_value(pa IGNORE NULLS) OVER (
+           PARTITION BY url ORDER BY _ab_cdc_lsn ASC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS event_type,
+         last_value(pb IGNORE NULLS) OVER (
+           PARTITION BY url ORDER BY _ab_cdc_lsn ASC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_m,
+         row_number() OVER (PARTITION BY url ORDER BY _ab_cdc_lsn DESC) AS rn
+  FROM live
+)
+SELECT url, _ab_cdc_lsn, event_type, value_m FROM f WHERE rn = 1
+"""
+
+
+def q_docs_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end corpus dedup DECISION: near-dup clusters
+    (LSH pairs -> exact-Jaccard verify -> connected components) joined
+    back to the full corpus; within each cluster exactly one KEEP — the
+    longest document (doc_id tiebreak), the standard keep-best heuristic.
+    Singletons keep themselves. Scale shape: the cluster labels are
+    metadata-sized relative to the corpus, the join is key-hashed, the
+    keep rank is one cluster-keyed window over (tiny) clusters."""
+    tune_session(spark)
+    from airbyte_integrations_spark.functions.neardup import connected_components
+
+    pairs = _neardup_verified_pairs(spark, sf_dir)
+    comp = connected_components(pairs, "id_a", "id_b")
+    docs = load(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    labeled = docs.join(
+        comp.withColumnRenamed("node", "doc_id"), "doc_id", "left"
+    ).select(
+        "doc_id",
+        F.coalesce(F.col("component"), F.col("doc_id")).alias("cluster_id"),
+        "n_chars",
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id").asc()
+    )
+    return labeled.select(
+        "doc_id",
+        "cluster_id",
+        "n_chars",
+        (F.row_number().over(w) == 1).alias("keep"),
+    )
+
+
+O_DOCS_DEDUP_KEEP_BEST = (
+    O_DOCS_DUP_CLUSTERS.split("SELECT doc_id, cluster_id,")[0]
+    + """,
+allc AS (
+  SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS cluster_id, d.n_chars
+  FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id
+)
+SELECT doc_id, cluster_id, n_chars,
+       row_number() OVER (
+         PARTITION BY cluster_id ORDER BY n_chars DESC, doc_id ASC) = 1 AS keep
+FROM allc
+"""
+)
+
+
+def q_docs_shard_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training-shard assignment: shard = md5-prefix hash
+    of doc_id mod 64 (stable across runs/partitionings — the property a
+    resumable shard writer needs), position = rank within the shard by
+    (md5, doc_id) — a reproducible within-shard shuffle order. One
+    shard-keyed Exchange + per-shard sort; at 10^10 docs each shard
+    sorts independently (exactly the write-side dataflow of a sharded
+    training-data exporter)."""
+    tune_session(spark)
+    docs = load(spark, sf_dir, "documents")
+    h = F.md5(F.col("doc_id").cast("string"))
+    shard = (F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % 64).cast("int")
+    out = docs.select("doc_id", shard.alias("shard_id"), h.alias("_h"))
+    w = Window.partitionBy("shard_id").orderBy(F.col("_h").asc(), F.col("doc_id").asc())
+    return out.select(
+        "doc_id", "shard_id", F.row_number().over(w).alias("pos")
+    )
+
+
+O_DOCS_SHARD_ASSIGN = """
+WITH h AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 64
+              AS INT) AS shard_id,
+         md5(CAST(doc_id AS VARCHAR)) AS hh
+  FROM documents
+)
+SELECT doc_id, shard_id,
+       CAST(row_number() OVER (
+         PARTITION BY shard_id ORDER BY hh ASC, doc_id ASC) AS INT) AS pos
+FROM h
+"""
+
+
 # ------------------------------------------------- curation / eventlog (r3)
 
 def q_docs_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3260,7 +3397,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_incremental_snapshot": q_cdc_incremental_snapshot,
         "cdc_replication_lag": q_cdc_replication_lag,
         "cdc_tx_epochs": q_cdc_tx_epochs,
+        "cdc_patch_coalesce": q_cdc_patch_coalesce,
         "docs_topk_per_lang": q_docs_topk_per_lang,
+        "docs_dedup_keep_best": q_docs_dedup_keep_best,
+        "docs_shard_assign": q_docs_shard_assign,
         "emb_lsh_buckets": q_emb_lsh_buckets,
         "emb_knn_cosine": q_emb_knn_cosine,
         "emb_ann_lsh_topk": q_emb_ann_lsh_topk,
@@ -3328,7 +3468,10 @@ def oracle_sql() -> dict[str, str]:
         "cdc_incremental_snapshot": O_CDC_INCREMENTAL_SNAPSHOT,
         "cdc_replication_lag": O_CDC_REPLICATION_LAG,
         "cdc_tx_epochs": O_CDC_TX_EPOCHS,
+        "cdc_patch_coalesce": O_CDC_PATCH_COALESCE,
         "docs_topk_per_lang": O_DOCS_TOPK_PER_LANG,
+        "docs_dedup_keep_best": O_DOCS_DEDUP_KEEP_BEST,
+        "docs_shard_assign": O_DOCS_SHARD_ASSIGN,
         "emb_lsh_buckets": O_EMB_LSH_BUCKETS,
         "emb_knn_cosine": O_EMB_KNN_COSINE,
         "emb_ann_lsh_topk": O_EMB_ANN_LSH_TOPK,

@@ -349,3 +349,36 @@ def jdbc_streams_from_discovery(
             source["cursor_col"] = cursor
         out.append(ConfiguredStream(config=cfg, source=source))
     return out
+
+
+def read_catalog_asof(
+    spark: SparkSession,
+    lake_root: str,
+    streams: list[str],
+    lsn: int,
+) -> dict[str, DataFrame]:
+    """Transaction-consistent multi-table read at one WAL position.
+
+    In a CDC lake every stream's table advances independently (its own
+    epoch cadence), so "the state of the database" is only well-defined
+    AT a WAL position: for each stream resolve the largest snapshot
+    whose committed watermark <= lsn (LakeTable.version_asof) and read
+    it. No table in the result shows an effect of any event past `lsn`,
+    so cross-table joins see a causally consistent world — the
+    cross-topic transaction-consistency guarantee Debezium documents,
+    expressed over lake snapshots. Streams with no qualifying snapshot
+    (created after `lsn`) map to None.
+
+    Metadata-only resolution (manifest walk per stream); the reads are
+    ordinary pinned-snapshot reads — time travel addressed by WAL
+    position instead of version number.
+    """
+    out: dict[str, DataFrame] = {}
+    for s in streams:
+        t = stream_table(spark, lake_root, s)
+        if not t.exists():
+            out[s] = None
+            continue
+        v = t.version_asof(s, lsn)
+        out[s] = None if v is None else t.read_live(version=v)
+    return out

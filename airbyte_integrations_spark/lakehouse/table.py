@@ -963,13 +963,42 @@ class LakeTable:
                     "version": v,
                     "parent": m.get("parent"),
                     "n_files": sum(len(ps) for ps in m["files"].values()),
+                    # epoch ids are integers (WAL positions) OR strings
+                    # (chunk:/stream:/jdbc: namespaces) — int ids sort
+                    # numerically first, string ids lexically after
                     "committed": {
-                        s: sorted(int(e) for e in eps)
+                        s: sorted(
+                            eps,
+                            key=lambda e: (0, int(e), "")
+                            if e.lstrip("-").isdigit()
+                            else (1, 0, e),
+                        )
                         for s, eps in m.get("committed", {}).items()
                     },
                 }
             )
         return out
+
+    def version_asof(self, stream: str, lsn: int) -> int | None:
+        """Largest retained snapshot version whose committed watermark
+        for `stream` does not exceed `lsn` — time travel addressed by
+        WAL position instead of version number. This is what makes a
+        CONSISTENT CROSS-TABLE read possible: pick one WAL position,
+        resolve each stream's table to its floor version, and no table
+        shows effects the others have not seen (the transaction-
+        consistency guarantee Debezium offers across topics, here
+        across lake tables). Metadata-only: walks manifests newest-
+        first, never touches data files."""
+        for v in range(self.current_version(), -1, -1):
+            try:
+                m = self.manifest(v)
+            except FileNotFoundError:
+                continue
+            eps = m.get("committed", {}).get(stream, {})
+            bounds = [int(e["to_lsn"]) for e in eps.values() if "to_lsn" in e]
+            if bounds and max(bounds) <= lsn:
+                return v
+        return None
 
 
 def conform(df: DataFrame, target: T.StructType) -> DataFrame:
