@@ -2443,6 +2443,129 @@ FROM h
 """
 
 
+def q_cdc_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source↔replica reconciliation checksum (functions/checksum.py —
+    the pt-table-checksum dataflow; the reference's acceptance tests
+    diff full record sets, DestinationAcceptanceTest.retrieveRecords,
+    which cannot run at production scale). Per logical bucket:
+    count + bit_xor of a 60-bit md5-derived row hash over the FINAL
+    live state. XOR is commutative/associative ⇒ one map-side-combining
+    hash agg, order- and partitioning-independent, overflow-free;
+    output is n_buckets rows, so comparing source vs replica moves
+    O(n_buckets) data regardless of table size, and a mismatch re-reads
+    only its bucket."""
+    from airbyte_integrations_spark.functions.checksum import table_checksum
+
+    tune_session(spark)
+    ce = change_events(spark, sf_dir)
+    final = winner_window(ce, drop_tombstones=True).select(
+        "url", "_ab_cdc_lsn", "event_type", "value_m"
+    )
+    out = table_checksum(final, ["url"], ["_ab_cdc_lsn", "event_type", "value_m"])
+    return out.select("bucket", "n_rows", "xor_hash")
+
+
+O_CDC_TABLE_CHECKSUM = f"""
+WITH {CE_SQL}, {WINNERS_SQL},
+f AS (
+  SELECT url, _ab_cdc_lsn, event_type, value_m
+  FROM w WHERE rn = 1 AND _ab_cdc_deleted_at IS NULL
+),
+h AS (
+  SELECT
+    CAST(('0x' || substr(md5(url), 1, 8))::BIGINT % 16 AS INT) AS bucket,
+    ('0x' || substr(md5(url || '~' || CAST(_ab_cdc_lsn AS VARCHAR) || '~'
+       || event_type || '~' || CAST(value_m AS VARCHAR)), 1, 15))::BIGINT AS rh
+  FROM f
+)
+SELECT bucket, count(*) AS n_rows, bit_xor(rh) AS xor_hash
+FROM h GROUP BY 1
+"""
+
+
+def q_cdc_host_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host crawl/replication accounting over the CDC final state:
+    live pages, tombstoned pages, last source-update time, and a
+    popularity rank — the per-domain summary a crawl scheduler or
+    replication monitor reads (host = the url authority, extracted
+    with the same rule as functions/curation.url_host). Dataflow:
+    winner replay (kept tombstones) → ONE host-keyed map-side-combining
+    agg over ~#hosts groups → rank over the metadata-sized aggregate
+    (the window sees #hosts rows, never the corpus)."""
+    tune_session(spark)
+    ce = change_events(spark, sf_dir)
+    w = winner_window(ce, drop_tombstones=False)
+    host = F.regexp_extract(F.col("url"), r"^https?://([^/]+)", 1)
+    agg = w.groupBy(host.alias("host")).agg(
+        F.sum(F.when(F.col("_ab_cdc_deleted_at").isNull(), 1).otherwise(0)).alias(
+            "n_live"
+        ),
+        F.sum(F.when(F.col("_ab_cdc_deleted_at").isNotNull(), 1).otherwise(0)).alias(
+            "n_deleted"
+        ),
+        F.max(_us("_ab_cdc_updated_at")).alias("last_update_us"),
+    )
+    rank = Window.orderBy(F.col("n_live").desc(), F.col("host").asc())
+    return agg.select(
+        "host", "n_live", "n_deleted", "last_update_us",
+        F.row_number().over(rank).alias("rank"),
+    )
+
+
+O_CDC_HOST_STATS = f"""
+WITH {CE_SQL}, {WINNERS_SQL},
+f AS (SELECT * FROM w WHERE rn = 1),
+a AS (
+  SELECT regexp_extract(url, '^https?://([^/]+)', 1) AS host,
+         CAST(sum(CASE WHEN _ab_cdc_deleted_at IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_live,
+         CAST(sum(CASE WHEN _ab_cdc_deleted_at IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_deleted,
+         max(epoch_us(_ab_cdc_updated_at)) AS last_update_us
+  FROM f GROUP BY 1
+)
+SELECT host, n_live, n_deleted, last_update_us,
+       CAST(row_number() OVER (ORDER BY n_live DESC, host ASC) AS INT) AS rank
+FROM a
+"""
+
+
+def q_events_hopping_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hopping-window event rates (1 h window sliding every 15 min),
+    per event type — the sliding-rate surface every monitoring view
+    needs (Structured Streaming's windowed aggregation; F.window with
+    a slideDuration). Spark expands each event into window/slide = 4
+    slots and folds ONE map-side-combining hash agg — no self-join, no
+    sort; at 10^10 events the expansion is a constant factor 4 and the
+    agg output is O(#windows × #types). value folded as exact integer
+    cents so the hash comparison is float-free."""
+    tune_session(spark)
+    ev = load(spark, sf_dir, "events")
+    win = F.window(F.col("ts"), "1 hour", "15 minutes")
+    agg = ev.groupBy(win.alias("w"), F.col("event_type")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.floor(F.col("value") * 100).cast("long")).alias("value_cents"),
+    )
+    return agg.select(
+        F.unix_timestamp(F.col("w.start")).alias("window_start_s"),
+        "event_type",
+        "n_events",
+        "value_cents",
+    )
+
+
+O_EVENTS_HOPPING_RATES = """
+WITH k AS (SELECT unnest([0, 1, 2, 3]) AS k),
+x AS (
+  SELECT (epoch_us(ts) // 900000000) * 900 - k.k * 900 AS window_start_s,
+         event_type,
+         CAST(floor(value * 100) AS BIGINT) AS cents
+  FROM events CROSS JOIN k
+)
+SELECT window_start_s, event_type,
+       count(*) AS n_events, CAST(sum(cents) AS BIGINT) AS value_cents
+FROM x GROUP BY 1, 2
+"""
+
+
 # ------------------------------------------------- curation / eventlog (r3)
 
 def q_docs_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3398,6 +3521,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_replication_lag": q_cdc_replication_lag,
         "cdc_tx_epochs": q_cdc_tx_epochs,
         "cdc_patch_coalesce": q_cdc_patch_coalesce,
+        "cdc_table_checksum": q_cdc_table_checksum,
+        "cdc_host_stats": q_cdc_host_stats,
+        "events_hopping_rates": q_events_hopping_rates,
         "docs_topk_per_lang": q_docs_topk_per_lang,
         "docs_dedup_keep_best": q_docs_dedup_keep_best,
         "docs_shard_assign": q_docs_shard_assign,
@@ -3469,6 +3595,9 @@ def oracle_sql() -> dict[str, str]:
         "cdc_replication_lag": O_CDC_REPLICATION_LAG,
         "cdc_tx_epochs": O_CDC_TX_EPOCHS,
         "cdc_patch_coalesce": O_CDC_PATCH_COALESCE,
+        "cdc_table_checksum": O_CDC_TABLE_CHECKSUM,
+        "cdc_host_stats": O_CDC_HOST_STATS,
+        "events_hopping_rates": O_EVENTS_HOPPING_RATES,
         "docs_topk_per_lang": O_DOCS_TOPK_PER_LANG,
         "docs_dedup_keep_best": O_DOCS_DEDUP_KEEP_BEST,
         "docs_shard_assign": O_DOCS_SHARD_ASSIGN,
