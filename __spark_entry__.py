@@ -2566,6 +2566,160 @@ FROM x GROUP BY 1, 2
 """
 
 
+def q_tpch_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shape pricing summary over `lineitem` — the canonical
+    scan+filter+aggregate: shipdate predicate pushed to the parquet
+    scan, ONE map-side-combining hash agg over 6 groups. Money folded
+    as exact integer cents (floor(x*100) is the same IEEE double op in
+    every engine) so sums are order-independent and hash-stable —
+    the discipline every money aggregate in this repo follows."""
+    tune_session(spark)
+    li = load(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("2000-09-02")
+    )
+    cents = F.floor(F.col("l_extendedprice") * 100).cast("long")
+    disc = F.floor(F.col("l_discount") * 100).cast("long")
+    tax = F.floor(F.col("l_tax") * 100).cast("long")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"),
+            F.sum(cents).alias("sum_base_cents"),
+            F.sum(cents * (100 - disc)).alias("sum_disc_price_c2"),
+            F.sum(cents * (100 - disc) * (100 + tax)).alias("sum_charge_c3"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .select(
+            "l_returnflag", "l_linestatus", "sum_qty", "sum_base_cents",
+            "sum_disc_price_c2", "sum_charge_c3", "count_order",
+        )
+    )
+
+
+O_TPCH_PRICING_SUMMARY = """
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+       CAST(sum(CAST(floor(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS sum_base_cents,
+       CAST(sum(CAST(floor(l_extendedprice*100) AS BIGINT)
+                * (100 - CAST(floor(l_discount*100) AS BIGINT))) AS BIGINT)
+         AS sum_disc_price_c2,
+       CAST(sum(CAST(floor(l_extendedprice*100) AS BIGINT)
+                * (100 - CAST(floor(l_discount*100) AS BIGINT))
+                * (100 + CAST(floor(l_tax*100) AS BIGINT))) AS BIGINT)
+         AS sum_charge_c3,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2000-09-02'
+GROUP BY 1, 2
+"""
+
+
+def q_tpch_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-shape shipping priority — the canonical dim⋈fact⋈fact
+    top-k: customer (filtered to one segment) BROADCAST to orders, the
+    surviving orders key-joined to lineitem, revenue agg, top-10 via
+    orderBy+limit (Spark plans TakeOrderedAndProject — a per-partition
+    heap + driver merge of 10 rows, never a full sort). The dim-side
+    broadcast is explicit so no orders-sized shuffle exists for the
+    first join at any scale."""
+    tune_session(spark)
+    cust = (
+        load(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    orders = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1999-03-15")
+    )
+    li = load(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1999-03-15")
+    )
+    rev = (F.floor(F.col("l_extendedprice") * 100).cast("long")
+           * (100 - F.floor(F.col("l_discount") * 100).cast("long")))
+    j = (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(li, li.l_orderkey == orders.o_orderkey)
+    )
+    agg = j.groupBy("l_orderkey", "o_orderdate", "o_orderpriority").agg(
+        F.sum(rev).alias("revenue_c2")
+    )
+    return (
+        agg.orderBy(F.col("revenue_c2").desc(), F.col("l_orderkey").asc())
+        .limit(10)
+        .select(
+            "l_orderkey",
+            _us("o_orderdate").alias("orderdate_us"),
+            "o_orderpriority",
+            "revenue_c2",
+        )
+    )
+
+
+O_TPCH_SHIPPING_PRIORITY = """
+SELECT l_orderkey, epoch_us(o_orderdate) AS orderdate_us, o_orderpriority,
+       CAST(sum(CAST(floor(l_extendedprice*100) AS BIGINT)
+                * (100 - CAST(floor(l_discount*100) AS BIGINT))) AS BIGINT)
+         AS revenue_c2
+FROM customer
+JOIN orders   ON o_custkey = c_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1999-03-15'
+  AND l_shipdate  > TIMESTAMP '1999-03-15'
+GROUP BY 1, 2, 3
+ORDER BY revenue_c2 DESC, l_orderkey ASC
+LIMIT 10
+"""
+
+
+def q_docs_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distributed quantiles (p50/p90/p99 of doc length per
+    language) — the corpus-profiling op behind length-filter
+    thresholds. approx_percentile is not cross-engine reproducible, so
+    this computes EXACT order statistics with an explicit rule (value
+    at rank ceil(q·n), doc_id tiebreak): rank + per-group count are two
+    windows over the SAME lang partitioning — one Exchange — and the
+    quantile pick is a conditional agg over that frame. At 10^10 rows
+    the per-group sort is the unavoidable cost of exactness; the
+    approximate path for monitoring dashboards stays approx_percentile."""
+    tune_session(spark)
+    docs = load(spark, sf_dir, "documents")
+    wo = Window.partitionBy("lang").orderBy(
+        F.col("n_chars").asc(), F.col("doc_id").asc()
+    )
+    wn = Window.partitionBy("lang")
+    r = docs.select(
+        "lang", "n_chars",
+        F.row_number().over(wo).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    def pick(q_num: int, q_den: int) -> F.Column:
+        target = F.ceil(F.col("n") * q_num / q_den)
+        return F.max(F.when(F.col("rn") == target, F.col("n_chars")))
+    return r.groupBy("lang").agg(
+        F.max("n").alias("n_docs"),
+        pick(1, 2).alias("p50"),
+        pick(9, 10).alias("p90"),
+        pick(99, 100).alias("p99"),
+    )
+
+
+O_DOCS_LENGTH_QUANTILES = """
+WITH r AS (
+  SELECT lang, n_chars,
+         row_number() OVER (PARTITION BY lang ORDER BY n_chars ASC, doc_id ASC) AS rn,
+         count(*) OVER (PARTITION BY lang) AS n
+  FROM documents
+)
+SELECT lang,
+       CAST(max(n) AS BIGINT) AS n_docs,
+       max(CASE WHEN rn = CAST(ceil(n * 1.0 / 2) AS BIGINT) THEN n_chars END) AS p50,
+       max(CASE WHEN rn = CAST(ceil(n * 9.0 / 10) AS BIGINT) THEN n_chars END) AS p90,
+       max(CASE WHEN rn = CAST(ceil(n * 99.0 / 100) AS BIGINT) THEN n_chars END) AS p99
+FROM r GROUP BY 1
+"""
+
+
 # ------------------------------------------------- curation / eventlog (r3)
 
 def q_docs_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3524,6 +3678,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_table_checksum": q_cdc_table_checksum,
         "cdc_host_stats": q_cdc_host_stats,
         "events_hopping_rates": q_events_hopping_rates,
+        "tpch_pricing_summary": q_tpch_pricing_summary,
+        "tpch_shipping_priority": q_tpch_shipping_priority,
+        "docs_length_quantiles": q_docs_length_quantiles,
         "docs_topk_per_lang": q_docs_topk_per_lang,
         "docs_dedup_keep_best": q_docs_dedup_keep_best,
         "docs_shard_assign": q_docs_shard_assign,
@@ -3598,6 +3755,9 @@ def oracle_sql() -> dict[str, str]:
         "cdc_table_checksum": O_CDC_TABLE_CHECKSUM,
         "cdc_host_stats": O_CDC_HOST_STATS,
         "events_hopping_rates": O_EVENTS_HOPPING_RATES,
+        "tpch_pricing_summary": O_TPCH_PRICING_SUMMARY,
+        "tpch_shipping_priority": O_TPCH_SHIPPING_PRIORITY,
+        "docs_length_quantiles": O_DOCS_LENGTH_QUANTILES,
         "docs_topk_per_lang": O_DOCS_TOPK_PER_LANG,
         "docs_dedup_keep_best": O_DOCS_DEDUP_KEEP_BEST,
         "docs_shard_assign": O_DOCS_SHARD_ASSIGN,
