@@ -341,6 +341,40 @@ def main() -> None:
             "windows and the final aggregation",
         )
 
+        ck_plan = (
+            ent.q_cdc_table_checksum(spark, sf_small)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        check(
+            "reconciliation checksum: bit_xor fold combines map-side, no Sort",
+            # the checksum fold prints above the upstream winner Window;
+            # no Sort may appear in that (operator-owned) region
+            "partial_bit_xor" in ck_plan
+            and "Sort" not in ck_plan.split("Window", 1)[0],
+            "HashAggregate(partial_bit_xor/partial_count) below the bucket "
+            "Exchange; output is n_buckets rows",
+        )
+        q3_plan = (
+            ent.q_tpch_shipping_priority(spark, sf_small)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        check(
+            "Q3 top-k: TakeOrderedAndProject + broadcast dim join, no global Sort",
+            "TakeOrderedAndProject" in q3_plan and "BroadcastHashJoin" in q3_plan,
+            "per-partition heap + driver merge of 10 rows; customer dim "
+            "broadcast so no orders-sized shuffle for the segment filter",
+        )
+        hop_plan = (
+            ent.q_events_hopping_rates(spark, sf_small)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        check(
+            "hopping windows: constant-factor expand + ONE map-side-combining agg, no join",
+            "Join" not in hop_plan and "partial_count" in hop_plan
+            and hop_plan.count("Exchange hashpartitioning") == 1,
+            "F.window(slide) expands 4 slots per event then folds one hash agg",
+        )
+
     out = ["# PLANS — physical-plan evidence (generated by tools/capture_plans.py)", ""]
     ok_all = True
     for name, ok, ev in CHECKS:
