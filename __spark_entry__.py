@@ -2537,15 +2537,13 @@ def q_events_hopping_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
     sort; at 10^10 events the expansion is a constant factor 4 and the
     agg output is O(#windows × #types). value folded as exact integer
     cents so the hash comparison is float-free."""
+    from airbyte_integrations_spark.operators.sessionize import hopping_rates
+
     tune_session(spark)
     ev = load(spark, sf_dir, "events")
-    win = F.window(F.col("ts"), "1 hour", "15 minutes")
-    agg = ev.groupBy(win.alias("w"), F.col("event_type")).agg(
-        F.count(F.lit(1)).alias("n_events"),
-        F.sum(F.floor(F.col("value") * 100).cast("long")).alias("value_cents"),
-    )
+    agg = hopping_rates(ev, value_col="value")
     return agg.select(
-        F.unix_timestamp(F.col("w.start")).alias("window_start_s"),
+        F.unix_timestamp(F.col("window_start")).alias("window_start_s"),
         "event_type",
         "n_events",
         "value_cents",
@@ -2669,6 +2667,60 @@ WHERE c_mktsegment = 'BUILDING'
 GROUP BY 1, 2, 3
 ORDER BY revenue_c2 DESC, l_orderkey ASC
 LIMIT 10
+"""
+
+
+def q_tpch_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-shape local-supplier volume — the 6-way star join
+    (region→nation→{customer,supplier}→orders→lineitem with the
+    c_nationkey = s_nationkey locality condition). Declared as plain
+    joins: Catalyst reorders, broadcasts every dim side
+    (region/nation/customer/supplier at this fan-in), and leaves one
+    key-hashed fact join — the shape that survives 100× scale because
+    only orders⋈lineitem ever shuffles. Money in exact cents."""
+    tune_session(spark)
+    region = load(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    nation = load(spark, sf_dir, "nation")
+    cust = load(spark, sf_dir, "customer")
+    supp = load(spark, sf_dir, "supplier")
+    orders = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01"))
+    )
+    li = load(spark, sf_dir, "lineitem")
+    rev = (F.floor(F.col("l_extendedprice") * 100).cast("long")
+           * (100 - F.floor(F.col("l_discount") * 100).cast("long")))
+    j = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .filter(F.col("c_nationkey") == F.col("s_nationkey"))
+        .join(nation, F.col("s_nationkey") == nation.n_nationkey)
+        .join(region, nation.n_regionkey == region.r_regionkey)
+    )
+    return (
+        j.groupBy("n_name")
+        .agg(F.sum(rev).alias("revenue_c2"))
+        .select("n_name", "revenue_c2")
+    )
+
+
+O_TPCH_LOCAL_SUPPLIER_VOLUME = """
+SELECT n_name,
+       CAST(sum(CAST(floor(l_extendedprice*100) AS BIGINT)
+                * (100 - CAST(floor(l_discount*100) AS BIGINT))) AS BIGINT)
+         AS revenue_c2
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE c_nationkey = s_nationkey
+  AND r_name = 'EUROPE'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate <  TIMESTAMP '1998-01-01'
+GROUP BY 1
 """
 
 
@@ -3680,6 +3732,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hopping_rates": q_events_hopping_rates,
         "tpch_pricing_summary": q_tpch_pricing_summary,
         "tpch_shipping_priority": q_tpch_shipping_priority,
+        "tpch_local_supplier_volume": q_tpch_local_supplier_volume,
         "docs_length_quantiles": q_docs_length_quantiles,
         "docs_topk_per_lang": q_docs_topk_per_lang,
         "docs_dedup_keep_best": q_docs_dedup_keep_best,
@@ -3757,6 +3810,7 @@ def oracle_sql() -> dict[str, str]:
         "events_hopping_rates": O_EVENTS_HOPPING_RATES,
         "tpch_pricing_summary": O_TPCH_PRICING_SUMMARY,
         "tpch_shipping_priority": O_TPCH_SHIPPING_PRIORITY,
+        "tpch_local_supplier_volume": O_TPCH_LOCAL_SUPPLIER_VOLUME,
         "docs_length_quantiles": O_DOCS_LENGTH_QUANTILES,
         "docs_topk_per_lang": O_DOCS_TOPK_PER_LANG,
         "docs_dedup_keep_best": O_DOCS_DEDUP_KEEP_BEST,

@@ -94,3 +94,39 @@ def sessionize_stream(events, user_col="user_id", ts_col="ts", gap="30 minutes")
             "n_events",
         )
     )
+
+
+def hopping_rates(
+    events,
+    ts_col: str = "ts",
+    keys: tuple[str, ...] = ("event_type",),
+    size: str = "1 hour",
+    slide: str = "15 minutes",
+    value_col: str | None = None,
+    watermark: str | None = None,
+):
+    """Hopping-window rates (the sliding monitoring view): one row per
+    (window, keys) with event count and optional exact integer-cents
+    value sum. Batch and streaming share this ONE definition — pass a
+    streaming DataFrame plus `watermark` for the unbounded flavor
+    (state-store windows, watermark-driven eviction; append sinks emit
+    a window once the watermark passes its end). Plan shape either way:
+    each event expands into size/slide window slots (a constant
+    factor), then ONE map-side-combining hash aggregation — no
+    self-join, no sort."""
+    src = events.withWatermark(ts_col, watermark) if watermark else events
+    aggs = [F.count(F.lit(1)).alias("n_events")]
+    if value_col is not None:
+        aggs.append(
+            F.sum(F.floor(F.col(value_col) * 100).cast("long")).alias("value_cents")
+        )
+    return (
+        src.groupBy(F.window(F.col(ts_col), size, slide).alias("w"), *[F.col(k) for k in keys])
+        .agg(*aggs)
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            *keys,
+            *[a_name for a_name in (["n_events"] + (["value_cents"] if value_col else []))],
+        )
+    )

@@ -62,3 +62,50 @@ def test_stream_restart_from_checkpoint_is_noop(spark, tmp_path):
                  extract_missing_text=False)
     assert table.current_version() == v
     assert_frames_equal(table.read().toPandas(), before)
+
+
+def test_hopping_rates_stream_matches_batch(spark, tmp_path):
+    """The SAME hopping_rates definition runs bounded and unbounded:
+    a complete-mode memory sink over availableNow must equal the batch
+    result exactly (window membership, counts, exact cents sums)."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from airbyte_integrations_spark.operators.sessionize import hopping_rates
+
+    rows = [
+        (dt.datetime(2024, 1, 1, 0, 0, 7, 179575), "view", 1.234),
+        (dt.datetime(2024, 1, 1, 0, 14, 59, 999999), "view", 2.5),
+        (dt.datetime(2024, 1, 1, 0, 15, 0), "click", 0.01),
+        (dt.datetime(2024, 1, 1, 1, 2, 3), "view", 9.99),
+        (dt.datetime(2024, 1, 1, 3, 30, 0), "click", 5.0),
+    ]
+    df = spark.createDataFrame(rows, "ts timestamp, event_type string, value double")
+    src = str(tmp_path / "ev")
+    df.repartition(2).write.parquet(src)
+
+    batch = hopping_rates(
+        spark.read.parquet(src), value_col="value"
+    ).toPandas()
+
+    stream = spark.readStream.schema(df.schema).parquet(src)
+    q = (
+        hopping_rates(stream, value_col="value", watermark="2 hours")
+        .writeStream.format("memory")
+        .queryName("hop_rates")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT * FROM hop_rates").toPandas()
+
+    key = ["window_start", "window_end", "event_type"]
+    a = batch.sort_values(key).reset_index(drop=True)
+    b = got.sort_values(key).reset_index(drop=True)
+    assert a[key + ["n_events", "value_cents"]].equals(
+        b[key + ["n_events", "value_cents"]]
+    )
+    # every event lands in exactly size/slide = 4 windows
+    assert int(a["n_events"].sum()) == 4 * len(rows)
