@@ -2724,6 +2724,115 @@ GROUP BY 1
 """
 
 
+def q_tpch_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4-shape order-priority check — the EXISTS/semi-join
+    surface: orders in a quarter that have at least one late lineitem,
+    counted per priority. Declared as a LEFT SEMI join so the probe
+    side never duplicates (an inner join + distinct would shuffle the
+    match multiplicity; semi stops at first match) — the plan Catalyst
+    keeps at any fact size."""
+    tune_session(spark)
+    orders = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01"))
+        & (F.col("o_orderdate") < F.lit("1997-04-01"))
+    )
+    # (the synthetic lineitem has no l_commitdate; the "late" predicate
+    # is a shipdate threshold — the join/aggregation shape is Q4's)
+    late = load(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1997-01-01")
+    )
+    j = orders.join(late, orders.o_orderkey == late.l_orderkey, "left_semi")
+    return (
+        j.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .select("o_orderpriority", "order_count")
+    )
+
+
+O_TPCH_ORDER_PRIORITY = """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+  AND o_orderdate <  TIMESTAMP '1997-04-01'
+  AND EXISTS (
+    SELECT 1 FROM lineitem
+    WHERE l_orderkey = o_orderkey AND l_shipdate > TIMESTAMP '1997-01-01'
+  )
+GROUP BY 1
+"""
+
+
+def q_events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP aggregation (event_type → grand total) over the event
+    log — the subtotal lattice every BI layer asks for. Spark plans
+    rollup as ONE Expand (2 rows per input) + one map-side-combining
+    hash agg — no second pass over the data for the totals.
+    grouping_id disambiguates real NULL keys from subtotal markers
+    (emitted so the oracle comparison is exact)."""
+    tune_session(spark)
+    ev = load(spark, sf_dir, "events")
+    day = F.date_trunc("day", F.col("ts"))
+    return (
+        ev.select(day.alias("day"), "event_type", F.col("value"))
+        .rollup("day", "event_type")
+        .agg(
+            F.grouping_id().alias("gid"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.floor(F.col("value") * 100).cast("long")).alias("value_cents"),
+        )
+        .select(
+            _us("day").alias("day_us"),
+            "event_type",
+            "gid",
+            "n_events",
+            "value_cents",
+        )
+    )
+
+
+O_EVENTS_ROLLUP = """
+SELECT epoch_us(date_trunc('day', ts)) AS day_us,
+       event_type,
+       CAST(GROUPING(date_trunc('day', ts)) * 2 + GROUPING(event_type) AS INT) AS gid,
+       count(*) AS n_events,
+       CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+FROM events
+GROUP BY ROLLUP (date_trunc('day', ts), event_type)
+"""
+
+
+def q_events_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT: per-day event counts with one column per event type —
+    groupBy().pivot() with the value list GIVEN explicitly, so Spark
+    skips the extra distinct-values job and plans a single hash agg of
+    conditional counts (the same shape the SQL oracle writes by hand).
+    An unpinned pivot would scan twice; at 10^10 events the value list
+    is schema knowledge the caller should supply."""
+    tune_session(spark)
+    ev = load(spark, sf_dir, "events")
+    day = F.date_trunc("day", F.col("ts"))
+    types = ["click", "error", "purchase", "signup", "view"]
+    out = (
+        ev.select(day.alias("day"), "event_type")
+        .groupBy("day")
+        .pivot("event_type", types)
+        .agg(F.count(F.lit(1)))
+    )
+    cols = [F.coalesce(F.col(t), F.lit(0)).alias(f"n_{t}") for t in types]
+    return out.select(_us("day").alias("day_us"), *cols)
+
+
+O_EVENTS_PIVOT = """
+SELECT epoch_us(date_trunc('day', ts)) AS day_us,
+       CAST(count(*) FILTER (WHERE event_type = 'click') AS BIGINT) AS n_click,
+       CAST(count(*) FILTER (WHERE event_type = 'error') AS BIGINT) AS n_error,
+       CAST(count(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS n_purchase,
+       CAST(count(*) FILTER (WHERE event_type = 'signup') AS BIGINT) AS n_signup,
+       CAST(count(*) FILTER (WHERE event_type = 'view') AS BIGINT) AS n_view
+FROM events GROUP BY 1
+"""
+
+
 def q_docs_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact distributed quantiles (p50/p90/p99 of doc length per
     language) — the corpus-profiling op behind length-filter
@@ -3733,6 +3842,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_pricing_summary": q_tpch_pricing_summary,
         "tpch_shipping_priority": q_tpch_shipping_priority,
         "tpch_local_supplier_volume": q_tpch_local_supplier_volume,
+        "tpch_order_priority": q_tpch_order_priority,
+        "events_rollup": q_events_rollup,
+        "events_pivot": q_events_pivot,
         "docs_length_quantiles": q_docs_length_quantiles,
         "docs_topk_per_lang": q_docs_topk_per_lang,
         "docs_dedup_keep_best": q_docs_dedup_keep_best,
@@ -3811,6 +3923,9 @@ def oracle_sql() -> dict[str, str]:
         "tpch_pricing_summary": O_TPCH_PRICING_SUMMARY,
         "tpch_shipping_priority": O_TPCH_SHIPPING_PRIORITY,
         "tpch_local_supplier_volume": O_TPCH_LOCAL_SUPPLIER_VOLUME,
+        "tpch_order_priority": O_TPCH_ORDER_PRIORITY,
+        "events_rollup": O_EVENTS_ROLLUP,
+        "events_pivot": O_EVENTS_PIVOT,
         "docs_length_quantiles": O_DOCS_LENGTH_QUANTILES,
         "docs_topk_per_lang": O_DOCS_TOPK_PER_LANG,
         "docs_dedup_keep_best": O_DOCS_DEDUP_KEEP_BEST,
