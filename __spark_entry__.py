@@ -2833,6 +2833,85 @@ FROM events GROUP BY 1
 """
 
 
+def q_tpch_inactive_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT EXISTS / anti-join surface: customers with no order in a
+    window, counted per market segment. LEFT ANTI discards probe rows
+    at first match — the complement of the Q4 semi-join — and the
+    orders side is reduced to DISTINCT keys before the join, so the
+    anti probe carries no payload at any fact size."""
+    tune_session(spark)
+    cust = load(spark, sf_dir, "customer")
+    active = (
+        load(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderdate") >= F.lit("1999-01-01"))
+            & (F.col("o_orderdate") < F.lit("2000-01-01"))
+        )
+        .select("o_custkey")
+        .distinct()
+    )
+    j = cust.join(active, cust.c_custkey == active.o_custkey, "left_anti")
+    return (
+        j.groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_inactive"))
+        .select("c_mktsegment", "n_inactive")
+    )
+
+
+O_TPCH_INACTIVE_CUSTOMERS = """
+SELECT c_mktsegment, count(*) AS n_inactive
+FROM customer
+WHERE NOT EXISTS (
+  SELECT 1 FROM orders
+  WHERE o_custkey = c_custkey
+    AND o_orderdate >= TIMESTAMP '1999-01-01'
+    AND o_orderdate <  TIMESTAMP '2000-01-01'
+)
+GROUP BY 1
+"""
+
+
+def q_tpch_above_avg_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated-scalar-subquery shape ("orders above their own
+    customer's average"), run through the SQL surface (spark.sql over a
+    registered view) to exercise Catalyst's subquery decorrelation —
+    the rewrite to an aggregate+join every engine needs for this class.
+    The comparison is cross-multiplied into exact integers
+    (cents·count > sum_cents) so no float mean ever reaches a
+    predicate — distributed float summation order would otherwise make
+    the boundary rows engine-dependent."""
+    tune_session(spark)
+    load(spark, sf_dir, "orders").createOrReplaceTempView("v_orders")
+    return spark.sql(
+        """
+        SELECT o_orderkey,
+               o_custkey,
+               CAST(floor(o_totalprice * 100) AS BIGINT) AS price_cents
+        FROM v_orders o
+        WHERE CAST(floor(o_totalprice * 100) AS BIGINT) * (
+                SELECT count(*) FROM v_orders i WHERE i.o_custkey = o.o_custkey
+              ) > (
+                SELECT sum(CAST(floor(i.o_totalprice * 100) AS BIGINT))
+                FROM v_orders i WHERE i.o_custkey = o.o_custkey
+              )
+        """
+    )
+
+
+O_TPCH_ABOVE_AVG_ORDERS = """
+SELECT o_orderkey,
+       o_custkey,
+       CAST(floor(o_totalprice * 100) AS BIGINT) AS price_cents
+FROM orders o
+WHERE CAST(floor(o_totalprice * 100) AS BIGINT) * (
+        SELECT count(*) FROM orders i WHERE i.o_custkey = o.o_custkey
+      ) > (
+        SELECT CAST(sum(CAST(floor(i.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        FROM orders i WHERE i.o_custkey = o.o_custkey
+      )
+"""
+
+
 def q_docs_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact distributed quantiles (p50/p90/p99 of doc length per
     language) — the corpus-profiling op behind length-filter
@@ -3843,6 +3922,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_shipping_priority": q_tpch_shipping_priority,
         "tpch_local_supplier_volume": q_tpch_local_supplier_volume,
         "tpch_order_priority": q_tpch_order_priority,
+        "tpch_inactive_customers": q_tpch_inactive_customers,
+        "tpch_above_avg_orders": q_tpch_above_avg_orders,
         "events_rollup": q_events_rollup,
         "events_pivot": q_events_pivot,
         "docs_length_quantiles": q_docs_length_quantiles,
@@ -3924,6 +4005,8 @@ def oracle_sql() -> dict[str, str]:
         "tpch_shipping_priority": O_TPCH_SHIPPING_PRIORITY,
         "tpch_local_supplier_volume": O_TPCH_LOCAL_SUPPLIER_VOLUME,
         "tpch_order_priority": O_TPCH_ORDER_PRIORITY,
+        "tpch_inactive_customers": O_TPCH_INACTIVE_CUSTOMERS,
+        "tpch_above_avg_orders": O_TPCH_ABOVE_AVG_ORDERS,
         "events_rollup": O_EVENTS_ROLLUP,
         "events_pivot": O_EVENTS_PIVOT,
         "docs_length_quantiles": O_DOCS_LENGTH_QUANTILES,
