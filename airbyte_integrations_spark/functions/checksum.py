@@ -39,9 +39,17 @@ from pyspark.sql import functions as F
 
 def row_hash60(cols: list[str]) -> F.Column:
     """Engine-portable 60-bit row hash: first 15 hex chars of the md5
-    of the `~`-joined string rendering (NULL → empty string — callers
-    needing NULL≠'' distinction should pre-coalesce with a sentinel)."""
-    rendered = F.concat_ws("~", *[F.col(c).cast("string") for c in cols])
+    of the `~`-joined string rendering. NULL renders as an explicit
+    NUL-byte sentinel (chr(0) — unreachable from real string data in
+    the pipelines this checks): bare concat_ws SKIPS nulls, which made
+    ('a', NULL, 'b') and ('a', 'b', NULL) hash identically — a value
+    shifting between adjacent nullable columns would have been
+    invisible to reconciliation (pt-table-checksum keeps a separate
+    null bitmap for the same reason). SQL equivalent:
+    coalesce(CAST(c AS VARCHAR), chr(0))."""
+    rendered = F.concat_ws(
+        "~", *[F.coalesce(F.col(c).cast("string"), F.lit("\x00")) for c in cols]
+    )
     return F.conv(F.substring(F.md5(rendered), 1, 15), 16, 10).cast("long")
 
 

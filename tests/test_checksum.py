@@ -88,3 +88,32 @@ def test_plan_is_single_hash_agg_no_sort(spark, tbl):
     assert "Sort" not in plan
     # partial + final hash aggregate around one exchange
     assert plan.count("HashAggregate") >= 2
+
+
+def test_null_position_is_distinguished(spark):
+    """('a', NULL, 'b') must NOT hash like ('a', 'b', NULL): a value
+    shifting between adjacent nullable columns is a real divergence
+    (bare concat_ws would collapse the two)."""
+    a = spark.createDataFrame([("k", "a", None, "b")], "url string, x string, y string, z string")
+    b = spark.createDataFrame([("k", "a", "b", None)], "url string, x string, y string, z string")
+    assert reconcile(a, b, ["url"]).count() == 1
+    # NULL vs empty string is a divergence too
+    c = spark.createDataFrame([("k", "a", "", "b")], "url string, x string, y string, z string")
+    assert reconcile(a, c, ["url"]).count() == 1
+
+
+def test_hash_is_portable_vs_duckdb_with_nulls(spark):
+    import duckdb
+
+    df = spark.createDataFrame(
+        [("u1", None), ("u2", "v")], "url string, v string"
+    )
+    got = {r.url: r.h for r in df.select("url", row_hash60(["url", "v"]).alias("h")).collect()}
+    want = {
+        u: h
+        for u, h in duckdb.sql(
+            "SELECT url, ('0x'||substr(md5(url||'~'||coalesce(v, chr(0))),1,15))::BIGINT "
+            "FROM (VALUES ('u1', NULL), ('u2', 'v')) t(url, v)"
+        ).fetchall()
+    }
+    assert got == want
