@@ -109,3 +109,60 @@ def test_hopping_rates_stream_matches_batch(spark, tmp_path):
     )
     # every event lands in exactly size/slide = 4 windows
     assert int(a["n_events"].sum()) == 4 * len(rows)
+
+
+def test_interval_join_stream_matches_batch(spark, tmp_path):
+    """Watermarked stream-stream interval join == the batch join with
+    the same predicate (inner arm; all data well inside the watermark)."""
+    import datetime as dt
+
+    from airbyte_integrations_spark.streaming.join_stream import interval_join
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+    def ts(mins):
+        return t0 + dt.timedelta(minutes=mins)
+
+    views = [(1, ts(0), "v0"), (1, ts(90), "v1"), (2, ts(10), "v2")]
+    clicks = [(1, ts(30), "c0"), (1, ts(95), "c1"), (2, ts(40), "c2"), (3, ts(5), "c3")]
+    vdf = spark.createDataFrame(views, "user_id long, vts timestamp, view_id string")
+    cdf = spark.createDataFrame(clicks, "user_id long, cts timestamp, click_id string")
+    vsrc, csrc = str(tmp_path / "v"), str(tmp_path / "c")
+    vdf.write.parquet(vsrc)
+    cdf.write.parquet(csrc)
+
+    batch = interval_join(
+        spark.read.parquet(vsrc), spark.read.parquet(csrc),
+        key="user_id", left_ts="vts", right_ts="cts", upper="1 hour",
+    ).toPandas()
+    # sanity on the fixture: v0 matches c0 only; v1 matches c1; v2 matches c2
+    assert len(batch) == 3
+
+    q = (
+        interval_join(
+            spark.readStream.schema(vdf.schema).parquet(vsrc),
+            spark.readStream.schema(cdf.schema).parquet(csrc),
+            key="user_id", left_ts="vts", right_ts="cts", upper="1 hour",
+        )
+        .writeStream.format("memory")
+        .queryName("ij")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT * FROM ij").toPandas()
+
+    key = ["user_id", "view_id", "click_id"]
+    a = batch.sort_values(key).reset_index(drop=True)
+    b = got.sort_values(key).reset_index(drop=True)
+    assert a[key + ["vts", "cts"]].equals(b[key + ["vts", "cts"]])
+
+
+def test_interval_join_rejects_unbounded(spark):
+    import pytest as _pytest
+
+    from airbyte_integrations_spark.streaming.join_stream import interval_join
+
+    with _pytest.raises(ValueError):
+        interval_join(None, None, key="k", left_ts="a", right_ts="b", how="fullOuter")
