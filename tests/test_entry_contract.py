@@ -53,7 +53,11 @@ def test_oracle_sql_strings_are_wellformed():
     import duckdb
 
     con = duckdb.connect()
-    for t in ("events", "documents", "embeddings"):
+    # the driver pre-registers ALL testdata tables as views
+    for t in (
+        "region", "nation", "customer", "supplier", "part", "orders",
+        "lineitem", "events", "documents", "embeddings",
+    ):
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')"
         )
