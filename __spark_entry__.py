@@ -2960,6 +2960,115 @@ FROM r GROUP BY 1
 """
 
 
+def q_events_anomaly_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Volume-anomaly detection with EXACT integer arithmetic: days
+    where an event type's daily count deviates from its own mean by
+    more than 2σ. The textbook test (|c−μ| > 2σ) is cross-multiplied
+    into integers — (c·D − S)² > 4·(D·Q − S²) with S=Σc, Q=Σc², D=#days
+    — so no float mean/variance ever reaches a comparison and the
+    verdict is bit-identical on any engine and any partitioning.
+    Dataflow: one map-side-combining daily agg, then S/Q/D as a window
+    over the metadata-sized (type, day) frame."""
+    tune_session(spark)
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.col("event_type"), F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    w = Window.partitionBy("event_type")
+    st = daily.select(
+        "event_type", "day", "c",
+        F.sum("c").over(w).alias("s"),
+        F.sum(F.col("c") * F.col("c")).over(w).alias("q"),
+        F.count(F.lit(1)).over(w).alias("d"),
+    )
+    lhs = (F.col("c") * F.col("d") - F.col("s"))
+    rhs = F.lit(4) * (F.col("d") * F.col("q") - F.col("s") * F.col("s"))
+    return st.select(
+        "event_type",
+        _us("day").alias("day_us"),
+        "c",
+        (lhs * lhs > rhs).alias("is_anomaly"),
+    )
+
+
+O_EVENTS_ANOMALY_DAYS = """
+WITH daily AS (
+  SELECT event_type, date_trunc('day', ts) AS day, count(*) AS c
+  FROM events GROUP BY 1, 2
+),
+st AS (
+  SELECT event_type, day, c,
+         CAST(sum(c) OVER (PARTITION BY event_type) AS BIGINT) AS s,
+         CAST(sum(c*c) OVER (PARTITION BY event_type) AS BIGINT) AS q,
+         count(*) OVER (PARTITION BY event_type) AS d
+  FROM daily
+)
+SELECT event_type, epoch_us(day) AS day_us, c,
+       (c*d - s)*(c*d - s) > 4*(d*q - s*s) AS is_anomaly
+FROM st
+"""
+
+
+def q_docs_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-governance blocklist filter: docs whose registered domain
+    is on a blocklist are dropped, the rest pass with their domain —
+    the robots/denylist gate in front of every web-corpus pipeline.
+    The blocklist is metadata-sized at any corpus size, so the filter
+    is a BROADCAST anti-join (plan keeps the corpus un-shuffled);
+    urls synthesized like docs_url_canonical."""
+    from airbyte_integrations_spark.functions.curation import (
+        url_canonicalize,
+        url_registered_domain,
+    )
+
+    tune_session(spark)
+    docs = load(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    url = F.concat(
+        F.lit("http://WWW."), F.col("source"), F.lit("-site.COM/p/"),
+        did.cast("string"),
+        F.when(did % 7 == 0, F.lit("?utm_source=x")).otherwise(F.lit("")),
+    )
+    with_dom = docs.select(
+        "doc_id", "lang",
+        url_canonicalize(url).alias("canon_url"),
+        url_registered_domain(url).alias("domain"),
+    )
+    block = spark.createDataFrame(
+        [("src1-site.com",), ("spam-site.org",)], "domain string"
+    )
+    kept = with_dom.join(F.broadcast(block), "domain", "left_anti")
+    return kept.select("doc_id", "lang", "canon_url", "domain")
+
+
+O_DOCS_BLOCKLIST_FILTER = r"""
+WITH u AS (
+  SELECT doc_id, lang,
+         'http://WWW.' || source || '-site.COM/p/' || CAST(doc_id AS VARCHAR)
+         || CASE WHEN doc_id % 7 = 0 THEN '?utm_source=x' ELSE '' END AS url
+  FROM documents
+),
+parts AS (
+  SELECT doc_id, lang, url,
+         regexp_replace(lower(regexp_extract(url, '^https?://([^/?#]+)', 1)), '^www\.', '') AS host,
+         regexp_extract(url, '^https?://[^/?#]+([^?#]*)', 1) AS path,
+         array_to_string(
+           list_filter(
+             string_split(regexp_extract(url, '\?([^#]*)', 1), '&'),
+             x -> x <> '' AND NOT regexp_matches(x, '^(utm_[a-z]+|ref|fbclid|gclid)=')
+           ), '&') AS kept
+  FROM u
+)
+SELECT doc_id, lang,
+       'https://' || host || path ||
+         CASE WHEN kept <> '' THEN '?' || kept ELSE '' END AS canon_url,
+       regexp_extract(host, '([^.]+\.[^.]+)$', 1) AS domain
+FROM parts
+WHERE regexp_extract(host, '([^.]+\.[^.]+)$', 1)
+      NOT IN ('src1-site.com', 'spam-site.org')
+"""
+
+
 # ------------------------------------------------- curation / eventlog (r3)
 
 def q_docs_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3924,6 +4033,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_order_priority": q_tpch_order_priority,
         "tpch_inactive_customers": q_tpch_inactive_customers,
         "tpch_above_avg_orders": q_tpch_above_avg_orders,
+        "events_anomaly_days": q_events_anomaly_days,
+        "docs_blocklist_filter": q_docs_blocklist_filter,
         "events_rollup": q_events_rollup,
         "events_pivot": q_events_pivot,
         "docs_length_quantiles": q_docs_length_quantiles,
@@ -4007,6 +4118,8 @@ def oracle_sql() -> dict[str, str]:
         "tpch_order_priority": O_TPCH_ORDER_PRIORITY,
         "tpch_inactive_customers": O_TPCH_INACTIVE_CUSTOMERS,
         "tpch_above_avg_orders": O_TPCH_ABOVE_AVG_ORDERS,
+        "events_anomaly_days": O_EVENTS_ANOMALY_DAYS,
+        "docs_blocklist_filter": O_DOCS_BLOCKLIST_FILTER,
         "events_rollup": O_EVENTS_ROLLUP,
         "events_pivot": O_EVENTS_PIVOT,
         "docs_length_quantiles": O_DOCS_LENGTH_QUANTILES,
