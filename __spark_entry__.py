@@ -2967,6 +2967,11 @@ def q_events_anomaly_days(spark: SparkSession, sf_dir: str) -> DataFrame:
     into integers — (c·D − S)² > 4·(D·Q − S²) with S=Σc, Q=Σc², D=#days
     — so no float mean/variance ever reaches a comparison and the
     verdict is bit-identical on any engine and any partitioning.
+    Validity bound: all terms stay inside int64 while |c·D − S| < 3·10⁹
+    and D·Q < 2·10¹⁸ (a 10⁹-events/day stream over years exceeds it —
+    there, pre-scale counts to thousands or widen to DECIMAL; engines
+    diverge on overflow, Spark wraps while DuckDB promotes, so the
+    bound is part of the contract, not a footnote).
     Dataflow: one map-side-combining daily agg, then S/Q/D as a window
     over the metadata-sized (type, day) frame."""
     tune_session(spark)

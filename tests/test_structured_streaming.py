@@ -166,3 +166,31 @@ def test_interval_join_rejects_unbounded(spark):
 
     with _pytest.raises(ValueError):
         interval_join(None, None, key="k", left_ts="a", right_ts="b", how="fullOuter")
+
+
+def test_interval_join_left_outer_emits_unmatched(spark, tmp_path):
+    """leftOuter arm: unmatched left rows appear with NULL right side
+    (batch mode; the streaming arm shares the identical plan modulo
+    watermark-delayed emission)."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from airbyte_integrations_spark.streaming.join_stream import interval_join
+
+    t0 = dt.datetime(2024, 1, 1)
+    vdf = spark.createDataFrame(
+        [(1, t0, "v0"), (9, t0, "v_lonely")],
+        "user_id long, vts timestamp, view_id string",
+    )
+    cdf = spark.createDataFrame(
+        [(1, t0 + dt.timedelta(minutes=5), "c0")],
+        "user_id long, cts timestamp, click_id string",
+    )
+    out = interval_join(
+        vdf, cdf, key="user_id", left_ts="vts", right_ts="cts",
+        upper="1 hour", how="leftOuter",
+    ).toPandas()
+    assert len(out) == 2
+    lonely = out[out.view_id == "v_lonely"]
+    assert lonely.click_id.isna().all()
