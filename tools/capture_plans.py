@@ -375,6 +375,18 @@ def main() -> None:
             "F.window(slide) expands 4 slots per event then folds one hash agg",
         )
 
+        bl_plan = (
+            ent.q_docs_blocklist_filter(spark, sf_small)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        check(
+            "blocklist gate: broadcast anti-join, corpus never shuffles",
+            "BroadcastHashJoin" in bl_plan and "LeftAnti" in bl_plan
+            and "Exchange hashpartitioning" not in bl_plan,
+            "metadata-sized denylist broadcast; the corpus-side scan "
+            "stays a narrow projection at any size",
+        )
+
     out = ["# PLANS — physical-plan evidence (generated by tools/capture_plans.py)", ""]
     ok_all = True
     for name, ok, ev in CHECKS:
