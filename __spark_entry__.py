@@ -3074,6 +3074,42 @@ WHERE regexp_extract(host, '([^.]+\.[^.]+)$', 1)
 """
 
 
+def q_docs_length_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile binning (ntile) for corpus curation thresholds: docs
+    ranked by length into 10 equal-count bins, then per-bin stats —
+    the "show me the distribution before I pick a filter" step.
+    ntile is deterministic only under a TOTAL order, so doc_id breaks
+    length ties (the ordering discipline every window op in this repo
+    follows). The global ntile sorts one corpus-wide window — correct
+    for profiling; per-group binning (the partitioned form) is
+    docs_length_quantiles' job."""
+    tune_session(spark)
+    docs = load(spark, sf_dir, "documents")
+    w = Window.orderBy(F.col("n_chars").asc(), F.col("doc_id").asc())
+    binned = docs.select(
+        "n_chars", F.ntile(10).over(w).alias("decile")
+    )
+    return binned.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+        F.sum("n_chars").alias("sum_chars"),
+    )
+
+
+O_DOCS_LENGTH_DECILES = """
+WITH b AS (
+  SELECT n_chars,
+         ntile(10) OVER (ORDER BY n_chars ASC, doc_id ASC) AS decile
+  FROM documents
+)
+SELECT decile, count(*) AS n_docs,
+       min(n_chars) AS min_chars, max(n_chars) AS max_chars,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars
+FROM b GROUP BY 1
+"""
+
+
 # ------------------------------------------------- curation / eventlog (r3)
 
 def q_docs_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4040,6 +4076,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_above_avg_orders": q_tpch_above_avg_orders,
         "events_anomaly_days": q_events_anomaly_days,
         "docs_blocklist_filter": q_docs_blocklist_filter,
+        "docs_length_deciles": q_docs_length_deciles,
         "events_rollup": q_events_rollup,
         "events_pivot": q_events_pivot,
         "docs_length_quantiles": q_docs_length_quantiles,
@@ -4125,6 +4162,7 @@ def oracle_sql() -> dict[str, str]:
         "tpch_above_avg_orders": O_TPCH_ABOVE_AVG_ORDERS,
         "events_anomaly_days": O_EVENTS_ANOMALY_DAYS,
         "docs_blocklist_filter": O_DOCS_BLOCKLIST_FILTER,
+        "docs_length_deciles": O_DOCS_LENGTH_DECILES,
         "events_rollup": O_EVENTS_ROLLUP,
         "events_pivot": O_EVENTS_PIVOT,
         "docs_length_quantiles": O_DOCS_LENGTH_QUANTILES,
