@@ -2555,7 +2555,7 @@ WITH k AS (SELECT unnest([0, 1, 2, 3]) AS k),
 x AS (
   SELECT (epoch_us(ts) // 900000000) * 900 - k.k * 900 AS window_start_s,
          event_type,
-         CAST(floor(value * 100) AS BIGINT) AS cents
+         CAST(round(value * 100) AS BIGINT) AS cents
   FROM events CROSS JOIN k
 )
 SELECT window_start_s, event_type,

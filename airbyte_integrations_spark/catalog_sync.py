@@ -300,7 +300,46 @@ def read_catalog(
                     # so a constant key is safe; it marks the snapshot in
                     # the fresh manifest's commit log for state reporting
                     epoch_key = "full:0"
-                apply_batch(table, events, cfg, epoch=epoch_key, epoch_meta=epoch_meta)
+                if (
+                    epoch_key is None
+                    and cfg.sync_mode == SyncMode.INCREMENTAL
+                    and cfg.destination_sync_mode == DestinationSyncMode.APPEND
+                ):
+                    # incremental+append from cdc_log/jdbc/dataframe
+                    # sources: WITHOUT a synthesized epoch the append has
+                    # no committed-epoch skip and never advances the
+                    # watermark, so every re-run (or crash-resume) would
+                    # re-append the whole source. Filter past the durable
+                    # watermark and commit under a deterministic
+                    # lsn-bounded epoch key carrying to_lsn — re-running
+                    # the same batch is then an epoch no-op and the
+                    # watermark advances exactly like the dedup path.
+                    if "_ab_cdc_lsn" not in events.columns:
+                        raise ValueError(
+                            f"stream {cfg.stream!r}: incremental+append needs an "
+                            "_ab_cdc_lsn column to synthesize an idempotent epoch "
+                            "(cdc_log/jdbc sources provide it; file sources use "
+                            "their mtime epoch); use append_dedup or full_refresh "
+                            "for sources without a total order"
+                        )
+                    wm = table.watermark(cfg.stream)
+                    if wm is not None:
+                        events = events.filter(F.col("_ab_cdc_lsn") > F.lit(wm))
+                    # bounded metadata collect: one (min, max) row
+                    lo, hi = events.agg(
+                        F.min("_ab_cdc_lsn"), F.max("_ab_cdc_lsn")
+                    ).first()
+                    if hi is None:
+                        events = None  # nothing past the watermark
+                    else:
+                        epoch_key = f"incr:{int(hi)}"
+                        epoch_meta = {
+                            "from_lsn": int(lo),
+                            "to_lsn": int(hi),
+                            **(epoch_meta or {}),
+                        }
+                if events is not None:
+                    apply_batch(table, events, cfg, epoch=epoch_key, epoch_meta=epoch_meta)
         msg = catalog_state_message(spark, catalog, lake_root)
         messages.append(msg)
         if on_stream_committed is not None:
@@ -325,11 +364,24 @@ def jdbc_streams_from_discovery(
     out = []
     for name, meta in discover_tables(spark, url, driver=driver).items():
         pk = tuple(meta.get("primary_key") or ())
+        cols = tuple(meta.get("columns") or ())
+        if not cols:
+            raise ValueError(f"stream {name!r}: discovery returned no columns")
+        # Full-refresh tables with no discovered PK: fall back to the
+        # FIRST DISCOVERED COLUMN, not a domain-name default —
+        # bucket_expr hashes the key columns, so the key MUST exist in
+        # the table (a default like "url" fails at table.create for any
+        # table without that column). Incremental streams are
+        # normalized by as_change_events (key_col -> "url"), so "url"
+        # is genuinely present there.
+        missing = [k for k in pk if k not in cols]
+        if missing:
+            raise ValueError(f"stream {name!r}: key columns {missing} not in discovered columns")
         cursor = (cursor_overrides or {}).get(name)
         incremental = cursor is not None and bool(pk)
         cfg = SyncConfig(
             stream=name.replace(".", "_").lower(),
-            primary_key=("url",) if incremental else (pk or ("url",)),
+            primary_key=("url",) if incremental else (pk or (cols[0],)),
             sync_mode=SyncMode.INCREMENTAL if incremental else SyncMode.FULL_REFRESH,
             destination_sync_mode=(
                 DestinationSyncMode.APPEND_DEDUP

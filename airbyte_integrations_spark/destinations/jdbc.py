@@ -92,9 +92,25 @@ class JdbcDestination:
         props.update({k: str(v) for k, v in c.options.items()})
         return props
 
+    def _fold(self, conn, name: str) -> str:
+        """Fold an unquoted identifier the way the TARGET database
+        stores it — via DatabaseMetaData, not a hard-coded case rule:
+        Derby/Oracle/DB2 store upper, PostgreSQL stores lower, and a
+        mixed-case-storing engine keeps it as-is. Spark's JDBC writer
+        emits the tmp-table DDL with an UNQUOTED table name, so the
+        publish transaction must reference the name exactly as the
+        dialect folded it (a hard-coded .upper() breaks on
+        lower-folding dialects like PostgreSQL)."""
+        md = conn.getMetaData()
+        if md.storesUpperCaseIdentifiers():
+            return name.upper()
+        if md.storesLowerCaseIdentifiers():
+            return name.lower()
+        return name
+
     def _table_exists(self, conn, name: str) -> bool:
         md = conn.getMetaData()
-        rs = md.getTables(None, None, name.upper(), None)
+        rs = md.getTables(None, None, self._fold(conn, name), None)
         try:
             return rs.next()
         finally:
@@ -102,7 +118,7 @@ class JdbcDestination:
 
     def _columns(self, conn, name: str) -> list[str]:
         md = conn.getMetaData()
-        rs = md.getColumns(None, None, name.upper(), None)
+        rs = md.getColumns(None, None, self._fold(conn, name), None)
         out = []
         try:
             while rs.next():
@@ -199,7 +215,9 @@ class JdbcDestination:
             # tx would roll the drop back anyway); best-effort cleanup
             try:
                 st = conn.createStatement()
-                st.executeUpdate(f"DROP TABLE {quote_identifier(tmp.upper())}")
+                st.executeUpdate(
+                    f"DROP TABLE {quote_identifier(self._fold(conn, tmp))}"
+                )
                 st.close()
             except Exception:
                 pass
@@ -211,10 +229,11 @@ class JdbcDestination:
         # Spark's JDBC writer creates columns QUOTED in their original
         # case (JdbcUtils.schemaString -> dialect.quoteIdentifier), so
         # every column reference here must quote the original case;
-        # TABLE names are written unquoted (dialect-folded, upper in
-        # Derby), so they are referenced folded.
-        qtmp = quote_identifier(tmp.upper())
-        qfinal = quote_identifier(final.upper())
+        # TABLE names are written unquoted (dialect-folded: upper in
+        # Derby, lower in PostgreSQL), so they are referenced via the
+        # database's own DatabaseMetaData folding rule.
+        qtmp = quote_identifier(self._fold(conn, tmp))
+        qfinal = quote_identifier(self._fold(conn, final))
         cols = [quote_identifier(c) for c in batch_cols]
         collist = ", ".join(cols)
         conn.setAutoCommit(False)
@@ -232,7 +251,7 @@ class JdbcDestination:
                 for c in batch_cols:
                     if c not in existing:
                         md = conn.getMetaData()
-                        rs = md.getColumns(None, None, tmp.upper(), c)
+                        rs = md.getColumns(None, None, self._fold(conn, tmp), c)
                         rs.next()
                         type_name = rs.getString("TYPE_NAME")
                         size = rs.getInt("COLUMN_SIZE")

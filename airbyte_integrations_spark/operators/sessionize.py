@@ -118,7 +118,7 @@ def hopping_rates(
     aggs = [F.count(F.lit(1)).alias("n_events")]
     if value_col is not None:
         aggs.append(
-            F.sum(F.floor(F.col(value_col) * 100).cast("long")).alias("value_cents")
+            F.sum(F.round(F.col(value_col) * 100).cast("long")).alias("value_cents")
         )
     return (
         src.groupBy(F.window(F.col(ts_col), size, slide).alias("w"), *[F.col(k) for k in keys])

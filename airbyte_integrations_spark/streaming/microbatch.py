@@ -96,24 +96,37 @@ def plan_epochs_tx(
     transaction; the reference's record iterator likewise only
     checkpoints at event boundaries the source declared safe).
 
+    A boundary B is SAFE iff no transaction straddles it (no tx with
+    min_lsn <= B < max_lsn). Concurrent transactions interleave change
+    lsns in a real WAL (normal in Postgres), so snapping to "some
+    transaction's max lsn" is NOT enough — that end can sit inside a
+    concurrent transaction's span. This planner extends every
+    candidate boundary OUTWARD to a fixpoint of
+    B <- max(end of any tx straddling B), which terminates at a safe
+    position (each step strictly increases toward max lsn, and max lsn
+    is always safe).
+
     Dataflow (all map-side-combining aggs; nothing event-sized reaches
     the driver):
-      1. per-tx end position  e = max(lsn)          — one hash agg
-      2. density width as in plan_epochs
-      3. bucket k = ceil((e - start) / width); per-bucket max end
-         — second hash agg, K = ~n/max_events rows (metadata-sized:
-         10^4 at the 10^10-event point)
-      4. driver-side running max over the K bucket maxima, deduped:
-         each distinct value is an epoch boundary. Snapping is always
-         DOWNWARD to the last complete transaction end <= the naive
-         boundary, so an epoch is at most one transaction larger than
-         the naive plan and a transaction bigger than `width` simply
-         owns its whole epoch.
+      1. per-tx span (s, e) = (min(lsn), max(lsn))   — one hash agg
+      2. density width as in plan_epochs; candidate boundaries are the
+         uniform grid edges (K = ~n/max_events, metadata-sized)
+      3. pass 1: each tx computes the grid edges inside its span by
+         ARITHMETIC (ceil-div; no K-wide scan per tx) and emits
+         (edge, e); max(e) per edge — one hash agg, output <= K rows
+      4. passes 2..: only boundaries that MOVED are rechecked (a
+         boundary verified safe stays safe — spans don't change), via
+         a filtered-literal-array straddle test whose array is just
+         the moved set. Per-chain extensions strictly increase, so
+         this converges; a defensive pass cap drops any still-unsafe
+         boundary (dropping merges two epochs — always safe).
 
-    The highest observed lsn of a tx is taken as its end; if the
-    source can be tailed mid-transaction, bound the read at the last
-    committed position first (target_position semantics) — same rule
-    as the reference's CdcTargetPosition.
+    A transaction bigger than `width`, or a fully interleaved region,
+    simply owns its whole epoch. The highest observed lsn of a tx is
+    taken as its end; if the source can be tailed mid-transaction,
+    bound the read at the last committed position first
+    (target_position semantics) — same rule as the reference's
+    CdcTargetPosition.
     """
     lo = from_lsn if from_lsn is not None else -(2**62)
     tail = events.filter(F.col(lsn_col) > F.lit(lo))
@@ -125,23 +138,87 @@ def plan_epochs_tx(
     lo_seen, hi, n = int(row["lo"]), int(row["hi"]), int(row["n"])
     start = from_lsn if from_lsn is not None else lo_seen - 1
     width = max((hi - start) * max_events_per_epoch // n, 1)
-    ends = tail.groupBy(tx_col).agg(F.max(lsn_col).alias("e"))
-    bk = (
-        # integer ceil-div (never float: lsns are 64-bit WAL positions)
-        ends.groupBy(
-            F.expr(f"div(e - {start} + {width - 1}, {width})").alias("k")
-        )
-        .agg(F.max("e").alias("bmax"))
-        .orderBy("k")
-        .collect()
+    spans = tail.groupBy(tx_col).agg(
+        F.min(lsn_col).alias("s"), F.max(lsn_col).alias("e")
     )
+    multi = spans.filter(F.col("e") > F.col("s"))  # singletons can't straddle
+    multi.persist()
+    try:
+        # candidate boundaries: the uniform density grid, capped at hi
+        bounds: set[int] = set()
+        cur = start
+        while cur < hi:
+            cur = min(cur + width, hi)
+            bounds.add(cur)
+        # pass 1 — arithmetic straddle detection on the grid: tx (s, e)
+        # straddles edge start + j*width for j in [ceil((s-start)/width),
+        # floor((e-1-start)/width)]  (integer math; lsns are 64-bit WAL
+        # positions, never floats)
+        ext_rows = (
+            # guard: F.sequence(a, b) DESCENDS when a > b, so a span
+            # containing no grid edge would emit bogus straddles
+            multi.filter(
+                F.expr(
+                    f"div(s - {start} + {width} - 1, {width})"
+                    f" <= div(e - 1 - {start}, {width})"
+                )
+            )
+            .select(
+                F.explode(
+                    F.sequence(
+                        F.expr(f"div(s - {start} + {width} - 1, {width})"),
+                        F.expr(f"div(e - 1 - {start}, {width})"),
+                    )
+                ).alias("j"),
+                "e",
+            )
+            .filter(F.col("j") >= 1)
+            .groupBy("j")
+            .agg(F.max("e").alias("ext"))
+            .collect()
+        )
+        pending = {
+            start + int(r["j"]) * width: int(r["ext"])
+            for r in ext_rows
+            if start + int(r["j"]) * width in bounds
+            and int(r["ext"]) > start + int(r["j"]) * width
+        }
+        for _ in range(32):
+            if not pending:
+                break
+            for b, ext in pending.items():
+                bounds.discard(b)
+                bounds.add(ext)
+            recheck = sorted(set(pending.values()))
+            arr = F.filter(
+                F.array(*[F.lit(x) for x in recheck]),
+                lambda b: (F.col("s") <= b) & (b < F.col("e")),
+            )
+            viol = (
+                multi.select(F.explode(arr).alias("b"), "e")
+                .groupBy("b")
+                .agg(F.max("e").alias("ext"))
+                .collect()
+            )
+            pending = {
+                int(r["b"]): int(r["ext"])
+                for r in viol
+                if int(r["b"]) in bounds and int(r["ext"]) > int(r["b"])
+            }
+        else:
+            # defensive cap (a pathological chain of interleaves):
+            # dropping an unsafe boundary merges two epochs, which is
+            # always safe; hi itself never straddles so coverage holds
+            for b in pending:
+                bounds.discard(b)
+    finally:
+        multi.unpersist()
     epochs: list[Epoch] = []
-    prev, run = start, start
-    for r in bk:
-        run = max(run, int(r["bmax"]))
-        if run != prev:
-            epochs.append(Epoch(epoch_id=prev, from_lsn=prev, to_lsn=run))
-            prev = run
+    prev = start
+    for b in sorted(bounds):
+        if b > prev:
+            epochs.append(Epoch(epoch_id=prev, from_lsn=prev, to_lsn=b))
+            prev = b
     return epochs
 
 

@@ -93,3 +93,35 @@ def test_run_sync_tx_aligned_converges(spark, tmp_path, events):
     # every committed watermark is a transaction end
     ends = {r["hi"] for r in tx_spans(events).collect()}
     assert all(e.to_lsn in ends for e in eps)
+
+
+def test_interleaved_concurrent_transactions_never_split(spark):
+    # Two concurrent txs per 20-lsn block, lsns INTERLEAVED within the
+    # block (tx = 2*block + lsn%2) — the normal Postgres WAL shape where
+    # concurrent transactions' change lsns interleave. Any boundary
+    # snapped merely to "some tx's max lsn" can land inside the sibling
+    # tx's span; the planner must extend past it.
+    ev = gen_change_events(spark, 2000, n_urls=200, seed="ilv").withColumn(
+        "txid",
+        (F.floor((F.col("_ab_cdc_lsn") - 1) / 20) * 2 + F.col("_ab_cdc_lsn") % 2),
+    )
+    eps = plan_epochs_tx(ev, None, 250, "txid")
+    assert len(eps) >= 4  # local interleaving must NOT collapse the plan
+    spans = tx_spans(ev).collect()
+    for s in spans:
+        assert not any(
+            e.from_lsn < s["lo"] <= e.to_lsn < s["hi"] for e in eps
+        ), f"tx {s['txid']} ({s['lo']}..{s['hi']}) split by an epoch boundary"
+    for a, b in zip(eps, eps[1:]):
+        assert a.to_lsn == b.from_lsn
+    assert eps[-1].to_lsn == 2000
+
+
+def test_fully_interleaved_region_owns_one_epoch(spark):
+    # txid = lsn % 5 spreads every tx across the whole tail: NO interior
+    # boundary is safe, so the only correct plan is one epoch
+    ev = gen_change_events(spark, 600, n_urls=60, seed="ilv2").withColumn(
+        "txid", F.col("_ab_cdc_lsn") % 5
+    )
+    eps = plan_epochs_tx(ev, None, 100, "txid")
+    assert [(e.from_lsn, e.to_lsn) for e in eps] == [(0, 600)]
