@@ -730,7 +730,13 @@ FROM embeddings GROUP BY 1
 
 
 def q_emb_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Brute-force cosine top-5 neighbors for every 50th vector.
+    """Brute-force cosine top-5 neighbors for a CONSTANT-BUDGET query
+    sample — the eval oracle for the ANN paths (emb_ann_lsh_topk /
+    emb_ann_ivf_topk are the production shapes). The query set is the
+    1,000 vectors with the smallest md5(vec_id) (deterministic sample,
+    TakeOrderedAndProject — constant driver/executor memory), so eval
+    cost is O(n·|Q|) with |Q| FIXED: it no longer grows with the
+    corpus (a %-based query set made even the eval harness O(n²)).
     Similarity coarsened to floor(cos*100) and ranked by
     (sim_c DESC, neighbor id ASC) so ordering is float-rounding-proof
     across engines."""
@@ -742,8 +748,15 @@ def q_emb_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         dbl.alias("v"),
         F.sqrt(F.aggregate(dbl, F.lit(0.0), lambda a, x: a + x * x)).alias("nrm"),
     )
-    q = base.filter(F.col("vec_id") % 50 == 0).select(
-        F.col("vec_id").alias("qid"), F.col("v").alias("qv"), F.col("nrm").alias("qn")
+    q = (
+        base.withColumn(
+            "qkey", F.md5(F.col("vec_id").cast("string").cast("binary"))
+        )
+        .orderBy(F.col("qkey").asc(), F.col("vec_id").asc())
+        .limit(1000)
+        .select(
+            F.col("vec_id").alias("qid"), F.col("v").alias("qv"), F.col("nrm").alias("qn")
+        )
     )
     c = base.select(
         F.col("vec_id").alias("cid"), F.col("v").alias("cv"), F.col("nrm").alias("cn")
@@ -777,7 +790,8 @@ WITH base AS (
   FROM embeddings
 ),
 base2 AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM base),
-q AS (SELECT vec_id AS qid, v AS qv, nrm AS qn FROM base2 WHERE vec_id % 50 = 0),
+q AS (SELECT vec_id AS qid, v AS qv, nrm AS qn FROM base2
+      ORDER BY md5(CAST(vec_id AS VARCHAR)) ASC, vec_id ASC LIMIT 1000),
 pairs AS (
   SELECT q.qid, c.vec_id AS cid,
          CAST(floor(list_dot_product(q.qv, c.v) / (q.qn * c.nrm) * 100) AS BIGINT) AS sim_c
@@ -1166,10 +1180,23 @@ def q_emb_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sqrt(F.aggregate(dbl, F.lit(0.0), lambda a, x: a + x * x)).alias("nrm"),
     )
     cents = F.broadcast(
-        base.filter(F.col("vec_id") % 97 == 0).select(
+        base.withColumn(
+            "_skey", F.md5(F.col("vec_id").cast("string").cast("binary"))
+        )
+        .orderBy(F.col("_skey").asc(), F.col("vec_id").asc())
+        .limit(16)
+        .select(
             F.col("vec_id").alias("cent_id"), F.col("v").alias("cv"),
             F.col("nrm").alias("cn"),
         )
+    )
+    qids = F.broadcast(
+        base.withColumn(
+            "_qkey", F.md5(F.col("vec_id").cast("string").cast("binary"))
+        )
+        .orderBy(F.col("_qkey").asc(), F.col("vec_id").asc())
+        .limit(1000)
+        .select("vec_id")
     )
 
     def cos(av, an, bv, bn):
@@ -1189,7 +1216,7 @@ def q_emb_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", "v", "nrm", F.col("cent_id").alias("cell"))
     )
     probes = (
-        scored.filter(F.col("vec_id") % 50 == 0)
+        scored.join(qids, "vec_id")
         .withColumn("r", F.row_number().over(wa))
         .filter(F.col("r") <= 2)
         .select(F.col("vec_id").alias("qid"), F.col("v").alias("qv"),
@@ -1222,7 +1249,8 @@ nb AS (
   FROM base
 ),
 cents AS (
-  SELECT vec_id AS cent_id, v AS cv, nrm AS cn FROM nb WHERE vec_id % 97 = 0
+  SELECT vec_id AS cent_id, v AS cv, nrm AS cn FROM nb
+  ORDER BY md5(CAST(vec_id AS VARCHAR)) ASC, vec_id ASC LIMIT 16
 ),
 scored AS (
   SELECT nb.vec_id, nb.v, nb.nrm, c.cent_id,
@@ -1236,9 +1264,10 @@ ranked AS (
   FROM scored
 ),
 assign AS (SELECT vec_id, v, nrm, cent_id AS cell FROM ranked WHERE r = 1),
+qids AS (SELECT vec_id FROM nb ORDER BY md5(CAST(vec_id AS VARCHAR)) ASC, vec_id ASC LIMIT 1000),
 probes AS (
   SELECT vec_id AS qid, v AS qv, nrm AS qn, cent_id AS cell
-  FROM ranked WHERE vec_id % 50 = 0 AND r <= 2
+  FROM ranked WHERE vec_id IN (SELECT vec_id FROM qids) AND r <= 2
 ),
 pairs AS (
   SELECT DISTINCT p.qid, a.vec_id AS cid,
@@ -1573,11 +1602,14 @@ GROUP BY tok.doc_id
 def q_emb_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic spherical k-means (2 Lloyd rounds) — the offline
     refinement the IVF-Flat query's codebook points at. Seeds are the
-    IVF rule (every 97th vector); the Lloyd update keeps centroids as
+    FIXED-k md5-smallest rule (k=16 — decoupled from corpus size, so
+    the codebook broadcast and the O(n*k) assignment hold at 10^10
+    vectors); the Lloyd update keeps centroids as
     exact long sums of floor(v*1000) so the distributed groupBy is
     order-independent and the whole loop hash-matches the SQL oracle.
     Per-round dataflow at 10^10 vectors: one broadcast-codebook pass +
-    one (cell, pos) hash agg with map-side combine -> k*dim rows."""
+    one (cell, pos) hash agg with map-side combine -> k*dim rows;
+    assignment cost is O(n*k) with k FIXED."""
     from airbyte_integrations_spark.functions.kmeans import (
         embeddings_base,
         spherical_kmeans,
@@ -1585,7 +1617,7 @@ def q_emb_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     tune_session(spark)
     base = embeddings_base(load(spark, sf_dir, "embeddings"))
-    a2 = spherical_kmeans(base, seed_mod=97, iters=2)
+    a2 = spherical_kmeans(base, seed_k=16, iters=2)
     return a2.groupBy("cell").agg(
         F.count(F.lit(1)).alias("n_members"), F.sum("csim").alias("sum_csim")
     )
@@ -1605,7 +1637,7 @@ def q_emb_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     tune_session(spark)
     base = embeddings_base(load(spark, sf_dir, "embeddings"))
-    a2 = spherical_kmeans(base, seed_mod=97, iters=2)
+    a2 = spherical_kmeans(base, seed_k=16, iters=2)
     return semantic_dedup(a2, threshold_pct=35)
 
 
@@ -1618,7 +1650,8 @@ nb AS (
          sqrt(list_reduce(list_transform(v, x -> x * x), (a, b) -> a + b)) AS nrm
   FROM base
 ),
-seeds AS (SELECT vec_id AS cent_id, v AS cv, nrm AS cn FROM nb WHERE vec_id % 97 = 0),
+seeds AS (SELECT vec_id AS cent_id, v AS cv, nrm AS cn FROM nb
+          ORDER BY md5(CAST(vec_id AS VARCHAR)) ASC, vec_id ASC LIMIT 16),
 s1 AS (
   SELECT nb.vec_id, nb.v, nb.nrm, s.cent_id,
     CAST(floor(list_reduce(list_transform(range(1, len(nb.v) + 1),
@@ -1755,7 +1788,9 @@ def q_emb_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN via LSH bucketing: top-3 cosine neighbors searched only
     within the query's sign-LSH bucket (the scale path: candidate set
     shrinks ~2^bits-fold vs brute force; same rounding-proof ranking
-    as emb_knn_cosine)."""
+    as emb_knn_cosine). Query set = the constant 1,000-query md5
+    budget, so total search cost is O(|Q| * n / 2^bits) with |Q|
+    fixed — it no longer grows with the corpus."""
     tune_session(spark)
     emb = load(spark, sf_dir, "embeddings")
     dims = [1, 9, 17, 25, 33, 41, 49, 57]
@@ -1770,9 +1805,16 @@ def q_emb_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sqrt(F.aggregate(dbl, F.lit(0.0), lambda a, x: a + x * x)).alias("nrm"),
         F.concat(*bits).alias("bucket"),
     )
-    q = base.filter(F.col("vec_id") % 50 == 0).select(
-        F.col("vec_id").alias("qid"), F.col("v").alias("qv"),
-        F.col("nrm").alias("qn"), F.col("bucket"),
+    q = (
+        base.withColumn(
+            "_qkey", F.md5(F.col("vec_id").cast("string").cast("binary"))
+        )
+        .orderBy(F.col("_qkey").asc(), F.col("vec_id").asc())
+        .limit(1000)
+        .select(
+            F.col("vec_id").alias("qid"), F.col("v").alias("qv"),
+            F.col("nrm").alias("qn"), F.col("bucket"),
+        )
     )
     c = base.select(
         F.col("vec_id").alias("cid"), F.col("v").alias("cv"),
@@ -1813,7 +1855,8 @@ WITH base AS (
   FROM embeddings
 ),
 base2 AS (SELECT vec_id, v, bucket, sqrt(list_dot_product(v, v)) AS nrm FROM base),
-q AS (SELECT vec_id AS qid, v AS qv, nrm AS qn, bucket FROM base2 WHERE vec_id % 50 = 0),
+q AS (SELECT vec_id AS qid, v AS qv, nrm AS qn, bucket FROM base2
+      ORDER BY md5(CAST(vec_id AS VARCHAR)) ASC, vec_id ASC LIMIT 1000),
 pairs AS (
   SELECT q.qid, c.vec_id AS cid,
          CAST(floor(list_dot_product(q.qv, c.v) / (q.qn * c.nrm) * 100) AS BIGINT) AS sim_c
@@ -3075,19 +3118,60 @@ WHERE regexp_extract(host, '([^.]+\.[^.]+)$', 1)
 
 
 def q_docs_length_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Decile binning (ntile) for corpus curation thresholds: docs
-    ranked by length into 10 equal-count bins, then per-bin stats —
-    the "show me the distribution before I pick a filter" step.
-    ntile is deterministic only under a TOTAL order, so doc_id breaks
-    length ties (the ordering discipline every window op in this repo
-    follows). The global ntile sorts one corpus-wide window — correct
-    for profiling; per-group binning (the partitioned form) is
-    docs_length_quantiles' job."""
+    """Decile binning (exact ntile semantics) for corpus curation
+    thresholds: docs ranked by length into 10 equal-count bins, then
+    per-bin stats. ntile is deterministic only under a TOTAL order, so
+    doc_id breaks length ties (the ordering discipline every window op
+    in this repo follows).
+
+    Scale shape — NO global unpartitioned window (a corpus-wide
+    `Window.orderBy` funnels every row into ONE reducer task, the
+    textbook single-reducer scale-killer at 10^10 docs). Instead:
+      1. repartitionByRange on (n_chars, doc_id): Spark's parallel
+         range partitioner — P sorted shards, not one.
+      2. local rank per shard: Window.partitionBy(pid) — P independent
+         window groups running in parallel.
+      3. shard offsets: a P-row groupBy collected driver-side (bounded
+         metadata, P = shuffle partitions) and inlined as a literal
+         map; global_rank = offset[pid] + local_rank.
+      4. decile from global rank by Spark's exact ntile rule (first
+         n%10 buckets get one extra row), then the final hash agg.
+    The frame is persisted so the offset count and the ranked pass see
+    the SAME pid assignment (AQE may re-coalesce otherwise)."""
     tune_session(spark)
-    docs = load(spark, sf_dir, "documents")
-    w = Window.orderBy(F.col("n_chars").asc(), F.col("doc_id").asc())
-    binned = docs.select(
-        "n_chars", F.ntile(10).over(w).alias("decile")
+    docs = load(spark, sf_dir, "documents").select("n_chars", "doc_id")
+    key = [F.col("n_chars").asc(), F.col("doc_id").asc()]
+    loc = (
+        docs.repartitionByRange(32, *key)
+        .withColumn("pid", F.spark_partition_id())
+        .withColumn(
+            "lrn", F.row_number().over(Window.partitionBy("pid").orderBy(*key))
+        )
+        .persist()
+    )
+    sizes = sorted(
+        (r["pid"], r["c"])
+        for r in loc.groupBy("pid").agg(F.count(F.lit(1)).alias("c")).collect()
+    )
+    n = sum(c for _, c in sizes)
+    base, rem = n // 10, n % 10
+    offs, acc = {}, 0
+    for pid, c in sizes:
+        offs[pid] = acc
+        acc += c
+    off_map = F.create_map(
+        *[F.lit(x) for pid_off in offs.items() for x in pid_off]
+    )
+    rn = (off_map[F.col("pid")] + F.col("lrn")).cast("long")
+    # Spark ntile: buckets 1..rem hold base+1 rows, the rest hold base
+    head = F.lit((base + 1) * rem)
+    decile = F.when(
+        rn <= head, (rn + base) / F.lit(base + 1)  # == ceil(rn/(base+1))
+    ).otherwise(
+        F.lit(rem) + (rn - head + F.lit(max(base, 1)) - 1) / F.lit(max(base, 1))
+    )
+    binned = loc.select(
+        "n_chars", F.floor(decile).cast("int").alias("decile")
     )
     return binned.groupBy("decile").agg(
         F.count(F.lit(1)).alias("n_docs"),
@@ -3749,8 +3833,9 @@ def q_emb_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     search against exact brute-force top-3, per query ("measure, don't
     guess": the eval harness that justifies the bucket-bit / nprobe
     choice before a 10^10-vector rollout). The brute-force side is the
-    labeled oracle baseline restricted to the 2% probe set (|Q| x N —
-    the eval shape, never the serving path); the ANN side is the same
+    labeled oracle baseline restricted to the constant 1,000-query md5
+    budget (|Q| x N with |Q| FIXED — the eval shape, never the serving
+    path); the ANN side is the same
     bucket-keyed join the serving query uses. Integer floor(cos*100)
     scoring + cid tiebreak keep both rankings engine-exact. Bucket
     width here is 2 bits (vs the serving query's 8): the synthetic
@@ -3772,9 +3857,16 @@ def q_emb_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sqrt(F.aggregate(dbl, F.lit(0.0), lambda a, x: a + x * x)).alias("nrm"),
         F.concat(*bits).alias("bucket"),
     )
-    q = base.filter(F.col("vec_id") % 50 == 0).select(
-        F.col("vec_id").alias("qid"), F.col("v").alias("qv"),
-        F.col("nrm").alias("qn"), F.col("bucket"),
+    q = (
+        base.withColumn(
+            "_qkey", F.md5(F.col("vec_id").cast("string").cast("binary"))
+        )
+        .orderBy(F.col("_qkey").asc(), F.col("vec_id").asc())
+        .limit(1000)
+        .select(
+            F.col("vec_id").alias("qid"), F.col("v").alias("qv"),
+            F.col("nrm").alias("qn"), F.col("bucket"),
+        )
     )
     c = base.select(
         F.col("vec_id").alias("cid"), F.col("v").alias("cv"),
@@ -3825,7 +3917,8 @@ WITH base AS (
   FROM embeddings
 ),
 base2 AS (SELECT vec_id, v, bucket, sqrt(list_dot_product(v, v)) AS nrm FROM base),
-q AS (SELECT vec_id AS qid, v AS qv, nrm AS qn, bucket FROM base2 WHERE vec_id % 50 = 0),
+q AS (SELECT vec_id AS qid, v AS qv, nrm AS qn, bucket FROM base2
+      ORDER BY md5(CAST(vec_id AS VARCHAR)) ASC, vec_id ASC LIMIT 1000),
 exact AS (
   SELECT qid, cid FROM (
     SELECT q.qid, c.vec_id AS cid,

@@ -7,9 +7,13 @@ The IVF-Flat ANN query already treats "k-means refinement" as an
 offline concern; this module IS that refinement, built so the whole
 loop is oracle-checkable:
 
-- **Deterministic seeding**: every ``seed_mod``-th vector is a seed
-  (the IVF codebook rule), so two runs — and the DuckDB oracle —
-  pick identical initial centroids. No RNG anywhere.
+- **Deterministic seeding**: either every ``seed_mod``-th vector, or
+  — the scale rule — the FIXED-k set of vectors with the smallest
+  md5(vec_id) (``seed_k``). Two runs — and the DuckDB oracle — pick
+  identical initial centroids. No RNG anywhere. seed_k is the 10^10
+  parameterization: a modulus couples k to the corpus size, making
+  the "broadcast" codebook grow to 10^8 rows and the assignment pass
+  O(n * n/mod) = O(n^2); a fixed k keeps assignment O(n*k).
 - **Exact-integer centroids**: a centroid is the pair (element-wise
   SUM of floor(v[i]*1000) as 64-bit ints, member count). Long sums
   are associative, so the groupBy is order-independent across any
@@ -47,11 +51,31 @@ def embeddings_base(emb: DataFrame) -> DataFrame:
 
 
 def seed_centroids(base: DataFrame, seed_mod: int = 97) -> DataFrame:
-    """Every seed_mod-th vector, as (cent_id, cv, cn)."""
+    """Every seed_mod-th vector, as (cent_id, cv, cn). k grows with the
+    corpus — sandbox/test rule only; use seed_centroids_topk at scale."""
     return base.filter(F.col("vec_id") % seed_mod == 0).select(
         F.col("vec_id").alias("cent_id"),
         F.col("v").alias("cv"),
         F.col("nrm").alias("cn"),
+    )
+
+
+def seed_centroids_topk(base: DataFrame, k: int = 16) -> DataFrame:
+    """FIXED-k deterministic seeds: the k vectors with the smallest
+    (md5(vec_id), vec_id) — a hash-ordered sample, so the codebook size
+    is independent of the corpus size (TakeOrderedAndProject: top-k per
+    partition then a k-row merge; constant memory at any n)."""
+    return (
+        base.withColumn(
+            "_skey", F.md5(F.col("vec_id").cast("string").cast("binary"))
+        )
+        .orderBy(F.col("_skey").asc(), F.col("vec_id").asc())
+        .limit(k)
+        .select(
+            F.col("vec_id").alias("cent_id"),
+            F.col("v").alias("cv"),
+            F.col("nrm").alias("cn"),
+        )
     )
 
 
@@ -161,13 +185,23 @@ def refine_centroids(assigned: DataFrame) -> DataFrame:
 
 
 def spherical_kmeans(
-    base: DataFrame, seed_mod: int = 97, iters: int = 2, impl: str = "expr"
+    base: DataFrame,
+    seed_mod: int = 97,
+    iters: int = 2,
+    impl: str = "expr",
+    seed_k: int | None = None,
 ) -> DataFrame:
     """iters rounds of assign->refine from the deterministic seeds;
-    returns the final assignment (vec_id, v, nrm, cell, csim)."""
+    returns the final assignment (vec_id, v, nrm, cell, csim).
+    seed_k (fixed-k md5 seeding) is the scale parameterization and
+    overrides seed_mod when given."""
     if iters < 1:
         raise ValueError("iters must be >= 1")
-    cents = seed_centroids(base, seed_mod)
+    cents = (
+        seed_centroids_topk(base, seed_k)
+        if seed_k is not None
+        else seed_centroids(base, seed_mod)
+    )
     assigned = assign_cells(base, cents, impl=impl)
     for _ in range(iters - 1):
         assigned = assign_cells(base, refine_centroids(assigned), impl=impl)

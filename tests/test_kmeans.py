@@ -120,3 +120,23 @@ def test_assign_impl_equivalence(spark):
     k_j = spherical_kmeans(base, 97, iters=2, impl="join")
     assert sorted(map(tuple, k_e.select("vec_id", "cell", "csim").collect())) == \
            sorted(map(tuple, k_j.select("vec_id", "cell", "csim").collect()))
+
+
+def test_seed_centroids_topk_fixed_k(spark):
+    from airbyte_integrations_spark.functions.kmeans import (
+        embeddings_base as _eb,
+        seed_centroids_topk,
+        spherical_kmeans as _sk,
+    )
+    from airbyte_integrations_spark.testdata import load
+
+    base = _eb(load(spark, "/root/testdata/sf0.001", "embeddings"))
+    seeds = seed_centroids_topk(base, k=8)
+    # k is a CONSTANT — never a function of corpus size — and the md5
+    # rule is deterministic across runs
+    ids1 = sorted(r["cent_id"] for r in seeds.collect())
+    ids2 = sorted(r["cent_id"] for r in seed_centroids_topk(base, k=8).collect())
+    assert len(ids1) == 8 and ids1 == ids2
+    # seed_k overrides seed_mod in spherical_kmeans
+    a = _sk(base, seed_k=8, iters=1)
+    assert a.select("cell").distinct().count() <= 8

@@ -387,6 +387,18 @@ def main() -> None:
             "stays a narrow projection at any size",
         )
 
+        dec_plan = (
+            ent.q_docs_length_deciles(spark, sf_small)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        check(
+            "length deciles: NO single-partition global window (range-sharded exact ntile)",
+            "Exchange SinglePartition" not in dec_plan
+            and "ntile" not in dec_plan,
+            "repartitionByRange + per-shard local rank + literal shard-offset "
+            "map; the corpus-wide total order never funnels into one reducer",
+        )
+
     out = ["# PLANS — physical-plan evidence (generated by tools/capture_plans.py)", ""]
     ok_all = True
     for name, ok, ev in CHECKS:
