@@ -37,7 +37,11 @@ _SPARK_TO_JSON = {
 
 
 def spec() -> dict:
-    """ConnectorSpecification analogue (airbyte_protocol.yaml SPEC)."""
+    """ConnectorSpecification analogue (airbyte_protocol.yaml SPEC).
+    Credential-bearing properties carry ``airbyte_secret: true`` — the
+    reference's spec marker the platform uses to mask values in logs
+    and the UI (airbyte_protocol.yaml ConnectorSpecification;
+    JdbcUtils password property in every jdbc connector spec.json)."""
     return {
         "documentationUrl": "README.md",
         "connectionSpecification": {
@@ -49,24 +53,68 @@ def spec() -> dict:
                     "description": "parquet directory of the CDC event log",
                 },
                 "max_events_per_epoch": {"type": "integer", "default": 10_000_000},
+                "jdbc_url": {
+                    "type": "string",
+                    "description": "optional JDBC source/destination url",
+                },
+                "jdbc_user": {"type": "string"},
+                "jdbc_password": {
+                    "type": "string",
+                    "airbyte_secret": True,
+                    "description": "never logged; masked in check() errors",
+                },
             },
         },
     }
 
 
+def secret_properties(spec_doc: dict | None = None) -> list[str]:
+    """Property names marked airbyte_secret in the spec."""
+    doc = spec_doc or spec()
+    props = doc.get("connectionSpecification", {}).get("properties", {})
+    return [k for k, v in props.items() if isinstance(v, dict) and v.get("airbyte_secret")]
+
+
+def mask_secrets(message: str, config: dict, spec_doc: dict | None = None) -> str:
+    """Replace every secret-valued substring of `message` with ***** —
+    the platform's log-masking rule applied at the connector boundary,
+    so a failed check() can never echo a credential back."""
+    for k in secret_properties(spec_doc):
+        v = config.get(k)
+        if isinstance(v, str) and v:
+            message = message.replace(v, "*****")
+    return message
+
+
 def check(spark: SparkSession, config: dict) -> dict:
     """CONNECTION_STATUS analogue: the log is readable and carries the
-    required CDC columns."""
+    required CDC columns; failure messages are secret-masked."""
+
+    def fail(msg: str) -> dict:
+        return {"status": "FAILED", "message": mask_secrets(msg[:500], config)[:200]}
+
+    if config.get("jdbc_url"):
+        # optional JDBC probe (the jdbc flavor of the source/destination)
+        jvm = spark._jvm
+        try:
+            conn = jvm.java.sql.DriverManager.getConnection(
+                config["jdbc_url"],
+                config.get("jdbc_user") or "",
+                config.get("jdbc_password") or "",
+            )
+            conn.close()
+        except Exception as e:
+            return fail(f"jdbc connection failed: {e}")
     path = config.get("log_path", "")
     if not path or not os.path.exists(path):
-        return {"status": "FAILED", "message": f"log_path not found: {path!r}"}
+        return fail(f"log_path not found: {path!r}")
     try:
         df = spark.read.parquet(path)
     except Exception as e:  # unreadable / not parquet
-        return {"status": "FAILED", "message": str(e)[:200]}
+        return fail(str(e))
     missing = [c for c in ("_ab_cdc_lsn", "_airbyte_ab_id") if c not in df.columns]
     if missing:
-        return {"status": "FAILED", "message": f"missing CDC columns: {missing}"}
+        return fail(f"missing CDC columns: {missing}")
     return {"status": "SUCCEEDED"}
 
 

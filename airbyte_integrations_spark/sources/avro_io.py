@@ -77,9 +77,13 @@ def _decoder(schema):
         schema = {"type": schema}
     if isinstance(schema, list):  # union: branch index then value
         branches = [_decoder(s) for s in schema]
+        mode = _union_plan(schema)[0]
 
         def dec_union(buf):
-            return branches[_read_long(buf)](buf)
+            v = branches[_read_long(buf)](buf)
+            if mode == "json" and v is not None:
+                return _json_canon(v)
+            return v
 
         return dec_union
 
@@ -207,19 +211,80 @@ def decode_avro_file(data: bytes) -> tuple[dict, list[dict]]:
     return schema, records
 
 
+
+# ------------------------------------------------- multi-branch unions
+
+_NUM_UNION = {"int", "long", "float", "double"}
+
+
+def _union_plan(schema_list) -> tuple[str, "T.DataType", bool]:
+    """Strategy for an Avro union (parity: the reference's fastavro
+    parser accepts arbitrary unions — avro_parser.py in source-s3
+    represents non-trivially-typed ones as strings):
+
+    -> (mode, spark_type, nullable)
+    - single non-null branch          -> ("typed", branch type, has_null)
+    - all-numeric branches            -> ("typed", widened numeric,
+      has_null) along Avro's own promotion lattice int<long<float<double
+      (int|long stay LONG exactly; any float mixed with int/long widens
+      to DOUBLE so 64-bit ints survive better than float32)
+    - anything else (string|record, bytes|enum, ...) -> ("json",
+      StringType, has_null): decoded values are canonical-JSON-ified.
+    """
+    names = []
+    has_null = False
+    non_null = []
+    for b in schema_list:
+        bt = b if isinstance(b, str) else (b.get("type") if isinstance(b, dict) else None)
+        if bt == "null":
+            has_null = True
+            continue
+        non_null.append(b)
+        names.append(bt)
+    if len(non_null) == 1:
+        dt, _ = avro_to_spark_type(non_null[0])
+        return "typed", dt, has_null
+    if non_null and all(n in _NUM_UNION for n in names) and not any(
+        isinstance(b, dict) and b.get("logicalType") for b in non_null
+    ):
+        if set(names) <= {"int", "long"}:
+            return "typed", T.LongType(), has_null
+        if set(names) == {"float"}:
+            return "typed", T.FloatType(), has_null
+        return "typed", T.DoubleType(), has_null
+    return "json", T.StringType(), has_null
+
+
+def _json_canon(v) -> str:
+    """Deterministic JSON for union-as-string values: sorted keys, no
+    whitespace; bytes -> base64, datetimes/dates -> ISO via str()."""
+    import base64 as _b64
+
+    def _default(x):
+        if isinstance(x, bytes):
+            return _b64.b64encode(x).decode("ascii")
+        return str(x)
+
+    return json.dumps(v, separators=(",", ":"), sort_keys=True, default=_default)
+
+
 # ----------------------------------------------- schema -> Spark mapping
 
 
 def avro_to_spark_type(schema) -> tuple[T.DataType, bool]:
     """-> (spark type, nullable). Unions of [null, X] -> nullable X;
-    other multi-branch unions are rejected (the reference's fastavro
-    path JSON-ifies them; we keep the typed contract strict)."""
+    multi-branch unions decode to the WIDENED Spark type: all-numeric
+    branches widen along Avro's promotion lattice, heterogeneous
+    branches land as canonical-JSON strings (_union_plan — parity with
+    the reference's fastavro union handling in source-s3's
+    avro_parser)."""
     if isinstance(schema, str):
         schema = {"type": schema}
     if isinstance(schema, list):
         non_null = [s for s in schema if s != "null" and not (isinstance(s, dict) and s.get("type") == "null")]
         if len(non_null) != 1:
-            raise NotImplementedError(f"multi-branch union {schema!r}")
+            _mode, dt, has_null = _union_plan(schema)
+            return dt, has_null or len(non_null) == 0
         dt, _ = avro_to_spark_type(non_null[0])
         return dt, True
     t = schema["type"]
@@ -307,9 +372,36 @@ def _encoder(schema):
     if isinstance(schema, list):
         branches = [(s if isinstance(s, str) else s["type"], _encoder(s)) for s in schema]
 
+        def _matches(name: str, v) -> bool:
+            # Python-type -> branch dispatch for multi-branch unions
+            # (fixtures/round-trips; [null, T] keeps its old behavior)
+            if name == "null":
+                return v is None
+            if v is None:
+                return False
+            if name == "boolean":
+                return isinstance(v, bool)
+            if name in ("int", "long"):
+                import datetime as _dt
+
+                return (isinstance(v, int) and not isinstance(v, bool)) or isinstance(
+                    v, (_dt.datetime, _dt.date)
+                )
+            if name in ("float", "double"):
+                return isinstance(v, float)
+            if name in ("string", "enum"):
+                return isinstance(v, str)
+            if name in ("bytes", "fixed"):
+                return isinstance(v, (bytes, bytearray))
+            if name in ("record", "map"):
+                return isinstance(v, dict)
+            if name == "array":
+                return isinstance(v, list)
+            return False
+
         def enc_union(out, v):
             for i, (name, enc) in enumerate(branches):
-                if (v is None) == (name == "null"):
+                if _matches(name, v):
                     _write_long(out, i)
                     if name != "null":
                         enc(out, v)

@@ -104,11 +104,17 @@ def test_spark_schema_mapping():
     assert d["tags"].dataType == T.ArrayType(T.StringType(), False)
     assert d["props"].dataType == T.MapType(T.StringType(), T.LongType(), False)
     assert d["fetched_at"].dataType == T.TimestampType()
-    with pytest.raises(NotImplementedError):  # multi-branch union stays strict
-        avro_spark_schema(
-            {"type": "record", "name": "R",
-             "fields": [{"name": "u", "type": ["null", "string", "long"]}]}
-        )
+    # multi-branch unions now map to the widened Spark type
+    st2 = avro_spark_schema(
+        {"type": "record", "name": "R",
+         "fields": [{"name": "u", "type": ["null", "string", "long"]},
+                    {"name": "n", "type": ["int", "long"]},
+                    {"name": "x", "type": ["null", "int", "double"]}]}
+    )
+    d2 = {f.name: f for f in st2.fields}
+    assert d2["u"].dataType == T.StringType() and d2["u"].nullable is True
+    assert d2["n"].dataType == T.LongType() and d2["n"].nullable is False
+    assert d2["x"].dataType == T.DoubleType() and d2["x"].nullable is True
 
 
 def test_distributed_read_and_mtime_cursor(spark, tmp_path):
@@ -223,3 +229,60 @@ def test_header_larger_than_probe_falls_back(tmp_path):
         avro_io.read_avro_header(head)
     schema, recs = avro_io.decode_avro_file(open(p, "rb").read())
     assert len(recs) == 3
+
+
+UNION_SCHEMA = {
+    "type": "record",
+    "name": "U",
+    "fields": [
+        {"name": "id", "type": "long"},
+        # heterogeneous 3-branch union -> canonical-JSON string column
+        {"name": "u", "type": ["null", "long", "string"]},
+        # all-numeric unions -> widened typed columns
+        {"name": "n", "type": ["int", "long"]},
+        {"name": "x", "type": ["null", "int", "double"]},
+    ],
+}
+
+
+def test_multi_branch_union_roundtrip(tmp_path):
+    """3-branch union fixture round-trip (reference parity: source-s3's
+    fastavro avro_parser accepts arbitrary unions; heterogeneous ones
+    land as strings)."""
+    from airbyte_integrations_spark.sources.avro_io import (
+        decode_avro_file,
+        write_avro_file,
+    )
+
+    recs = [
+        {"id": 1, "u": 42, "n": 7, "x": 5},
+        {"id": 2, "u": "hello", "n": 2**40, "x": 2.5},
+        {"id": 3, "u": None, "n": 3, "x": None},
+    ]
+    p = str(tmp_path / "u.avro")
+    write_avro_file(p, UNION_SCHEMA, recs)
+    _schema, out = decode_avro_file(open(p, "rb").read())
+    assert [r["u"] for r in out] == ["42", '"hello"', None]
+    assert [r["n"] for r in out] == [7, 2**40, 3]
+    assert [r["x"] for r in out] == [5, 2.5, None]
+
+
+def test_multi_branch_union_distributed_read(spark, tmp_path):
+    from airbyte_integrations_spark.sources.avro_io import read_avro, write_avro_file
+
+    recs = [
+        {"id": 1, "u": 42, "n": 7, "x": 5},
+        {"id": 2, "u": "hello", "n": 2**40, "x": 2.5},
+        {"id": 3, "u": None, "n": 3, "x": None},
+    ]
+    p = str(tmp_path / "u2.avro")
+    write_avro_file(p, UNION_SCHEMA, recs)
+    df = read_avro(spark, [p]).orderBy("id")
+    sch = {f.name: f.dataType for f in df.schema.fields}
+    assert sch["u"] == T.StringType()
+    assert sch["n"] == T.LongType()
+    assert sch["x"] == T.DoubleType()
+    rows = df.collect()
+    assert [r["u"] for r in rows] == ["42", '"hello"', None]
+    assert [r["n"] for r in rows] == [7, 2**40, 3]
+    assert [r["x"] for r in rows] == [5.0, 2.5, None]

@@ -146,3 +146,33 @@ def test_state_message_round_trip(spark, tmp_path):
     empty_msg = state_message(empty_t, "pages")
     assert empty_msg["state"]["streams"][0]["state"]["lsn_watermark"] is None
     assert resume_lsn(empty_msg) is None
+
+
+def test_spec_marks_secrets_and_check_masks_them(spark, tmp_path):
+    """airbyte_secret parity: credential properties are marked in the
+    spec and a failed check() never echoes their values."""
+    from airbyte_integrations_spark.connector import (
+        check,
+        mask_secrets,
+        secret_properties,
+        spec,
+    )
+
+    s = spec()
+    props = s["connectionSpecification"]["properties"]
+    assert props["jdbc_password"]["airbyte_secret"] is True
+    assert secret_properties(s) == ["jdbc_password"]
+
+    pw = "s3cret-hunter2"
+    cfg = {
+        "log_path": str(tmp_path / "missing"),
+        # a url whose failure message would echo the password if unmasked
+        "jdbc_url": f"jdbc:derby:/nonexistent/dir/db;password={pw}",
+        "jdbc_user": "svc",
+        "jdbc_password": pw,
+    }
+    out = check(spark, cfg)
+    assert out["status"] == "FAILED"
+    assert pw not in out["message"]
+
+    assert mask_secrets(f"auth failed for {pw}", cfg) == "auth failed for *****"
