@@ -4116,6 +4116,98 @@ LEFT JOIN p ON p.user_id = u.user_id
 """
 
 
+
+def q_http_paged_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paginated HTTP/API source value-oracled against the same table
+    read whole (sources/http.py — the reference's HttpStream family:
+    airbyte-cdk http.py:70-454, rate_limiting.py): a local fixture API
+    (the test-harness analogue of the Derby fixture the JDBC queries
+    use) serves the documents table with offset pagination; the engine
+    reads it via read_http_stream — 4 cursor-window slices fanned out
+    to executor tasks, each task running its own pagination+backoff
+    loop, records parsed JVM-side with from_json. Eagerly materialized
+    (localCheckpoint) so the fixture server can shut down before the
+    driver collects. Oracle = the parquet read whole: equality proves
+    the paged protocol loses and duplicates nothing.
+
+    Scale shape: slices are the distribution unit (N executor tasks x
+    independent HTTP pagination, Retry-After-aware backoff per task);
+    records go straight to Arrow batches on the executors — the driver
+    only plans slice boundaries."""
+    import json as _json
+    import threading
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+    from urllib.parse import parse_qs, urlparse
+
+    import pyarrow.parquet as _pq
+    from pyspark.sql import types as T
+
+    from airbyte_integrations_spark.sources.http import (
+        HttpStreamConfig,
+        plan_window_slices,
+        read_http_stream,
+    )
+
+    tune_session(spark)
+    tbl = _pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "lang", "n_chars"],
+    )
+    rows = sorted(tbl.to_pylist(), key=lambda r: r["doc_id"])
+    hi = rows[-1]["doc_id"] if rows else 0
+
+    class _H(BaseHTTPRequestHandler):
+        def log_message(self, *a):
+            pass
+
+        def do_GET(self):
+            u = urlparse(self.path)
+            q = {k: v[0] for k, v in parse_qs(u.query).items()}
+            rs = [
+                r for r in rows
+                if r["doc_id"] > int(q.get("since", -(2**62)))
+                and r["doc_id"] <= int(q.get("until", 2**62))
+            ]
+            off, lim = int(q.get("offset", 0)), int(q.get("limit", 100))
+            data = _json.dumps({"data": rs[off : off + lim]}).encode()
+            self.send_response(200)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(data)))
+            self.end_headers()
+            self.wfile.write(data)
+
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), _H)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        cfg = HttpStreamConfig(
+            url_base=f"http://127.0.0.1:{srv.server_port}",
+            path="docs",
+            records_field="data",
+            page_size=199,  # not a divisor of the row count: real pagination
+            pagination="offset",
+        )
+        slices = [
+            {"since": lo, "until": hi_}
+            for lo, hi_ in plan_window_slices(None, hi, max(hi // 4, 1))
+        ]
+        schema = T.StructType(
+            [
+                T.StructField("doc_id", T.LongType()),
+                T.StructField("lang", T.StringType()),
+                T.StructField("n_chars", T.LongType()),
+            ]
+        )
+        out = read_http_stream(spark, cfg, slices, schema)
+        return out.localCheckpoint(eager=True)
+    finally:
+        srv.shutdown()
+
+
+O_HTTP_PAGED_READ = """
+SELECT doc_id, lang, n_chars FROM documents
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "cdc_latest_wins": q_cdc_latest_wins,
@@ -4132,6 +4224,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_composite_pk_dedup": q_cdc_composite_pk_dedup,
         "cdc_event_time_rates": q_cdc_event_time_rates,
         "cdc_catalog_sync": q_cdc_catalog_sync,
+        "http_paged_read": q_http_paged_read,
         "json_extract_cast": q_json_extract_cast,
         "docs_exact_dedup": q_docs_exact_dedup,
         "docs_fingerprint": q_docs_fingerprint,
@@ -4204,6 +4297,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "http_paged_read": O_HTTP_PAGED_READ,
         "cdc_latest_wins": O_CDC_LATEST_WINS,
         "cdc_winner_agg": O_CDC_WINNER_AGG,
         "cdc_scd2_history": O_CDC_SCD2,

@@ -227,6 +227,20 @@ def _read_stream_events(
                 ev = ev.filter(F.col("_ab_cdc_lsn") > F.lit(wm))
             return ev, None, {}
         return src.read_full(), None, {}
+    if kind == "http":
+        # full-refresh HTTP read (incremental http streams are routed to
+        # sync_http_incremental in read_catalog before reaching here):
+        # optional "slices" fan the paginated read out across executors
+        from airbyte_integrations_spark.sources.http import read_http_stream
+
+        return (
+            read_http_stream(
+                spark, cs.source["config"], cs.source.get("slices"),
+                cs.source["record_schema"],
+            ),
+            None,
+            {},
+        )
     if kind == "files":
         from airbyte_integrations_spark.sources.files import read_files_incremental
 
@@ -273,6 +287,31 @@ def read_catalog(
     for cs in ordered_streams(catalog):
         cfg = cs.config
         table = stream_table(spark, lake_root, cfg.stream)
+        if cs.source.get("kind") == "http" and cfg.sync_mode == SyncMode.INCREMENTAL:
+            # paginated API stream: cursor-window slices with their own
+            # per-slice epoch commits + STATE cadence (sources/http.py)
+            from airbyte_integrations_spark.sources.http import sync_http_incremental
+
+            sync_http_incremental(
+                spark,
+                cs.source["config"],
+                table,
+                cfg,
+                cs.source["record_schema"],
+                key_col=cs.source["key_col"],
+                cursor_col=cs.source["cursor_col"],
+                to_lsn=cs.source["to_lsn"],
+                slice_width=cs.source.get("slice_width", 1_000_000),
+                since_param=cs.source.get("since_param", "since"),
+                until_param=cs.source.get("until_param", "until"),
+                updated_at_col=cs.source.get("updated_at_col"),
+                deleted_at_col=cs.source.get("deleted_at_col"),
+            )
+            msg = catalog_state_message(spark, catalog, lake_root)
+            messages.append(msg)
+            if on_stream_committed is not None:
+                on_stream_committed(cfg.stream)
+            continue
         events, epoch_key, epoch_meta = _read_stream_events(spark, cs, table, state)
         if events is not None:
             if (

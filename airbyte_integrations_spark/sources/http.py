@@ -1,0 +1,293 @@
+"""Paginated HTTP/API source: the reference's single most used source
+class, re-expressed Spark-first.
+
+Reference parity (public airbyte-cdk):
+- ``HttpStream`` read loop — pagination via next_page_token until
+  exhausted, request_params/request_headers per page
+  (airbyte-cdk/python/airbyte_cdk/sources/streams/http/http.py:70-454).
+- Retry policy — retry 429 and 5xx with exponential backoff (factor *
+  2^tries) capped, honor a server ``Retry-After`` on 429, GIVE UP
+  immediately on any other 4xx, max_retries attempts then fail
+  (rate_limiting.py:1-77: default_backoff_handler.should_give_up +
+  user_defined_backoff_handler.sleep_on_ratelimit).
+- Incremental slices — a sync is a list of bounded cursor windows;
+  each slice is an independent read checkpointed on completion, and
+  two sequential reads must only produce records at-or-above the first
+  read's final state (source_acceptance_test/tests/
+  test_incremental.py:112-207).
+
+Spark-first dataflow (NOT the CDK's driver-side record iterator):
+- slices are the unit of DISTRIBUTION: ``read_http_stream`` ships the
+  slice list to executors (one task per slice via mapInPandas), each
+  task runs its own pagination+backoff loop and yields Arrow batches
+  of raw record JSON — records never pass through the driver.
+- record parsing stays JVM-side: the task emits JSON strings and the
+  plan applies ``from_json(record_schema)`` (Catalyst, codegen) —
+  the only Python in the path is the HTTP I/O itself.
+- incremental sync reuses the engine's epoch-keyed idempotent MERGE:
+  epoch key ``http:<from_lsn>`` with from/to lsn meta (the jdbc_sync
+  convention), one STATE message per committed slice — kill anywhere
+  and re-run converges (committed slices are epoch no-ops, the
+  interrupted slice re-fetches under the same epoch key).
+
+Auth: headers (e.g. Authorization) ride in the config; they are never
+logged or embedded in error messages (connector.mask_secrets is the
+check()-level guard).
+"""
+
+from __future__ import annotations
+
+import json
+import time
+import urllib.error
+import urllib.parse
+import urllib.request
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from airbyte_integrations_spark.config import SyncConfig
+from airbyte_integrations_spark.connector import state_message
+from airbyte_integrations_spark.lakehouse.merge import merge_into
+from airbyte_integrations_spark.lakehouse.table import LakeTable
+from airbyte_integrations_spark.sources.jdbc import as_change_events
+
+
+@dataclass(frozen=True)
+class HttpStreamConfig:
+    """One API stream (HttpStream analogue). Pagination modes:
+    - "offset": ?<page_param>=<n_records_so_far>&<size_param>=<page_size>
+    - "page":   ?<page_param>=<page_number>&<size_param>=<page_size>
+    - "token":  first request bare; then ?<page_param>=<token> where the
+      token is response[next_token_field] (None/absent = last page)
+    records_field: key of the record list in the response body (None =
+    the body IS the list). A short page (< page_size) or an absent/empty
+    list ends offset/page pagination."""
+
+    url_base: str
+    path: str = ""
+    params: dict = field(default_factory=dict)
+    headers: dict = field(default_factory=dict)  # auth lives here; never logged
+    records_field: str | None = "data"
+    page_size: int = 100
+    pagination: str = "offset"  # offset | page | token
+    page_param: str = "offset"
+    size_param: str = "limit"
+    next_token_field: str | None = "next_page_token"
+    max_retries: int = 5
+    retry_factor: float = 5.0
+    backoff_cap: float = 600.0
+    timeout: float = 30.0
+
+
+class HttpGiveUpError(RuntimeError):
+    """Non-retryable HTTP failure (4xx other than 429, or retries
+    exhausted). The status code is in .status; the message never
+    embeds request headers."""
+
+    def __init__(self, status: int, url: str, detail: str = ""):
+        self.status = status
+        super().__init__(f"HTTP {status} for {url}: {detail[:200]}")
+
+
+def _get_json(url: str, cfg: HttpStreamConfig, opener=None):
+    """One GET with the reference retry policy: 429/5xx/connection
+    errors retry with capped exponential backoff (Retry-After wins on
+    429 — the user-defined backoff arm), any other 4xx gives up
+    immediately, max_retries retries then give up."""
+    open_fn = opener or urllib.request.urlopen
+    tries = 0
+    while True:
+        try:
+            req = urllib.request.Request(url, headers=dict(cfg.headers))
+            with open_fn(req, timeout=cfg.timeout) as resp:
+                return json.loads(resp.read().decode("utf-8"))
+        except urllib.error.HTTPError as e:
+            status = e.code
+            retry_after = e.headers.get("Retry-After") if e.headers else None
+            body = ""
+            try:
+                body = e.read().decode("utf-8", "replace")
+            except Exception:
+                pass
+            if status != 429 and 400 <= status < 500:
+                raise HttpGiveUpError(status, url, body)  # non-rate-limit 4xx: no retry
+            if tries >= cfg.max_retries:
+                raise HttpGiveUpError(status, url, f"retries exhausted: {body}")
+            if status == 429 and retry_after is not None:
+                wait = min(float(retry_after), cfg.backoff_cap)
+            else:
+                wait = min(cfg.retry_factor * (2**tries), cfg.backoff_cap)
+            time.sleep(wait)
+            tries += 1
+        except (urllib.error.URLError, TimeoutError, ConnectionError) as e:
+            # transient transport errors: default exponential backoff
+            if tries >= cfg.max_retries:
+                raise HttpGiveUpError(-1, url, f"retries exhausted: {e}")
+            time.sleep(min(cfg.retry_factor * (2**tries), cfg.backoff_cap))
+            tries += 1
+
+
+def fetch_records(cfg: HttpStreamConfig, extra_params: dict | None = None, opener=None):
+    """The HttpStream.read_records pagination loop for ONE slice:
+    yields record dicts until next_page_token is exhausted. Runs
+    wherever it is called — on an executor inside read_http_stream's
+    tasks, or driver-side in tests."""
+    base = cfg.url_base.rstrip("/")
+    path = ("/" + cfg.path.lstrip("/")) if cfg.path else ""
+    static = {**cfg.params, **(extra_params or {})}
+    n_seen = 0
+    page_no = 0
+    token = None
+    while True:
+        q = dict(static)
+        if cfg.pagination == "offset":
+            q[cfg.page_param] = n_seen
+            q[cfg.size_param] = cfg.page_size
+        elif cfg.pagination == "page":
+            q[cfg.page_param] = page_no
+            q[cfg.size_param] = cfg.page_size
+        elif cfg.pagination == "token":
+            if token is not None:
+                q[cfg.page_param] = token
+        else:
+            raise ValueError(f"unknown pagination mode {cfg.pagination!r}")
+        url = f"{base}{path}?{urllib.parse.urlencode(q)}"
+        body = _get_json(url, cfg, opener=opener)
+        records = body if cfg.records_field is None else body.get(cfg.records_field, [])
+        for r in records:
+            yield r
+        n_seen += len(records)
+        page_no += 1
+        if cfg.pagination == "token":
+            token = body.get(cfg.next_token_field) if isinstance(body, dict) else None
+            if token is None:
+                return
+        else:
+            if len(records) < cfg.page_size:
+                return
+
+
+def read_http_stream(
+    spark: SparkSession,
+    cfg: HttpStreamConfig,
+    slices: list[dict] | None,
+    record_schema: T.StructType,
+    slice_col: str | None = None,
+) -> DataFrame:
+    """Distributed paginated read: one executor task per slice, each
+    running its own pagination/backoff loop; records leave the task as
+    raw JSON strings and are parsed JVM-side with from_json (the only
+    Python work is the HTTP I/O). `slices` is a list of extra-param
+    dicts (time windows, shards, ...); None means one unsliced read.
+    With slice_col, the originating slice's JSON rides along."""
+    import pandas as pd
+
+    sl = [json.dumps(s, sort_keys=True) for s in (slices or [{}])]
+    sdf = spark.createDataFrame([(s,) for s in sl], "slice_json string").repartition(
+        len(sl), "slice_json"
+    )
+
+    def fetch(batches):
+        for pdf in batches:
+            for sj in pdf["slice_json"]:
+                recs = [
+                    json.dumps(r, sort_keys=True)
+                    for r in fetch_records(cfg, json.loads(sj))
+                ]
+                yield pd.DataFrame({"slice_json": sj, "record_json": recs})
+
+    raw = sdf.mapInPandas(
+        fetch, "slice_json string, record_json string"
+    )
+    parsed = raw.select(
+        F.from_json("record_json", record_schema).alias("r"),
+        F.col("slice_json"),
+    )
+    cols = [F.col("r." + f.name).alias(f.name) for f in record_schema.fields]
+    if slice_col:
+        cols.append(F.col("slice_json").alias(slice_col))
+    return parsed.select(*cols)
+
+
+def plan_window_slices(
+    from_lsn: int | None, to_lsn: int, width: int
+) -> list[tuple[int, int]]:
+    """Half-open cursor windows (lo, hi] above the watermark up to the
+    sync's fixed target position — deterministic in (watermark,
+    to_lsn, width), so a crashed-and-restarted run re-plans identical
+    slices (the target-position-at-start rule the CDC path uses)."""
+    start = from_lsn if from_lsn is not None else -1
+    out, cur = [], start
+    while cur < to_lsn:
+        to = min(cur + width, to_lsn)
+        out.append((cur, to))
+        cur = to
+    return out
+
+
+def sync_http_incremental(
+    spark: SparkSession,
+    cfg: HttpStreamConfig,
+    table: LakeTable,
+    config: SyncConfig,
+    record_schema: T.StructType,
+    key_col: str,
+    cursor_col: str,
+    to_lsn: int,
+    slice_width: int = 1_000_000,
+    since_param: str = "since",
+    until_param: str = "until",
+    updated_at_col: str | None = None,
+    deleted_at_col: str | None = None,
+    max_slices: int | None = None,
+) -> list[dict]:
+    """Incremental HTTP sync: cursor windows above the durable
+    watermark, one epoch-keyed idempotent MERGE + one STATE message per
+    slice (the per-slice checkpoint cadence of jdbc_sync; acceptance
+    semantics per source_acceptance_test test_incremental.py:112-207 —
+    a second read starts strictly above the first read's committed
+    cursor). The API receives the window as ?since=<lo>&until=<hi>
+    (half-open: since exclusive, until inclusive — the server filters
+    cursor > since AND cursor <= until).
+
+    Kill at any point and re-run: committed slices are epoch no-ops,
+    the interrupted slice re-fetches under the same epoch key, and the
+    watermark advances only on durable commit."""
+    wm = table.watermark(config.stream)
+    slices = plan_window_slices(wm, to_lsn, slice_width)
+    if max_slices is not None:
+        slices = slices[:max_slices]
+    messages: list[dict] = []
+    for lo, hi in slices:
+        epoch = f"http:{lo}"
+        if table.is_epoch_committed(config.stream, epoch):
+            continue
+        batch = read_http_stream(
+            spark, cfg, [{since_param: lo, until_param: hi}], record_schema
+        )
+        events = as_change_events(
+            batch,
+            key_col=key_col,
+            cursor_col=cursor_col,
+            updated_at_col=updated_at_col,
+            deleted_at_col=deleted_at_col,
+        )
+        merge_into(
+            table,
+            events,
+            stream=config.stream,
+            epoch=epoch,
+            epoch_meta={"from_lsn": lo, "to_lsn": hi},
+            cursor="_ab_cdc_lsn",
+            secondary=config.secondary_order,
+            mode=config.write_mode,
+            dedup_impl=config.dedup_impl,
+            key=config.primary_key,
+            n_buckets=config.n_buckets,
+        )
+        # per-slice checkpoint cadence: STATE after the durable commit
+        messages.append(state_message(table, config.stream))
+    return messages

@@ -1,0 +1,306 @@
+"""HTTP/API incremental source against a LIVE local fixture server:
+pagination (offset + token), 429 retry with Retry-After, give-up on
+other 4xx, distributed slice fan-out, per-slice STATE cadence,
+two-sequential-reads acceptance, and mid-sync resume.
+
+Reference semantics: airbyte-cdk http.py:70-454 (HttpStream read loop),
+rate_limiting.py:1-77 (retry policy), source_acceptance_test
+test_incremental.py:112-207 (sequential-read state contract)."""
+
+from __future__ import annotations
+
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from urllib.parse import parse_qs, urlparse
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from airbyte_integrations_spark.config import SyncConfig
+from airbyte_integrations_spark.lakehouse.table import LakeTable
+from airbyte_integrations_spark.sources.http import (
+    HttpGiveUpError,
+    HttpStreamConfig,
+    fetch_records,
+    plan_window_slices,
+    read_http_stream,
+    sync_http_incremental,
+)
+
+RECORD_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.StringType()),
+        T.StructField("ver", T.LongType()),
+        T.StructField("name", T.StringType()),
+    ]
+)
+
+
+class _State:
+    def __init__(self):
+        self.rows: list[dict] = []
+        self.requests: list[str] = []
+        self.fail_429_remaining = 0
+        self.fail_500_always = False
+        self.lock = threading.Lock()
+
+
+def _make_handler(state: _State):
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *a):  # silence
+            pass
+
+        def _json(self, code: int, body, headers=None):
+            data = json.dumps(body).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            for k, v in (headers or {}).items():
+                self.send_header(k, v)
+            self.send_header("Content-Length", str(len(data)))
+            self.end_headers()
+            self.wfile.write(data)
+
+        def do_GET(self):
+            u = urlparse(self.path)
+            q = {k: v[0] for k, v in parse_qs(u.query).items()}
+            with state.lock:
+                state.requests.append(self.path)
+                if state.fail_429_remaining > 0:
+                    state.fail_429_remaining -= 1
+                    return self._json(429, {"error": "rate limited"},
+                                      {"Retry-After": "0"})
+            if state.fail_500_always:
+                return self._json(500, {"error": "boom"})
+            if u.path == "/items":
+                rows = sorted(state.rows, key=lambda r: r["ver"])
+                if "since" in q:
+                    rows = [r for r in rows if r["ver"] > int(q["since"])]
+                if "until" in q:
+                    rows = [r for r in rows if r["ver"] <= int(q["until"])]
+                off = int(q.get("offset", 0))
+                lim = int(q.get("limit", 100))
+                return self._json(200, {"data": rows[off : off + lim]})
+            if u.path == "/tok":
+                rows = sorted(state.rows, key=lambda r: r["ver"])
+                off = int(q.get("cursor", 0))
+                lim = 100
+                page = rows[off : off + lim]
+                body = {"data": page}
+                if off + lim < len(rows):
+                    body["next_page_token"] = off + lim
+                return self._json(200, body)
+            return self._json(404, {"error": "no such endpoint"})
+
+    return Handler
+
+
+@pytest.fixture()
+def api(tmp_path):
+    state = _State()
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), _make_handler(state))
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        yield f"http://127.0.0.1:{srv.server_port}", state
+    finally:
+        srv.shutdown()
+
+
+def _rows(n, start=1):
+    return [{"id": f"k{i % 40}", "ver": i, "name": f"row-{i}"} for i in range(start, start + n)]
+
+
+def _cfg(base, **kw):
+    defaults = dict(
+        url_base=base, path="items", records_field="data", page_size=100,
+        pagination="offset", page_param="offset", size_param="limit",
+        max_retries=3, retry_factor=0.01,
+        headers={"Authorization": "Bearer test-token"},
+    )
+    defaults.update(kw)
+    return HttpStreamConfig(**defaults)
+
+
+def test_offset_pagination_reads_all_pages(api):
+    base, state = api
+    state.rows = _rows(250)
+    got = list(fetch_records(_cfg(base)))
+    assert len(got) == 250
+    assert {r["ver"] for r in got} == set(range(1, 251))
+    # 3 pages: 100 + 100 + 50 (short page ends pagination)
+    assert len(state.requests) == 3
+
+
+def test_token_pagination(api):
+    base, state = api
+    state.rows = _rows(230)
+    cfg = _cfg(base, path="tok", pagination="token", page_param="cursor",
+               next_token_field="next_page_token")
+    got = list(fetch_records(cfg))
+    assert len(got) == 230 and len(state.requests) == 3
+
+
+def test_429_retries_with_retry_after_then_succeeds(api):
+    base, state = api
+    state.rows = _rows(50)
+    state.fail_429_remaining = 2
+    got = list(fetch_records(_cfg(base)))
+    assert len(got) == 50
+    assert len(state.requests) == 3  # 2 rate-limited + 1 success
+
+
+def test_non_429_4xx_gives_up_immediately(api):
+    base, state = api
+    cfg = _cfg(base, path="nope")
+    with pytest.raises(HttpGiveUpError) as e:
+        list(fetch_records(cfg))
+    assert e.value.status == 404
+    assert len(state.requests) == 1  # NO retries on a plain 4xx
+
+
+def test_5xx_retries_then_exhausts(api):
+    base, state = api
+    state.rows = _rows(10)
+    state.fail_500_always = True
+    with pytest.raises(HttpGiveUpError) as e:
+        list(fetch_records(_cfg(base)))
+    assert e.value.status == 500
+    assert len(state.requests) == 4  # initial + max_retries(3)
+
+
+def test_auth_header_sent(api):
+    base, state = api
+    state.rows = _rows(5)
+    seen = {}
+    orig = _make_handler  # noqa: F841 (documentation of intent)
+    # verify at the protocol level: the fixture echoes via request log;
+    # instead assert by sending to an opener that records headers
+    import urllib.request
+
+    def opener(req, timeout=None):
+        seen["auth"] = req.get_header("Authorization")
+        return urllib.request.urlopen(req, timeout=timeout)
+
+    list(fetch_records(_cfg(base), opener=opener))
+    assert seen["auth"] == "Bearer test-token"
+
+
+def test_distributed_read_matches_driver_side(spark, api):
+    base, state = api
+    state.rows = _rows(300)
+    slices = [{"since": 0, "until": 150}, {"since": 150, "until": 300}]
+    df = read_http_stream(spark, _cfg(base), slices, RECORD_SCHEMA)
+    got = {(r["id"], r["ver"], r["name"]) for r in df.collect()}
+    want = {(r["id"], r["ver"], r["name"]) for r in fetch_records(_cfg(base))}
+    assert got == want and len(got) == 300
+
+
+def test_plan_window_slices_deterministic():
+    assert plan_window_slices(None, 10, 4) == [(-1, 3), (3, 7), (7, 10)]
+    assert plan_window_slices(100, 100, 10) == []
+    assert plan_window_slices(3, 10, 4) == plan_window_slices(3, 10, 4)
+
+
+def test_incremental_sync_state_per_slice_and_sequential_reads(spark, api, tmp_path):
+    base, state = api
+    state.rows = _rows(120)
+    table = LakeTable(spark, str(tmp_path / "lake"))
+    cfg = SyncConfig(stream="items", n_buckets=4)
+    msgs = sync_http_incremental(
+        spark, _cfg(base), table, cfg, RECORD_SCHEMA,
+        key_col="id", cursor_col="ver", to_lsn=120, slice_width=50,
+    )
+    # one STATE per committed slice: (-1,49],(49,99],(99,120]
+    assert len(msgs) == 3
+    assert table.watermark("items") == 120
+    final = table.read()
+    assert final.count() == 40  # one winner per id
+    # winners carry the max ver per key
+    assert final.agg(F.max("_ab_cdc_lsn")).first()[0] == 120
+
+    # SECOND sequential read (acceptance: starts strictly above the
+    # committed cursor, fetches only the new tail)
+    state.rows = _rows(150)
+    state.requests.clear()
+    msgs2 = sync_http_incremental(
+        spark, _cfg(base), table, cfg, RECORD_SCHEMA,
+        key_col="id", cursor_col="ver", to_lsn=150, slice_width=50,
+    )
+    assert len(msgs2) == 1
+    assert all("since=120" in r for r in state.requests)
+    assert table.watermark("items") == 150
+    assert table.read().count() == 40
+
+
+def test_kill_and_resume_mid_sync_converges(spark, api, tmp_path):
+    base, state = api
+    state.rows = _rows(120)
+    table = LakeTable(spark, str(tmp_path / "lake2"))
+    cfg = SyncConfig(stream="items", n_buckets=4)
+    # crash after slice 1
+    msgs = sync_http_incremental(
+        spark, _cfg(base), table, cfg, RECORD_SCHEMA,
+        key_col="id", cursor_col="ver", to_lsn=120, slice_width=50,
+        max_slices=1,
+    )
+    assert len(msgs) == 1 and table.watermark("items") == 49
+    # resume: remaining slices apply, committed one is an epoch no-op
+    sync_http_incremental(
+        spark, _cfg(base), table, cfg, RECORD_SCHEMA,
+        key_col="id", cursor_col="ver", to_lsn=120, slice_width=50,
+    )
+    assert table.watermark("items") == 120
+    v = table.current_version()
+    # full re-run at the same target: pure no-op
+    msgs3 = sync_http_incremental(
+        spark, _cfg(base), table, cfg, RECORD_SCHEMA,
+        key_col="id", cursor_col="ver", to_lsn=120, slice_width=50,
+    )
+    assert msgs3 == [] and table.current_version() == v
+
+
+def test_http_stream_through_read_catalog(spark, api, tmp_path):
+    """kind='http' in the multi-stream catalog loop: an incremental API
+    stream and a full-refresh API snapshot side by side."""
+    from airbyte_integrations_spark.catalog_sync import (
+        ConfiguredCatalog,
+        ConfiguredStream,
+        read_catalog,
+        stream_table,
+    )
+    from airbyte_integrations_spark.config import DestinationSyncMode, SyncMode
+
+    base, state = api
+    state.rows = _rows(120)
+    inc = ConfiguredStream(
+        config=SyncConfig(stream="api_items", n_buckets=4),
+        source={
+            "kind": "http", "config": _cfg(base), "record_schema": RECORD_SCHEMA,
+            "key_col": "id", "cursor_col": "ver", "to_lsn": 120, "slice_width": 60,
+        },
+    )
+    snap = ConfiguredStream(
+        config=SyncConfig(
+            stream="api_snapshot",
+            primary_key=("id",),
+            sync_mode=SyncMode.FULL_REFRESH,
+            destination_sync_mode=DestinationSyncMode.OVERWRITE,
+            n_buckets=4,
+        ),
+        source={"kind": "http", "config": _cfg(base),
+                "record_schema": RECORD_SCHEMA,
+                "slices": [{"since": 0, "until": 60}, {"since": 60, "until": 120}]},
+    )
+    lake = str(tmp_path / "lake3")
+    msgs = read_catalog(spark, ConfiguredCatalog(streams=(inc, snap)), lake)
+    assert len(msgs) == 2
+    t_inc = stream_table(spark, lake, "api_items")
+    assert t_inc.read().count() == 40 and t_inc.watermark("api_items") == 120
+    t_snap = stream_table(spark, lake, "api_snapshot")
+    assert t_snap.read().count() == 120  # raw snapshot, all versions
+    # re-run converges: incremental is an epoch no-op
+    v = t_inc.current_version()
+    read_catalog(spark, ConfiguredCatalog(streams=(inc, snap)), lake)
+    assert t_inc.current_version() == v
