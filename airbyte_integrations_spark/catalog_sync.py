@@ -306,6 +306,7 @@ def read_catalog(
                 until_param=cs.source.get("until_param", "until"),
                 updated_at_col=cs.source.get("updated_at_col"),
                 deleted_at_col=cs.source.get("deleted_at_col"),
+                seed_lsn=_seed_state(state, cfg.stream)[0],
             )
             msg = catalog_state_message(spark, catalog, lake_root)
             messages.append(msg)

@@ -80,6 +80,91 @@ class HttpStreamConfig:
     retry_factor: float = 5.0
     backoff_cap: float = 600.0
     timeout: float = 30.0
+    auth: "Oauth2Authenticator | None" = None  # refresh-token flow
+
+
+class Oauth2Authenticator:
+    """OAuth2 refresh-token flow (reference parity: airbyte-cdk
+    requests_native_auth/oauth.py Oauth2Authenticator): POSTs
+    {grant_type: refresh_token, client_id, client_secret,
+    refresh_token} to the token endpoint when the cached access token
+    has expired (expires_in-driven, PREEMPTIVE — the CDK never waits
+    for a 401), then attaches Authorization: Bearer <token>.
+
+    Executor note: the instance pickles into read_http_stream tasks
+    with an empty token cache, so each task refreshes independently —
+    correct (tokens are per-client, not per-process) and bounded (one
+    refresh per task per expiry window). Credentials never appear in
+    logs or error messages."""
+
+    def __init__(
+        self,
+        token_refresh_endpoint: str,
+        client_id: str,
+        client_secret: str,
+        refresh_token: str,
+        scopes: list | None = None,
+        access_token_name: str = "access_token",
+        expires_in_name: str = "expires_in",
+    ):
+        self.token_refresh_endpoint = token_refresh_endpoint
+        self.client_id = client_id
+        self.client_secret = client_secret
+        self.refresh_token = refresh_token
+        self.scopes = scopes
+        self.access_token_name = access_token_name
+        self.expires_in_name = expires_in_name
+        self._access_token: str | None = None
+        self._expires_at: float = 0.0  # epoch seconds; 0 = expired
+
+    def token_has_expired(self) -> bool:
+        return time.time() > self._expires_at
+
+    def get_refresh_request_body(self) -> dict:
+        payload = {
+            "grant_type": "refresh_token",
+            "client_id": self.client_id,
+            "client_secret": self.client_secret,
+            "refresh_token": self.refresh_token,
+        }
+        if self.scopes:
+            payload["scopes"] = self.scopes
+        return payload
+
+    def refresh_access_token(self) -> tuple[str, float]:
+        data = urllib.parse.urlencode(self.get_refresh_request_body()).encode()
+        req = urllib.request.Request(
+            self.token_refresh_endpoint,
+            data=data,
+            headers={"Content-Type": "application/x-www-form-urlencoded"},
+            method="POST",
+        )
+        try:
+            with urllib.request.urlopen(req, timeout=30) as resp:
+                body = json.loads(resp.read().decode("utf-8"))
+            return body[self.access_token_name], float(body[self.expires_in_name])
+        except Exception as e:
+            # never echo the request body (it carries the client secret)
+            raise HttpGiveUpError(-1, self.token_refresh_endpoint,
+                                  f"token refresh failed: {type(e).__name__}")
+
+    def get_access_token(self) -> str:
+        if self.token_has_expired():
+            t0 = time.time()
+            token, expires_in = self.refresh_access_token()
+            self._access_token = token
+            self._expires_at = t0 + expires_in
+        return self._access_token
+
+    def get_auth_header(self) -> dict:
+        return {"Authorization": f"Bearer {self.get_access_token()}"}
+
+    def __getstate__(self):
+        # ship credentials, not the token cache (each task refreshes)
+        d = dict(self.__dict__)
+        d["_access_token"] = None
+        d["_expires_at"] = 0.0
+        return d
 
 
 class HttpGiveUpError(RuntimeError):
@@ -101,7 +186,10 @@ def _get_json(url: str, cfg: HttpStreamConfig, opener=None):
     tries = 0
     while True:
         try:
-            req = urllib.request.Request(url, headers=dict(cfg.headers))
+            hdrs = dict(cfg.headers)
+            if cfg.auth is not None:
+                hdrs.update(cfg.auth.get_auth_header())
+            req = urllib.request.Request(url, headers=hdrs)
             with open_fn(req, timeout=cfg.timeout) as resp:
                 return json.loads(resp.read().decode("utf-8"))
         except urllib.error.HTTPError as e:
@@ -243,6 +331,7 @@ def sync_http_incremental(
     updated_at_col: str | None = None,
     deleted_at_col: str | None = None,
     max_slices: int | None = None,
+    seed_lsn: int | None = None,
 ) -> list[dict]:
     """Incremental HTTP sync: cursor windows above the durable
     watermark, one epoch-keyed idempotent MERGE + one STATE message per
@@ -257,6 +346,10 @@ def sync_http_incremental(
     the interrupted slice re-fetches under the same epoch key, and the
     watermark advances only on durable commit."""
     wm = table.watermark(config.stream)
+    if wm is None:
+        # fresh destination + incoming state document: start past the
+        # seeded cursor (the _seed_state convention of the catalog loop)
+        wm = seed_lsn
     slices = plan_window_slices(wm, to_lsn, slice_width)
     if max_slices is not None:
         slices = slices[:max_slices]

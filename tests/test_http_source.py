@@ -23,6 +23,7 @@ from airbyte_integrations_spark.lakehouse.table import LakeTable
 from airbyte_integrations_spark.sources.http import (
     HttpGiveUpError,
     HttpStreamConfig,
+    Oauth2Authenticator,
     fetch_records,
     plan_window_slices,
     read_http_stream,
@@ -44,6 +45,7 @@ class _State:
         self.requests: list[str] = []
         self.fail_429_remaining = 0
         self.fail_500_always = False
+        self.tokens_issued: list[str] = []
         self.lock = threading.Lock()
 
 
@@ -91,6 +93,26 @@ def _make_handler(state: _State):
                 if off + lim < len(rows):
                     body["next_page_token"] = off + lim
                 return self._json(200, body)
+            if u.path == "/secure":
+                auth = self.headers.get("Authorization", "")
+                with state.lock:
+                    ok = state.tokens_issued and auth == f"Bearer {state.tokens_issued[-1]}"
+                if not ok:
+                    return self._json(401, {"error": "bad token"})
+                rows = sorted(state.rows, key=lambda r: r["ver"])
+                off = int(q.get("offset", 0))
+                lim = int(q.get("limit", 100))
+                return self._json(200, {"data": rows[off : off + lim]})
+            return self._json(404, {"error": "no such endpoint"})
+
+        def do_POST(self):
+            u = urlparse(self.path)
+            if u.path == "/token":
+                with state.lock:
+                    state.requests.append(self.path)
+                    tok = f"tok{len(state.tokens_issued)}"
+                    state.tokens_issued.append(tok)
+                return self._json(200, {"access_token": tok, "expires_in": 3600})
             return self._json(404, {"error": "no such endpoint"})
 
     return Handler
@@ -304,3 +326,97 @@ def test_http_stream_through_read_catalog(spark, api, tmp_path):
     v = t_inc.current_version()
     read_catalog(spark, ConfiguredCatalog(streams=(inc, snap)), lake)
     assert t_inc.current_version() == v
+
+
+def test_http_seed_state_fresh_table(spark, api, tmp_path):
+    """A state document from another deployment seeds a FRESH http
+    stream: the sync starts past the seeded cursor (the catalog loop's
+    _seed_state convention)."""
+    from airbyte_integrations_spark.catalog_sync import (
+        ConfiguredCatalog,
+        ConfiguredStream,
+        read_catalog,
+        stream_table,
+    )
+
+    base, state = api
+    state.rows = _rows(150)
+    inc = ConfiguredStream(
+        config=SyncConfig(stream="seeded", n_buckets=4),
+        source={
+            "kind": "http", "config": _cfg(base), "record_schema": RECORD_SCHEMA,
+            "key_col": "id", "cursor_col": "ver", "to_lsn": 150, "slice_width": 100,
+        },
+    )
+    seed = {
+        "type": "STATE",
+        "state": {
+            "state_type": "PER_STREAM",
+            "streams": [{"name": "seeded", "state": {"lsn_watermark": 100}}],
+        },
+    }
+    lake = str(tmp_path / "lakeseed")
+    read_catalog(spark, ConfiguredCatalog(streams=(inc,)), lake, state=seed)
+    t = stream_table(spark, lake, "seeded")
+    # winners only — and every one strictly above the seeded cursor
+    assert t.read().agg(F.min("_ab_cdc_lsn")).first()[0] > 100
+    assert t.read().count() == 40  # all 40 keys appear in (100, 150]
+    # the fixture only ever saw requests windowed above the seed
+    item_reqs = [r for r in state.requests if "/items" in r]
+    assert item_reqs and all("since=100" in r or "since=125" in r for r in item_reqs)
+    assert t.watermark("seeded") == 150
+
+
+def _oauth(base, **kw):
+    return Oauth2Authenticator(
+        token_refresh_endpoint=f"{base}/token",
+        client_id="cid", client_secret="s3cret-client", refresh_token="rtok",
+        **kw,
+    )
+
+
+def test_oauth_refresh_then_bearer(api):
+    base, state = api
+    state.rows = _rows(150)
+    cfg = _cfg(base, path="secure", headers={}, auth=_oauth(base))
+    got = list(fetch_records(cfg))
+    assert len(got) == 150
+    assert len(state.tokens_issued) == 1  # one refresh, reused across pages
+
+
+def test_oauth_preemptive_reexpiry_refresh(api):
+    import time as _t
+
+    base, state = api
+    state.rows = _rows(10)
+    auth = _oauth(base)
+    cfg = _cfg(base, path="secure", headers={}, auth=auth)
+    list(fetch_records(cfg))
+    auth._expires_at = _t.time() - 1  # simulate expiry
+    list(fetch_records(cfg))
+    assert len(state.tokens_issued) == 2  # preemptive refresh, never a 401
+
+
+def test_oauth_refresh_failure_never_leaks_secret(api):
+    base, state = api
+    auth = Oauth2Authenticator(
+        token_refresh_endpoint=f"{base}/no-such-token-endpoint",
+        client_id="cid", client_secret="s3cret-client", refresh_token="rtok",
+    )
+    with pytest.raises(HttpGiveUpError) as e:
+        auth.get_access_token()
+    assert "s3cret-client" not in str(e.value) and "rtok" not in str(e.value)
+
+
+def test_oauth_pickles_without_token_cache(api):
+    import pickle
+
+    base, state = api
+    state.rows = _rows(5)
+    auth = _oauth(base)
+    cfg = _cfg(base, path="secure", headers={}, auth=auth)
+    list(fetch_records(cfg))
+    assert auth._access_token is not None
+    clone = pickle.loads(pickle.dumps(auth))
+    assert clone._access_token is None and clone._expires_at == 0.0
+    assert clone.client_secret == "s3cret-client"  # credentials survive
