@@ -2238,83 +2238,66 @@ FROM ce GROUP BY 1
 def q_cdc_tx_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Transaction-aligned epoch plan (streaming/microbatch.py
     plan_epochs_tx — Debezium transaction-metadata contract: a commit
-    boundary never exposes half a transaction). Transactions are
-    7-event lsn runs (commit-serialized, as logical decoding emits
-    them); boundaries snap DOWN to the last complete tx end under each
-    density-derived naive boundary. The dataflow is the scale shape:
-    per-tx end agg -> per-bucket max agg (K = ~n/1000 rows,
-    metadata-sized) -> running max over K -> per-epoch stats via an
-    equality broadcast join on the bucket id (valid because
-    snapped[k-1] < e <= snapped[k] for every tx end e in bucket k).
-    Returns per epoch: bounds, event count, transaction count."""
+    boundary never exposes half a transaction, INCLUDING transactions
+    whose lsns interleave across a naive boundary). Transactions are
+    7-event lsn runs; each density-derived naive boundary extends
+    OUTWARD to a straddle-free fixpoint (the end of any transaction it
+    would split) — the rule that stays correct when concurrent
+    transactions interleave in a real WAL. The planner's aggregates
+    are metadata-sized (per-tx span agg + K-row boundary work on the
+    driver); per-epoch stats are then a broadcast interval join of tx
+    ends into the K planned epochs (a tx belongs to the epoch that
+    contains its END — well-defined because boundaries never split a
+    tx). Returns per epoch: bounds, event count, transaction count."""
     tune_session(spark)
-    ce = change_events(spark, sf_dir)
-    p = ce.agg(
-        F.min("_ab_cdc_lsn").alias("lo"),
-        F.max("_ab_cdc_lsn").alias("hi"),
-        F.count("*").alias("n"),
-    ).collect()[0]
-    start = int(p["lo"]) - 1
-    width = max((int(p["hi"]) - start) * 1000 // int(p["n"]), 1)
-    txid = F.floor((F.col("_ab_cdc_lsn") - 1) / 7).cast("long")
-    ends = ce.groupBy(txid.alias("txid")).agg(
-        F.max("_ab_cdc_lsn").alias("e"), F.count("*").alias("n_ev")
-    )
-    k = F.expr(f"div(e - {start} + {width - 1}, {width})")
-    bk = ends.withColumn("k", k)
-    sn = (
-        bk.groupBy("k")
-        .agg(F.max("e").alias("bmax"))
-        .withColumn(
-            "snapped",
-            F.max("bmax").over(
-                Window.orderBy("k").rowsBetween(Window.unboundedPreceding, 0)
-            ),
-        )
-        .select("k", "snapped")
-    )
-    agg = (
-        bk.join(F.broadcast(sn), "k")
-        .groupBy(F.col("snapped").alias("to_lsn"))
-        .agg(F.sum("n_ev").alias("n_events"), F.count("*").alias("n_txs"))
-    )
-    out = agg.withColumn(
-        "from_lsn",
-        F.coalesce(
-            F.lag("to_lsn").over(Window.orderBy("to_lsn")), F.lit(start)
-        ),
-    ).select("from_lsn", "to_lsn", "n_events", "n_txs")
-    # cross-check against the REAL planner the sync loop uses
     from airbyte_integrations_spark.streaming.microbatch import plan_epochs_tx
 
+    ce = change_events(spark, sf_dir)
+    txid = F.floor((F.col("_ab_cdc_lsn") - 1) / 7).cast("long")
     eps = plan_epochs_tx(ce.withColumn("txid", txid), None, 1000, "txid")
-    assert [(e.from_lsn, e.to_lsn) for e in eps] == sorted(
-        (r["from_lsn"], r["to_lsn"]) for r in out.collect()
+    bounds = spark.createDataFrame(
+        [(e.from_lsn, e.to_lsn) for e in eps], "from_lsn long, to_lsn long"
     )
-    return out
+    spans = ce.groupBy(txid.alias("txid")).agg(
+        F.max("_ab_cdc_lsn").alias("e"), F.count("*").alias("n_ev")
+    )
+    return (
+        spans.join(
+            F.broadcast(bounds),
+            (F.col("e") > F.col("from_lsn")) & (F.col("e") <= F.col("to_lsn")),
+        )
+        .groupBy("from_lsn", "to_lsn")
+        .agg(F.sum("n_ev").alias("n_events"), F.count("*").alias("n_txs"))
+        .select("from_lsn", "to_lsn", "n_events", "n_txs")
+    )
 
 
+# Oracle: the same outward-snap rule declaratively. The fixture's
+# transactions are contiguous disjoint 7-lsn runs, so the straddle-free
+# extension of an edge b is simply the end of the run containing b —
+# least(ceil(b/7)*7, hi) — and one pass reaches the fixpoint.
 O_CDC_TX_EPOCHS = f"""
 WITH {CE_SQL},
 p AS (SELECT min(_ab_cdc_lsn) - 1 AS start, max(_ab_cdc_lsn) AS hi,
              count(*) AS n FROM ce),
-w AS (SELECT start, greatest((hi - start) * 1000 // n, 1) AS width FROM p),
-ends AS (SELECT (_ab_cdc_lsn - 1) // 7 AS txid, max(_ab_cdc_lsn) AS e,
-                count(*) AS n_ev FROM ce GROUP BY 1),
-bk AS (SELECT (e - start + width - 1) // width AS k, e, n_ev FROM ends, w),
-sn AS (
-  SELECT k, max(bmax) OVER (ORDER BY k ROWS UNBOUNDED PRECEDING) AS snapped
-  FROM (SELECT k, max(e) AS bmax FROM bk GROUP BY k)
+w AS (SELECT start, hi, greatest((hi - start) * 1000 // n, 1) AS width FROM p),
+edges AS (
+  SELECT DISTINCT least(start + j.j * width, hi) AS b, hi
+  FROM w, (SELECT unnest(range(1, CAST(ceil((SELECT (hi - start) * 1.0 / width FROM w)) AS BIGINT) + 1)) AS j) j
 ),
-agg AS (
-  SELECT snapped AS to_lsn, CAST(sum(n_ev) AS BIGINT) AS n_events,
-         count(*) AS n_txs
-  FROM bk JOIN sn USING (k) GROUP BY 1
-)
-SELECT coalesce(lag(to_lsn) OVER (ORDER BY to_lsn),
-                (SELECT start FROM p)) AS from_lsn,
-       to_lsn, n_events, n_txs
-FROM agg
+snapped AS (SELECT DISTINCT least(((b + 6) // 7) * 7, hi) AS to_lsn FROM edges),
+eps AS (
+  SELECT coalesce(lag(to_lsn) OVER (ORDER BY to_lsn),
+                  (SELECT start FROM p)) AS from_lsn,
+         to_lsn
+  FROM snapped
+),
+spans AS (SELECT (_ab_cdc_lsn - 1) // 7 AS txid, max(_ab_cdc_lsn) AS e,
+                 count(*) AS n_ev FROM ce GROUP BY 1)
+SELECT from_lsn, to_lsn, CAST(sum(n_ev) AS BIGINT) AS n_events,
+       count(*) AS n_txs
+FROM eps JOIN spans ON spans.e > eps.from_lsn AND spans.e <= eps.to_lsn
+GROUP BY 1, 2
 """
 
 
@@ -4208,6 +4191,132 @@ SELECT doc_id, lang, n_chars FROM documents
 """
 
 
+def q_http_declarative_substream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative (low-code) parent->child source value-oracled
+    against the table read whole (sources/declarative.py — reference:
+    airbyte-cdk declarative_stream.py:14-80 + substream_slicer.py:16-66
+    + extractors/jq.py). A local fixture API serves the documents
+    table as a two-level REST hierarchy: ``/langs`` lists the parent
+    records (one per distinct lang), ``/langs/<lang>/docs`` pages that
+    lang's documents under a nested ``response.results`` body (dotted
+    record selector). The manifest declares the child's path with
+    ``{{ stream_slice.lang }}`` interpolation and a substream slicer
+    over the parent; the engine resolves one slice per parent record
+    DRIVER-side (parents are metadata-sized) and fans the child reads
+    out one executor task per parent, each running its own pagination
+    loop — records parse JVM-side with from_json. Oracle = the parquet
+    read whole: equality proves parent fan-out x interpolation x
+    pagination x dotted selection loses and duplicates nothing.
+
+    Scale shape: the distribution unit is the parent record (10k
+    parents = 10k parallel paginated reads); the driver touches only
+    the parent list, never child records."""
+    import json as _json
+    import threading
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+    from urllib.parse import parse_qs, urlparse
+
+    import pyarrow.parquet as _pq
+
+    from airbyte_integrations_spark.sources.declarative import (
+        DeclarativeSource,
+    )
+
+    tune_session(spark)
+    tbl = _pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "lang", "n_chars"],
+    )
+    rows = sorted(tbl.to_pylist(), key=lambda r: r["doc_id"])
+    by_lang: dict[str, list] = {}
+    for r in rows:
+        by_lang.setdefault(r["lang"], []).append(r)
+    langs = [{"lang": lg} for lg in sorted(by_lang)]
+
+    class _H(BaseHTTPRequestHandler):
+        def log_message(self, *a):
+            pass
+
+        def _json_resp(self, body):
+            data = _json.dumps(body).encode()
+            self.send_response(200)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(data)))
+            self.end_headers()
+            self.wfile.write(data)
+
+        def do_GET(self):
+            u = urlparse(self.path)
+            q = {k: v[0] for k, v in parse_qs(u.query).items()}
+            parts = [p for p in u.path.split("/") if p]
+            off, lim = int(q.get("offset", 0)), int(q.get("limit", 100))
+            if parts == ["langs"]:
+                return self._json_resp({"data": langs[off : off + lim]})
+            if len(parts) == 3 and parts[0] == "langs" and parts[2] == "docs":
+                rs = by_lang.get(parts[1], [])
+                return self._json_resp(
+                    {"response": {"results": rs[off : off + lim]}}
+                )
+            return self._json_resp({"data": []})
+
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), _H)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        manifest = {
+            "version": "0.1.0",
+            "streams": [
+                {
+                    "name": "langs",
+                    "requester": {
+                        "url_base": "{{ config.api_url }}",
+                        "path": "langs",
+                    },
+                    "record_selector": "data",
+                    "primary_key": "lang",
+                    "json_schema": {"properties": {"lang": {"type": "string"}}},
+                },
+                {
+                    "name": "docs",
+                    "requester": {
+                        "url_base": "{{ config.api_url }}",
+                        "path": "langs/{{ stream_slice.lang }}/docs",
+                    },
+                    "record_selector": "response.results",
+                    "primary_key": "doc_id",
+                    # page size chosen NOT to divide per-lang counts:
+                    # real multi-page pagination inside each parent
+                    "paginator": {"type": "offset", "page_size": 37},
+                    "slicer": {
+                        "type": "substream",
+                        "parent_stream": "langs",
+                        "slice_definition": {
+                            "lang": "{{ parent_record.lang }}"
+                        },
+                    },
+                    "json_schema": {
+                        "properties": {
+                            "doc_id": {"type": "integer"},
+                            "lang": {"type": "string"},
+                            "n_chars": {"type": "integer"},
+                        }
+                    },
+                },
+            ],
+        }
+        src = DeclarativeSource(
+            manifest, {"api_url": f"http://127.0.0.1:{srv.server_port}"}
+        )
+        out = src.streams["docs"].read(spark)
+        return out.localCheckpoint(eager=True)
+    finally:
+        srv.shutdown()
+
+
+O_HTTP_DECLARATIVE_SUBSTREAM = """
+SELECT doc_id, lang, n_chars FROM documents
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "cdc_latest_wins": q_cdc_latest_wins,
@@ -4225,6 +4334,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_event_time_rates": q_cdc_event_time_rates,
         "cdc_catalog_sync": q_cdc_catalog_sync,
         "http_paged_read": q_http_paged_read,
+        "http_declarative_substream": q_http_declarative_substream,
         "json_extract_cast": q_json_extract_cast,
         "docs_exact_dedup": q_docs_exact_dedup,
         "docs_fingerprint": q_docs_fingerprint,
@@ -4298,6 +4408,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     return {
         "http_paged_read": O_HTTP_PAGED_READ,
+        "http_declarative_substream": O_HTTP_DECLARATIVE_SUBSTREAM,
         "cdc_latest_wins": O_CDC_LATEST_WINS,
         "cdc_winner_agg": O_CDC_WINNER_AGG,
         "cdc_scd2_history": O_CDC_SCD2,
