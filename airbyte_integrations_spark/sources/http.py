@@ -218,14 +218,36 @@ def _get_json(url: str, cfg: HttpStreamConfig, opener=None):
             tries += 1
 
 
+def _select_records(body, records_field: str | None):
+    """Resolve the record list inside a response body. None = the body
+    IS the list; a dotted path ("response.results") walks nested
+    objects — the engine's analogue of the reference's jq record
+    selector (declarative/extractors/jq.py: pyjq over the decoded
+    body), restricted to the field-path shapes connectors actually use."""
+    if records_field is None:
+        return body if isinstance(body, list) else []
+    cur = body
+    for part in records_field.split("."):
+        if not isinstance(cur, dict):
+            return []
+        cur = cur.get(part)
+    return cur if isinstance(cur, list) else []
+
+
 def fetch_records(cfg: HttpStreamConfig, extra_params: dict | None = None, opener=None):
     """The HttpStream.read_records pagination loop for ONE slice:
     yields record dicts until next_page_token is exhausted. Runs
     wherever it is called — on an executor inside read_http_stream's
-    tasks, or driver-side in tests."""
+    tasks, or driver-side in tests.
+
+    extra_params may carry the reserved key ``__path__``: a per-slice
+    request path overriding cfg.path (substream slices interpolate the
+    parent record into the path, declarative.py); it is never sent as
+    a query parameter."""
     base = cfg.url_base.rstrip("/")
-    path = ("/" + cfg.path.lstrip("/")) if cfg.path else ""
     static = {**cfg.params, **(extra_params or {})}
+    eff_path = static.pop("__path__", cfg.path)
+    path = ("/" + eff_path.lstrip("/")) if eff_path else ""
     n_seen = 0
     page_no = 0
     token = None
@@ -244,7 +266,7 @@ def fetch_records(cfg: HttpStreamConfig, extra_params: dict | None = None, opene
             raise ValueError(f"unknown pagination mode {cfg.pagination!r}")
         url = f"{base}{path}?{urllib.parse.urlencode(q)}"
         body = _get_json(url, cfg, opener=opener)
-        records = body if cfg.records_field is None else body.get(cfg.records_field, [])
+        records = _select_records(body, cfg.records_field)
         for r in records:
             yield r
         n_seen += len(records)
