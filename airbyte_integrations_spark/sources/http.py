@@ -225,7 +225,12 @@ def _select_records(body, records_field: str | None):
     selector (declarative/extractors/jq.py: pyjq over the decoded
     body), restricted to the field-path shapes connectors actually use."""
     if records_field is None:
-        return body if isinstance(body, list) else []
+        # body IS the record list — or, for a dict body, the body is
+        # ONE record (source-exchange-rates parse_response yields the
+        # whole response json: source_exchange_rates/source.py:49-51)
+        if isinstance(body, list):
+            return body
+        return [body] if isinstance(body, dict) else []
     cur = body
     for part in records_field.split("."):
         if not isinstance(cur, dict):

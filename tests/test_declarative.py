@@ -543,3 +543,107 @@ def test_declarative_sync_requires_datetime_slicer(spark, ts_api, tmp_path):
             SyncConfig(stream="recs", n_buckets=4),
             key_col="id", cursor_col="ts",
         )
+
+
+# --------------------------- reference connector as a manifest
+
+
+def test_exchange_rates_connector_as_manifest(spark):
+    """The reference's source-exchange-rates connector re-expressed as
+    a declarative manifest (source_exchange_rates/source.py:17-81):
+    path IS the slice date (path() returns stream_slice['date']),
+    request_params carries access_key + base from config
+    (source.py:41-47), parse_response yields the WHOLE response json
+    as the single record (source.py:49-51 — record_selector: null),
+    stream_slices = one day per slice (chunk_date_range)."""
+    calls = []
+
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *a):
+            pass
+
+        def do_GET(self):
+            u = urlparse(self.path)
+            q = {k: v[0] for k, v in parse_qs(u.query).items()}
+            calls.append((u.path, q.get("access_key"), q.get("base")))
+            day = u.path.strip("/").split("/")[-1]
+            body = {
+                "success": True,
+                "date": day,
+                "base": q.get("base", "EUR"),
+                "rates": {"USD": 1.1 + len(day) % 3, "GBP": 0.9},
+            }
+            data = json.dumps(body).encode()
+            self.send_response(200)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(data)))
+            self.end_headers()
+            self.wfile.write(data)
+
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        base = f"http://127.0.0.1:{srv.server_port}"
+        manifest = {
+            "streams": [
+                {
+                    "name": "exchange_rates",
+                    "requester": {
+                        "url_base": "{{ config.api_url }}/v1",
+                        "path": "{{ stream_slice.start_date }}",
+                    },
+                    "record_selector": None,
+                    "cursor_field": "date",
+                    "request_params": {
+                        "access_key": "{{ config.access_key }}",
+                        "base": "{{ config.base }}",
+                    },
+                    "slicer": {
+                        "type": "datetime",
+                        "start_time": "{{ config.start_date }}",
+                        "end_time": "2021-01-05",
+                        "step": "1d",
+                        "cursor_field": "date",
+                    },
+                    "json_schema": {
+                        "properties": {
+                            "date": {"type": "string"},
+                            "base": {"type": "string"},
+                            "rates": {
+                                "type": "object",
+                                "properties": {
+                                    "USD": {"type": "number"},
+                                    "GBP": {"type": "number"},
+                                },
+                            },
+                        }
+                    },
+                }
+            ]
+        }
+        src = DeclarativeSource(
+            manifest,
+            {
+                "api_url": base,
+                "access_key": "k-secret",
+                "base": "EUR",
+                "start_date": "2021-01-01",
+            },
+        )
+        df = src.streams["exchange_rates"].read(spark)
+        rows = sorted(
+            (r.asDict(recursive=True) for r in df.collect()),
+            key=lambda r: r["date"],
+        )
+        # one record per day slice, whole body as the record
+        assert [r["date"] for r in rows] == [
+            f"2021-01-0{d}" for d in range(1, 6)
+        ]
+        assert all(r["base"] == "EUR" for r in rows)
+        assert all(r["rates"]["GBP"] == 0.9 for r in rows)
+        # the API saw the date AS THE PATH + config-sourced params
+        seen_paths = sorted(p for p, _, _ in calls)
+        assert seen_paths == [f"/v1/2021-01-0{d}" for d in range(1, 6)]
+        assert all(k == "k-secret" and b == "EUR" for _, k, b in calls)
+    finally:
+        srv.shutdown()
