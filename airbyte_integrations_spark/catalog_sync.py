@@ -241,6 +241,22 @@ def _read_stream_events(
             None,
             {},
         )
+    if kind == "declarative":
+        # full-refresh declarative (low-code) manifest stream
+        # (incremental declarative streams are routed to
+        # DeclarativeSource.sync_incremental in read_catalog):
+        from airbyte_integrations_spark.sources.declarative import (
+            DeclarativeSource,
+        )
+
+        src = DeclarativeSource(cs.source["manifest"], cs.source["config"])
+        return (
+            src.streams[cs.source["stream"]].read(
+                spark, cs.source.get("record_schema")
+            ),
+            None,
+            {},
+        )
     if kind == "files":
         from airbyte_integrations_spark.sources.files import read_files_incremental
 
@@ -307,6 +323,38 @@ def read_catalog(
                 updated_at_col=cs.source.get("updated_at_col"),
                 deleted_at_col=cs.source.get("deleted_at_col"),
                 seed_lsn=_seed_state(state, cfg.stream)[0],
+            )
+            msg = catalog_state_message(spark, catalog, lake_root)
+            messages.append(msg)
+            if on_stream_committed is not None:
+                on_stream_committed(cfg.stream)
+            continue
+        if (
+            cs.source.get("kind") == "declarative"
+            and cfg.sync_mode == SyncMode.INCREMENTAL
+        ):
+            # low-code manifest stream: datetime-window slices with
+            # per-window epoch commits + the max-cursor-seen state rule
+            # (sources/declarative.py sync_incremental)
+            from airbyte_integrations_spark.sources.declarative import (
+                DeclarativeSource,
+            )
+
+            src = DeclarativeSource(cs.source["manifest"], cs.source["config"])
+            if cs.source.get("record_schema") is not None:
+                # caller-pinned Spark schema (e.g. timestamp cursors)
+                src.streams[cs.source["stream"]].spark_schema = (
+                    lambda s=cs.source["record_schema"]: s
+                )
+            src.sync_incremental(
+                spark,
+                cs.source["stream"],
+                table,
+                cfg,
+                key_col=cs.source["key_col"],
+                cursor_col=cs.source["cursor_col"],
+                updated_at_col=cs.source.get("updated_at_col"),
+                deleted_at_col=cs.source.get("deleted_at_col"),
             )
             msg = catalog_state_message(spark, catalog, lake_root)
             messages.append(msg)

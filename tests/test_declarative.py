@@ -647,3 +647,75 @@ def test_exchange_rates_connector_as_manifest(spark):
         assert all(k == "k-secret" and b == "EUR" for _, k, b in calls)
     finally:
         srv.shutdown()
+
+
+def test_declarative_streams_through_read_catalog(spark, ts_api, api, tmp_path):
+    """kind='declarative' in the multi-stream catalog loop: an
+    incremental manifest stream (datetime windows, max-seen state) and
+    a full-refresh substream snapshot side by side."""
+    from pyspark.sql import types as T
+
+    from airbyte_integrations_spark.catalog_sync import (
+        ConfiguredCatalog,
+        ConfiguredStream,
+        read_catalog,
+        stream_table,
+    )
+    from airbyte_integrations_spark.config import (
+        DestinationSyncMode,
+        SyncConfig,
+        SyncMode,
+    )
+
+    ts_base, state = ts_api
+    state["rows"] = _ts_rows()
+    rec_schema = T.StructType(
+        [
+            T.StructField("id", T.StringType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("val", T.LongType()),
+        ]
+    )
+    inc = ConfiguredStream(
+        config=SyncConfig(stream="recs", n_buckets=4),
+        source={
+            "kind": "declarative",
+            "manifest": _ts_manifest(),
+            "config": {"api_url": ts_base},
+            "stream": "recs",
+            "record_schema": rec_schema,
+            "key_col": "id",
+            "cursor_col": "ts",
+        },
+    )
+    # full-refresh: the substream (parent->child) repos stream
+    repos_manifest = _source(api).manifest
+    snap = ConfiguredStream(
+        config=SyncConfig(
+            stream="repos_snapshot",
+            primary_key=("repo_id",),
+            sync_mode=SyncMode.FULL_REFRESH,
+            destination_sync_mode=DestinationSyncMode.OVERWRITE,
+            n_buckets=4,
+        ),
+        source={
+            "kind": "declarative",
+            "manifest": repos_manifest,
+            "config": {"api_url": api},
+            "stream": "repos",
+        },
+    )
+    lake = str(tmp_path / "lake_decl")
+    msgs = read_catalog(spark, ConfiguredCatalog(streams=(inc, snap)), lake)
+    assert len(msgs) == 2
+    t_inc = stream_table(spark, lake, "recs")
+    final = {r["url"]: r["val"] for r in t_inc.read().collect()}
+    assert final == {
+        **{f"k{i}": i for i in range(5, 10)},
+        **{f"k{i}": 100 + i for i in range(5)},
+    }
+    t_snap = stream_table(spark, lake, "repos_snapshot")
+    assert t_snap.read().count() == 257  # 7 + 250 + 0 repos
+    # re-run converges: no new windows, same content
+    read_catalog(spark, ConfiguredCatalog(streams=(inc, snap)), lake)
+    assert {r["url"]: r["val"] for r in t_inc.read().collect()} == final
