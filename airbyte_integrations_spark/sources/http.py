@@ -62,6 +62,8 @@ class HttpStreamConfig:
     - "page":   ?<page_param>=<page_number>&<size_param>=<page_size>
     - "token":  first request bare; then ?<page_param>=<token> where the
       token is response[next_token_field] (None/absent = last page)
+    - "url":    first request bare; then follow the absolute next link
+      in response[next_token_field] until absent (Link-style paging)
     records_field: key of the record list in the response body (None =
     the body IS the list). A short page (< page_size) or an absent/empty
     list ends offset/page pagination."""
@@ -72,7 +74,7 @@ class HttpStreamConfig:
     headers: dict = field(default_factory=dict)  # auth lives here; never logged
     records_field: str | None = "data"
     page_size: int = 100
-    pagination: str = "offset"  # offset | page | token
+    pagination: str = "offset"  # offset | page | token | url
     page_param: str = "offset"
     size_param: str = "limit"
     next_token_field: str | None = "next_page_token"
@@ -81,6 +83,14 @@ class HttpStreamConfig:
     backoff_cap: float = 600.0
     timeout: float = 30.0
     auth: "Oauth2Authenticator | None" = None  # refresh-token flow
+    # POST/search-style APIs (HttpStream.http_method http.py:89 +
+    # request_body_json http.py:180-189): body_json is a static JSON
+    # body; params_in_body routes the per-page params (slice window +
+    # paging) into the JSON body instead of the query string — the
+    # shape of search endpoints that page via POST
+    http_method: str = "GET"
+    body_json: dict | None = None
+    params_in_body: bool = False
 
 
 class Oauth2Authenticator:
@@ -177,11 +187,12 @@ class HttpGiveUpError(RuntimeError):
         super().__init__(f"HTTP {status} for {url}: {detail[:200]}")
 
 
-def _get_json(url: str, cfg: HttpStreamConfig, opener=None):
-    """One GET with the reference retry policy: 429/5xx/connection
+def _get_json(url: str, cfg: HttpStreamConfig, opener=None, body: dict | None = None):
+    """One request with the reference retry policy: 429/5xx/connection
     errors retry with capped exponential backoff (Retry-After wins on
     429 — the user-defined backoff arm), any other 4xx gives up
-    immediately, max_retries retries then give up."""
+    immediately, max_retries retries then give up. ``body`` (a dict)
+    is sent as a JSON POST body (request_body_json, http.py:180-189)."""
     open_fn = opener or urllib.request.urlopen
     tries = 0
     while True:
@@ -189,7 +200,13 @@ def _get_json(url: str, cfg: HttpStreamConfig, opener=None):
             hdrs = dict(cfg.headers)
             if cfg.auth is not None:
                 hdrs.update(cfg.auth.get_auth_header())
-            req = urllib.request.Request(url, headers=hdrs)
+            data = None
+            if body is not None or cfg.http_method != "GET":
+                data = json.dumps(body or {}, sort_keys=True).encode("utf-8")
+                hdrs["Content-Type"] = "application/json"
+            req = urllib.request.Request(
+                url, data=data, headers=hdrs, method=cfg.http_method
+            )
             with open_fn(req, timeout=cfg.timeout) as resp:
                 return json.loads(resp.read().decode("utf-8"))
         except urllib.error.HTTPError as e:
@@ -256,6 +273,7 @@ def fetch_records(cfg: HttpStreamConfig, extra_params: dict | None = None, opene
     n_seen = 0
     page_no = 0
     token = None
+    next_url = None
     while True:
         q = dict(static)
         if cfg.pagination == "offset":
@@ -267,10 +285,22 @@ def fetch_records(cfg: HttpStreamConfig, extra_params: dict | None = None, opene
         elif cfg.pagination == "token":
             if token is not None:
                 q[cfg.page_param] = token
+        elif cfg.pagination == "url":
+            pass  # first request plain; later requests follow next_url
         else:
             raise ValueError(f"unknown pagination mode {cfg.pagination!r}")
-        url = f"{base}{path}?{urllib.parse.urlencode(q)}"
-        body = _get_json(url, cfg, opener=opener)
+        req_body = cfg.body_json
+        if cfg.params_in_body:
+            # search-style POST API: per-page params ride in the JSON
+            # body, not the query string (request_body_json)
+            req_body = {**(cfg.body_json or {}), **q}
+            q = {}
+        if cfg.pagination == "url" and next_url is not None:
+            url = next_url  # server-provided absolute next link
+        else:
+            qs = f"?{urllib.parse.urlencode(q)}" if q else ""
+            url = f"{base}{path}{qs}"
+        body = _get_json(url, cfg, opener=opener, body=req_body)
         records = _select_records(body, cfg.records_field)
         for r in records:
             yield r
@@ -279,6 +309,12 @@ def fetch_records(cfg: HttpStreamConfig, extra_params: dict | None = None, opene
         if cfg.pagination == "token":
             token = body.get(cfg.next_token_field) if isinstance(body, dict) else None
             if token is None:
+                return
+        elif cfg.pagination == "url":
+            # link-driven: terminate when the server stops sending a
+            # next link (page size plays no termination role)
+            next_url = body.get(cfg.next_token_field) if isinstance(body, dict) else None
+            if not next_url:
                 return
         else:
             if len(records) < cfg.page_size:

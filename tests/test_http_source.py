@@ -420,3 +420,104 @@ def test_oauth_pickles_without_token_cache(api):
     clone = pickle.loads(pickle.dumps(auth))
     assert clone._access_token is None and clone._expires_at == 0.0
     assert clone.client_secret == "s3cret-client"  # credentials survive
+
+
+# ---------------- POST body-json + next-URL pagination (http.py:89,
+# :163-189 http_method/request_body_json; Link-style next pointers)
+
+
+def test_post_search_api_params_in_body(api):
+    """Search-style endpoint: POST with the page window in the JSON
+    body (request_body_json), offset pagination."""
+    import json as _json
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+    import threading
+
+    rows = _rows(230)
+    seen_bodies = []
+
+    class H(BaseHTTPRequestHandler):
+        def log_message(self, *a):
+            pass
+
+        def do_POST(self):
+            n = int(self.headers.get("Content-Length", 0))
+            body = _json.loads(self.rfile.read(n).decode())
+            seen_bodies.append(body)
+            assert self.headers.get("Content-Type") == "application/json"
+            rs = [r for r in rows if body.get("q") in r["name"]]
+            off, lim = int(body["offset"]), int(body["limit"])
+            data = _json.dumps({"data": rs[off : off + lim]}).encode()
+            self.send_response(200)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(data)))
+            self.end_headers()
+            self.wfile.write(data)
+
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), H)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        cfg = HttpStreamConfig(
+            url_base=f"http://127.0.0.1:{srv.server_port}",
+            path="search",
+            http_method="POST",
+            params_in_body=True,
+            body_json={"q": "row-"},
+            page_size=100,
+            max_retries=2, retry_factor=0.01,
+        )
+        got = list(fetch_records(cfg))
+        assert len(got) == 230
+        # paging rode in the body, three pages: offsets 0/100/200
+        assert [b["offset"] for b in seen_bodies] == [0, 100, 200]
+        assert all(b["q"] == "row-" and b["limit"] == 100 for b in seen_bodies)
+    finally:
+        srv.shutdown()
+
+
+def test_url_pagination_follows_next_links():
+    """pagination='url': follow absolute next links until absent —
+    termination is link-driven, page size plays no role."""
+    import json as _json
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+    import threading
+
+    rows = _rows(95)  # 4 pages of 30 + final 5: short pages mid-stream
+    pages = [rows[i : i + 30] for i in range(0, 95, 30)]
+
+    class H(BaseHTTPRequestHandler):
+        def log_message(self, *a):
+            pass
+
+        def do_GET(self):
+            from urllib.parse import parse_qs, urlparse
+
+            q = {k: v[0] for k, v in parse_qs(urlparse(self.path).query).items()}
+            i = int(q.get("p", 0))
+            body = {"data": pages[i]}
+            if i + 1 < len(pages):
+                body["next"] = (
+                    f"http://127.0.0.1:{self.server.server_port}/feed?p={i + 1}"
+                )
+            data = _json.dumps(body).encode()
+            self.send_response(200)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(data)))
+            self.end_headers()
+            self.wfile.write(data)
+
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), H)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        cfg = HttpStreamConfig(
+            url_base=f"http://127.0.0.1:{srv.server_port}",
+            path="feed",
+            pagination="url",
+            next_token_field="next",
+            page_size=1000,  # deliberately larger than any page
+            max_retries=2, retry_factor=0.01,
+        )
+        got = list(fetch_records(cfg))
+        assert [r["ver"] for r in got] == [r["ver"] for r in rows]
+    finally:
+        srv.shutdown()

@@ -399,6 +399,39 @@ def main() -> None:
             "map; the corpus-wide total order never funnels into one reducer",
         )
 
+        from pyspark.sql import types as T
+
+        from airbyte_integrations_spark.sources.http import (
+            HttpStreamConfig,
+            read_http_stream,
+        )
+
+        http_plan = (
+            read_http_stream(
+                spark,
+                HttpStreamConfig(url_base="http://example.invalid"),
+                [{"since": 0}, {"since": 50}],
+                T.StructType(
+                    [
+                        T.StructField("id", T.StringType()),
+                        T.StructField("ver", T.LongType()),
+                    ]
+                ),
+            )
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        m_idx = http_plan.find("MapInPandas")
+        check(
+            "http/declarative read: records parse JVM-side "
+            "(from_json above MapInPandas; fetch tasks never reshuffle)",
+            m_idx > 0
+            and "from_json" in http_plan[:m_idx]
+            and "Exchange" not in http_plan[:m_idx],
+            "plan top-down: Project(from_json) <- MapInPandas(fetch) <- "
+            "slice-fanout Exchange; the only Python is the HTTP I/O and "
+            "records go straight from Arrow batches into codegen parsing",
+        )
+
     out = ["# PLANS — physical-plan evidence (generated by tools/capture_plans.py)", ""]
     ok_all = True
     for name, ok, ev in CHECKS:
