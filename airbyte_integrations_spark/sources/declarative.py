@@ -53,6 +53,7 @@ from pyspark.sql import types as T
 
 from airbyte_integrations_spark.sources.http import (
     HttpStreamConfig,
+    Oauth2Authenticator,
     fetch_records,
     read_http_stream,
 )
@@ -294,22 +295,90 @@ class DeclarativeStream:
         self.request_params = dict(request_params or {})
         self.json_schema = json_schema
 
+    def _stop_condition(self):
+        """ConditionalPaginator's boolean template
+        (conditional_paginator.py:13-41) -> a callable over the page:
+        ``{{ decoded_response.is_last }}`` evaluated with
+        decoded_response / headers / last_records / config in scope.
+        A path missing from a page is falsy (Jinja-undefined parity)."""
+        tmpl = self.paginator.get("stop_condition")
+        if tmpl is None:
+            return None
+        cfg = self.config
+
+        def stop(body, headers, records):
+            try:
+                v = interpolate(
+                    tmpl,
+                    decoded_response=body if isinstance(body, Mapping) else {},
+                    headers={k.lower(): v for k, v in dict(headers).items()},
+                    last_records={"count": len(records)},
+                    config=cfg,
+                )
+            except InterpolationError:
+                return False
+            return bool(v) and v != "False"
+
+        return stop
+
+    def _authenticator(self):
+        """requester.authenticator -> header injection (token) or an
+        Oauth2Authenticator (requests_native_auth/oauth.py parity).
+        Secret-bearing values interpolate from config and never log."""
+        spec = self.requester.get("authenticator")
+        if spec is None:
+            return {}, None
+        kind = spec.get("type", "token")
+        ns = {"config": self.config}
+        if kind == "token":
+            token = interpolate(spec["api_token"], **ns)
+            header = spec.get("header", "Authorization")
+            prefix = spec.get("prefix", "Bearer")
+            value = f"{prefix} {token}" if prefix else str(token)
+            return {header: value}, None
+        if kind == "oauth2":
+            return {}, Oauth2Authenticator(
+                token_refresh_endpoint=interpolate(
+                    spec["token_refresh_endpoint"], **ns
+                ),
+                client_id=interpolate(spec["client_id"], **ns),
+                client_secret=interpolate(spec["client_secret"], **ns),
+                refresh_token=interpolate(spec["refresh_token"], **ns),
+                scopes=spec.get("scopes"),
+            )
+        raise ValueError(f"unknown authenticator type {kind!r}")
+
     def http_config(self) -> HttpStreamConfig:
         r = self.requester
         pg = self.paginator
+        retrier = r.get("retrier", {})  # DefaultRetrier knobs (default_retrier.py:12-28)
+        auth_headers, auth = self._authenticator()
+        headers = interpolate_mapping(r.get("request_headers", {}), config=self.config)
+        headers.update(auth_headers)
+        body = r.get("request_body_json")
         return HttpStreamConfig(
             url_base=interpolate(r["url_base"], config=self.config),
             path="",  # per-slice (__path__) — path may interpolate slice vars
             params={},
-            headers=interpolate_mapping(
-                r.get("request_headers", {}), config=self.config
-            ),
+            headers=headers,
             records_field=self.record_selector,
             page_size=int(pg.get("page_size", 100)),
             pagination=pg.get("type", "offset"),
             page_param=pg.get("page_param", "offset"),
             size_param=pg.get("size_param", "limit"),
             next_token_field=pg.get("next_token_field", "next_page_token"),
+            token_in_header=pg.get("token_in_header"),
+            stop_condition=self._stop_condition(),
+            http_method=r.get("http_method", "GET"),
+            body_json=(
+                interpolate_mapping(body, config=self.config)
+                if body is not None
+                else None
+            ),
+            params_in_body=bool(r.get("params_in_body", False)),
+            max_retries=int(retrier.get("max_retries", 5)),
+            retry_factor=float(retrier.get("retry_factor", 5.0)),
+            auth=auth,
         )
 
     def stream_slices(self, stream_state: Mapping | None = None) -> list[dict]:

@@ -66,7 +66,24 @@ class HttpStreamConfig:
       in response[next_token_field] until absent (Link-style paging)
     records_field: key of the record list in the response body (None =
     the body IS the list). A short page (< page_size) or an absent/empty
-    list ends offset/page pagination."""
+    list ends offset/page pagination.
+
+    next_token_field accepts a DOTTED path into the body
+    ("metadata.next_cursor") — the InterpolatedPaginator's
+    decoded_response namespace (declarative/requesters/paginators/
+    interpolated_paginator.py:21-29) restricted to field paths.
+
+    token_in_header: read the next token/url from this RESPONSE HEADER
+    instead of the body (the reference paginator's ``headers``
+    namespace). The special value "Link" parses RFC5988 web linking
+    (GitHub-style ``Link: <url>; rel="next"``).
+
+    stop_condition: optional callable ``(body, headers, last_records)
+    -> bool`` checked after every page; True ends the read. For
+    offset/page modes it REPLACES the short-page rule (the reference's
+    ConditionalPaginator: conditional_paginator.py:13-41, where a
+    boolean template over decoded_response/headers/last_records is the
+    only terminator)."""
 
     url_base: str
     path: str = ""
@@ -91,6 +108,8 @@ class HttpStreamConfig:
     http_method: str = "GET"
     body_json: dict | None = None
     params_in_body: bool = False
+    token_in_header: str | None = None
+    stop_condition: object | None = None  # callable(body, headers, records) -> bool
 
 
 class Oauth2Authenticator:
@@ -192,7 +211,9 @@ def _get_json(url: str, cfg: HttpStreamConfig, opener=None, body: dict | None = 
     errors retry with capped exponential backoff (Retry-After wins on
     429 — the user-defined backoff arm), any other 4xx gives up
     immediately, max_retries retries then give up. ``body`` (a dict)
-    is sent as a JSON POST body (request_body_json, http.py:180-189)."""
+    is sent as a JSON POST body (request_body_json, http.py:180-189).
+    Returns ``(parsed_body, response_headers)`` — headers feed the
+    paginator's ``headers`` namespace (interpolated_paginator.py:24)."""
     open_fn = opener or urllib.request.urlopen
     tries = 0
     while True:
@@ -208,19 +229,20 @@ def _get_json(url: str, cfg: HttpStreamConfig, opener=None, body: dict | None = 
                 url, data=data, headers=hdrs, method=cfg.http_method
             )
             with open_fn(req, timeout=cfg.timeout) as resp:
-                return json.loads(resp.read().decode("utf-8"))
+                resp_headers = dict(getattr(resp, "headers", None) or {})
+                return json.loads(resp.read().decode("utf-8")), resp_headers
         except urllib.error.HTTPError as e:
             status = e.code
             retry_after = e.headers.get("Retry-After") if e.headers else None
-            body = ""
+            err_body = ""  # NOT `body` — that's the request body a retry resends
             try:
-                body = e.read().decode("utf-8", "replace")
+                err_body = e.read().decode("utf-8", "replace")
             except Exception:
                 pass
             if status != 429 and 400 <= status < 500:
-                raise HttpGiveUpError(status, url, body)  # non-rate-limit 4xx: no retry
+                raise HttpGiveUpError(status, url, err_body)  # non-rate-limit 4xx: no retry
             if tries >= cfg.max_retries:
-                raise HttpGiveUpError(status, url, f"retries exhausted: {body}")
+                raise HttpGiveUpError(status, url, f"retries exhausted: {err_body}")
             if status == 429 and retry_after is not None:
                 wait = min(float(retry_after), cfg.backoff_cap)
             else:
@@ -233,6 +255,16 @@ def _get_json(url: str, cfg: HttpStreamConfig, opener=None, body: dict | None = 
                 raise HttpGiveUpError(-1, url, f"retries exhausted: {e}")
             time.sleep(min(cfg.retry_factor * (2**tries), cfg.backoff_cap))
             tries += 1
+
+
+def _walk(obj, dotted: str):
+    """Dotted field-path walk into nested dicts; None on any miss."""
+    cur = obj
+    for part in dotted.split("."):
+        if not isinstance(cur, dict):
+            return None
+        cur = cur.get(part)
+    return cur
 
 
 def _select_records(body, records_field: str | None):
@@ -248,12 +280,45 @@ def _select_records(body, records_field: str | None):
         if isinstance(body, list):
             return body
         return [body] if isinstance(body, dict) else []
-    cur = body
-    for part in records_field.split("."):
-        if not isinstance(cur, dict):
-            return []
-        cur = cur.get(part)
+    cur = _walk(body, records_field)
     return cur if isinstance(cur, list) else []
+
+
+def _parse_link_next(link_header: str | None) -> str | None:
+    """RFC5988 ``Link`` header -> the rel="next" target url (the
+    GitHub/GitLab pagination shape the reference's NextPageUrlPaginator
+    consumes)."""
+    if not link_header:
+        return None
+    for part in link_header.split(","):
+        seg = part.split(";")
+        if len(seg) < 2:
+            continue
+        url = seg[0].strip()
+        if not (url.startswith("<") and url.endswith(">")):
+            continue
+        for attr in seg[1:]:
+            k, _, v = attr.strip().partition("=")
+            if k == "rel" and v.strip('"').strip("'") == "next":
+                return url[1:-1]
+    return None
+
+
+def _next_token(cfg: HttpStreamConfig, body, headers) -> object | None:
+    """Next token/url per the configured extraction source: a response
+    header (Link-aware) or a dotted body path."""
+    if cfg.token_in_header is not None:
+        raw = None
+        for k, v in headers.items():
+            if k.lower() == cfg.token_in_header.lower():
+                raw = v
+                break
+        if cfg.token_in_header.lower() == "link":
+            return _parse_link_next(raw)
+        return raw or None
+    if cfg.next_token_field is None or not isinstance(body, dict):
+        return None
+    return _walk(body, cfg.next_token_field)
 
 
 def fetch_records(cfg: HttpStreamConfig, extra_params: dict | None = None, opener=None):
@@ -300,24 +365,32 @@ def fetch_records(cfg: HttpStreamConfig, extra_params: dict | None = None, opene
         else:
             qs = f"?{urllib.parse.urlencode(q)}" if q else ""
             url = f"{base}{path}{qs}"
-        body = _get_json(url, cfg, opener=opener, body=req_body)
+        body, resp_headers = _get_json(url, cfg, opener=opener, body=req_body)
         records = _select_records(body, cfg.records_field)
         for r in records:
             yield r
         n_seen += len(records)
         page_no += 1
+        if cfg.stop_condition is not None:
+            # ConditionalPaginator: the boolean over decoded_response/
+            # headers/last_records is the terminator — a full final
+            # page never triggers a wasted empty-page request. An empty
+            # page still ends the read (never loop on an exhausted
+            # server whose condition mis-fires).
+            if cfg.stop_condition(body, resp_headers, records) or not records:
+                return
         if cfg.pagination == "token":
-            token = body.get(cfg.next_token_field) if isinstance(body, dict) else None
+            token = _next_token(cfg, body, resp_headers)
             if token is None:
                 return
         elif cfg.pagination == "url":
             # link-driven: terminate when the server stops sending a
             # next link (page size plays no termination role)
-            next_url = body.get(cfg.next_token_field) if isinstance(body, dict) else None
+            next_url = _next_token(cfg, body, resp_headers)
             if not next_url:
                 return
         else:
-            if len(records) < cfg.page_size:
+            if cfg.stop_condition is None and len(records) < cfg.page_size:
                 return
 
 

@@ -719,3 +719,219 @@ def test_declarative_streams_through_read_catalog(spark, ts_api, api, tmp_path):
     # re-run converges: no new windows, same content
     read_catalog(spark, ConfiguredCatalog(streams=(inc, snap)), lake)
     assert {r["url"]: r["val"] for r in t_inc.read().collect()} == final
+
+
+# ------------------------------------------- requester/paginator extras
+
+
+def test_declarative_token_auth_stop_condition_and_post_body(spark):
+    """Manifest-level coverage of the requester/paginator extras:
+    - authenticator: {type: token} -> interpolated Bearer header
+      (requests_native_auth TokenAuthenticator parity)
+    - http_method POST + request_body_json + params_in_body (search
+      endpoint shape; http_requester request_body_json)
+    - paginator stop_condition template over decoded_response
+      (conditional_paginator.py:13-41)
+    - retrier: {max_retries, retry_factor} (default_retrier.py:12-28)
+      exercised by one 429 mid-read."""
+    rows = [{"id": i, "score": i * 2} for i in range(1, 91)]
+    seen = {"auths": [], "bodies": [], "n_429": 1}
+
+    class H(BaseHTTPRequestHandler):
+        def log_message(self, *a):
+            pass
+
+        def _json(self, code, body, hdrs=None):
+            data = json.dumps(body).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            for k, v in (hdrs or {}).items():
+                self.send_header(k, v)
+            self.send_header("Content-Length", str(len(data)))
+            self.end_headers()
+            self.wfile.write(data)
+
+        def do_POST(self):
+            body = json.loads(
+                self.rfile.read(int(self.headers.get("Content-Length", 0)))
+            )
+            seen["auths"].append(self.headers.get("X-Api-Key"))
+            seen["bodies"].append(body)
+            if seen["n_429"] > 0:
+                seen["n_429"] -= 1
+                return self._json(429, {"error": "slow"}, {"Retry-After": "0"})
+            off = int(body.get("offset", 0))
+            lim = int(body.get("limit", 100))
+            page = rows[off : off + lim]
+            return self._json(
+                200,
+                {"results": page, "is_last": off + lim >= len(rows)},
+            )
+
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), H)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        manifest = {
+            "version": "0.1.0",
+            "streams": [
+                {
+                    "name": "scores",
+                    "requester": {
+                        "url_base": "{{ config.api_url }}",
+                        "path": "search",
+                        "http_method": "POST",
+                        "params_in_body": True,
+                        "request_body_json": {
+                            "query": "kind:{{ config.kind }}",
+                        },
+                        "authenticator": {
+                            "type": "token",
+                            "api_token": "{{ config.api_key }}",
+                            "header": "X-Api-Key",
+                            "prefix": "",
+                        },
+                        "retrier": {"max_retries": 3, "retry_factor": 0.01},
+                    },
+                    "record_selector": "results",
+                    "paginator": {
+                        "type": "offset",
+                        "page_size": 40,
+                        "stop_condition": "{{ decoded_response.is_last }}",
+                    },
+                    "json_schema": {
+                        "properties": {
+                            "id": {"type": "integer"},
+                            "score": {"type": "integer"},
+                        }
+                    },
+                }
+            ],
+        }
+        src = DeclarativeSource(
+            manifest,
+            {
+                "api_url": f"http://127.0.0.1:{srv.server_port}",
+                "api_key": "sekrit-key",
+                "kind": "score",
+            },
+        )
+        df = src.streams["scores"].read(spark)
+        got = sorted(r.id for r in df.collect())
+        assert got == [r["id"] for r in rows]
+        # full final page (40+40+10... rows=90: pages 40/40/10) — the
+        # LAST page is short here, so prove the condition fired by
+        # request count: 1x429 + 3 pages, no 4th empty-page request
+        assert len(seen["bodies"]) == 4
+        assert all(a == "sekrit-key" for a in seen["auths"])
+        # static interpolated body rides along with paging params
+        assert all(b["query"] == "kind:score" for b in seen["bodies"])
+        # retried request resent the original body
+        assert seen["bodies"][0] == seen["bodies"][1]
+    finally:
+        srv.shutdown()
+
+
+def test_declarative_stop_condition_full_final_page(spark):
+    """A FULL final page + is_last=true: the stop condition terminates
+    without the extra empty-page request the short-page rule needs."""
+    rows = [{"id": i, "score": i} for i in range(1, 81)]  # 2 pages of 40
+    n_req = []
+
+    class H(BaseHTTPRequestHandler):
+        def log_message(self, *a):
+            pass
+
+        def do_GET(self):
+            q = {k: v[0] for k, v in parse_qs(urlparse(self.path).query).items()}
+            off = int(q.get("offset", 0))
+            n_req.append(off)
+            page = rows[off : off + 40]
+            body = {"data": page, "is_last": off + 40 >= len(rows)}
+            data = json.dumps(body).encode()
+            self.send_response(200)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(data)))
+            self.end_headers()
+            self.wfile.write(data)
+
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), H)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        manifest = {
+            "streams": [
+                {
+                    "name": "s",
+                    "requester": {"url_base": "{{ config.api_url }}", "path": "x"},
+                    "paginator": {
+                        "type": "offset",
+                        "page_size": 40,
+                        "stop_condition": "{{ decoded_response.is_last }}",
+                    },
+                    "json_schema": {
+                        "properties": {
+                            "id": {"type": "integer"},
+                            "score": {"type": "integer"},
+                        }
+                    },
+                }
+            ]
+        }
+        src = DeclarativeSource(
+            manifest, {"api_url": f"http://127.0.0.1:{srv.server_port}"}
+        )
+        assert src.streams["s"].read(spark).count() == len(rows)
+        assert n_req == [0, 40]  # exactly 2 requests — no empty 3rd page
+    finally:
+        srv.shutdown()
+
+
+def test_declarative_oauth2_authenticator_builds(spark):
+    """authenticator: {type: oauth2} builds an Oauth2Authenticator with
+    interpolated credentials; unknown types reject."""
+    manifest = {
+        "streams": [
+            {
+                "name": "s",
+                "requester": {
+                    "url_base": "http://api.example",
+                    "path": "x",
+                    "authenticator": {
+                        "type": "oauth2",
+                        "token_refresh_endpoint": "{{ config.api_url }}/token",
+                        "client_id": "{{ config.client_id }}",
+                        "client_secret": "{{ config.client_secret }}",
+                        "refresh_token": "{{ config.refresh_token }}",
+                    },
+                },
+                "json_schema": {"properties": {"id": {"type": "integer"}}},
+            }
+        ]
+    }
+    src = DeclarativeSource(
+        manifest,
+        {
+            "api_url": "http://auth.example",
+            "client_id": "cid",
+            "client_secret": "cs",
+            "refresh_token": "rt",
+        },
+    )
+    cfg = src.streams["s"].http_config()
+    assert cfg.auth is not None
+    assert cfg.auth.token_refresh_endpoint == "http://auth.example/token"
+    assert cfg.auth.client_id == "cid"
+
+    bad = {
+        "streams": [
+            {
+                "name": "b",
+                "requester": {
+                    "url_base": "http://x",
+                    "authenticator": {"type": "hmac"},
+                },
+                "json_schema": {"properties": {}},
+            }
+        ]
+    }
+    with pytest.raises(ValueError, match="unknown authenticator"):
+        DeclarativeSource(bad, {}).streams["b"].http_config()

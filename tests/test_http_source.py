@@ -521,3 +521,182 @@ def test_url_pagination_follows_next_links():
         assert [r["ver"] for r in got] == [r["ver"] for r in rows]
     finally:
         srv.shutdown()
+
+
+def test_parse_link_next_rfc5988():
+    from airbyte_integrations_spark.sources.http import _parse_link_next
+
+    h = ('<https://api.example/items?page=3>; rel="next", '
+         '<https://api.example/items?page=9>; rel="last"')
+    assert _parse_link_next(h) == "https://api.example/items?page=3"
+    assert _parse_link_next('<https://x/>; rel="prev"') is None
+    assert _parse_link_next(None) is None
+    assert _parse_link_next("") is None
+
+
+def test_nested_next_token_path():
+    """next_token_field as a dotted path into the body — the
+    InterpolatedPaginator decoded_response namespace restricted to
+    field paths (interpolated_paginator.py:21-29)."""
+    rows = _rows(70)
+
+    class H(BaseHTTPRequestHandler):
+        def log_message(self, *a):
+            pass
+
+        def do_GET(self):
+            q = {k: v[0] for k, v in parse_qs(urlparse(self.path).query).items()}
+            off = int(q.get("cursor", 0))
+            page = rows[off : off + 30]
+            body = {"data": page, "meta": {}}
+            if off + 30 < len(rows):
+                body["meta"]["next"] = off + 30
+            data = json.dumps(body).encode()
+            self.send_response(200)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(data)))
+            self.end_headers()
+            self.wfile.write(data)
+
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), H)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        cfg = HttpStreamConfig(
+            url_base=f"http://127.0.0.1:{srv.server_port}", path="t",
+            pagination="token", page_param="cursor",
+            next_token_field="meta.next", max_retries=2, retry_factor=0.01,
+        )
+        got = list(fetch_records(cfg))
+        assert [r["ver"] for r in got] == [r["ver"] for r in rows]
+    finally:
+        srv.shutdown()
+
+
+def test_link_header_pagination():
+    """token_in_header='Link': GitHub-style RFC5988 next links in the
+    RESPONSE HEADER drive pagination (the reference paginator's
+    ``headers`` namespace)."""
+    rows = _rows(75)
+    seen = []
+
+    class H(BaseHTTPRequestHandler):
+        def log_message(self, *a):
+            pass
+
+        def do_GET(self):
+            seen.append(self.path)
+            q = {k: v[0] for k, v in parse_qs(urlparse(self.path).query).items()}
+            p = int(q.get("page", 1))
+            page = rows[(p - 1) * 30 : p * 30]
+            hdrs = {}
+            if p * 30 < len(rows):
+                nxt = f"http://127.0.0.1:{self.server.server_port}/gh?page={p + 1}"
+                hdrs["Link"] = f'<{nxt}>; rel="next", <http://x/>; rel="last"'
+            data = json.dumps(page).encode()  # body IS the list (GitHub shape)
+            self.send_response(200)
+            self.send_header("Content-Type", "application/json")
+            for k, v in hdrs.items():
+                self.send_header(k, v)
+            self.send_header("Content-Length", str(len(data)))
+            self.end_headers()
+            self.wfile.write(data)
+
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), H)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        cfg = HttpStreamConfig(
+            url_base=f"http://127.0.0.1:{srv.server_port}", path="gh",
+            pagination="url", token_in_header="Link", records_field=None,
+            page_size=999, max_retries=2, retry_factor=0.01,
+        )
+        got = list(fetch_records(cfg))
+        assert [r["ver"] for r in got] == [r["ver"] for r in rows]
+        assert len(seen) == 3  # link-driven termination, no 4th request
+    finally:
+        srv.shutdown()
+
+
+def test_stop_condition_replaces_short_page_rule():
+    """ConditionalPaginator (conditional_paginator.py:13-41): the
+    boolean over the decoded response terminates — a FULL final page
+    makes no wasted empty-page request, and a short mid-stream page
+    does NOT terminate."""
+    rows = _rows(90)
+    pages = [rows[0:40], rows[40:50], rows[50:90]]  # short page MID-stream
+    n_req = []
+
+    class H(BaseHTTPRequestHandler):
+        def log_message(self, *a):
+            pass
+
+        def do_GET(self):
+            q = {k: v[0] for k, v in parse_qs(urlparse(self.path).query).items()}
+            p = int(q.get("page", 0))
+            n_req.append(p)
+            body = {"data": pages[p] if p < len(pages) else [],
+                    "is_last": p >= len(pages) - 1}
+            data = json.dumps(body).encode()
+            self.send_response(200)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(data)))
+            self.end_headers()
+            self.wfile.write(data)
+
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), H)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        cfg = HttpStreamConfig(
+            url_base=f"http://127.0.0.1:{srv.server_port}", path="c",
+            pagination="page", page_param="page", size_param="limit",
+            page_size=40, max_retries=2, retry_factor=0.01,
+            stop_condition=lambda body, headers, recs: bool(body.get("is_last")),
+        )
+        got = list(fetch_records(cfg))
+        assert [r["ver"] for r in got] == [r["ver"] for r in rows]
+        assert n_req == [0, 1, 2]  # short page 1 kept going; full page 2 stopped
+    finally:
+        srv.shutdown()
+
+
+def test_retried_post_resends_original_body():
+    """Regression: a 429 mid-POST must retry with the ORIGINAL JSON
+    body, not the error text (the `body` local must never clobber the
+    request-body parameter)."""
+    bodies = []
+    fails = [2]
+
+    class H(BaseHTTPRequestHandler):
+        def log_message(self, *a):
+            pass
+
+        def do_POST(self):
+            raw = self.rfile.read(int(self.headers.get("Content-Length", 0)))
+            bodies.append(json.loads(raw))
+            if fails[0] > 0:
+                fails[0] -= 1
+                data = json.dumps({"error": "slow down"}).encode()
+                self.send_response(429)
+                self.send_header("Retry-After", "0")
+            else:
+                data = json.dumps({"data": [{"id": "a", "ver": 1, "name": "x"}]}).encode()
+                self.send_response(200)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(data)))
+            self.end_headers()
+            self.wfile.write(data)
+
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), H)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        cfg = HttpStreamConfig(
+            url_base=f"http://127.0.0.1:{srv.server_port}", path="search",
+            http_method="POST", params_in_body=True, page_size=10,
+            max_retries=4, retry_factor=0.01,
+        )
+        got = list(fetch_records(cfg, {"q": "web"}))
+        assert len(got) == 1
+        assert len(bodies) == 3  # 2 failures + success
+        assert all(b == bodies[0] for b in bodies), bodies
+        assert bodies[0]["q"] == "web"
+    finally:
+        srv.shutdown()
