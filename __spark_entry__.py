@@ -4317,6 +4317,201 @@ SELECT doc_id, lang, n_chars FROM documents
 """
 
 
+def q_http_search_post_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POST/search API with a conditional paginator, value-oracled
+    against the table read whole (sources/http.py — reference:
+    HttpStream.http_method + request_body_json, airbyte-cdk
+    http.py:89,163-189; ConditionalPaginator stop condition,
+    declarative/requesters/paginators/conditional_paginator.py:13-41).
+    The fixture is a search endpoint that takes its window + paging
+    params in a JSON POST body and marks the final page with
+    ``is_last`` — the stop CONDITION terminates pagination (a full
+    final page never costs a wasted empty-page request; the short-page
+    rule is disabled). 4 cursor-window slices fan out to executor
+    tasks; records parse JVM-side. Oracle = the parquet read whole:
+    equality proves body-routed paging + conditional termination loses
+    and duplicates nothing.
+
+    Scale shape: identical to http_paged_read — slices distribute, the
+    per-page POST body is built ON the executor, and the conditional
+    stop saves one round-trip per slice (material when slices are
+    thousands of shard reads against a rate-limited API)."""
+    import json as _json
+    import threading
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    import pyarrow.parquet as _pq
+    from pyspark.sql import types as T
+
+    from airbyte_integrations_spark.sources.http import (
+        HttpStreamConfig,
+        plan_window_slices,
+        read_http_stream,
+    )
+
+    tune_session(spark)
+    tbl = _pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "lang", "n_chars"],
+    )
+    rows = sorted(tbl.to_pylist(), key=lambda r: r["doc_id"])
+    hi = rows[-1]["doc_id"] if rows else 0
+
+    class _H(BaseHTTPRequestHandler):
+        def log_message(self, *a):
+            pass
+
+        def do_POST(self):
+            q = _json.loads(
+                self.rfile.read(int(self.headers.get("Content-Length", 0)))
+            )
+            rs = [
+                r for r in rows
+                if r["doc_id"] > int(q.get("since", -(2**62)))
+                and r["doc_id"] <= int(q.get("until", 2**62))
+            ]
+            off, lim = int(q.get("offset", 0)), int(q.get("limit", 100))
+            body = {
+                "results": rs[off : off + lim],
+                "is_last": off + lim >= len(rs),
+            }
+            data = _json.dumps(body).encode()
+            self.send_response(200)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(data)))
+            self.end_headers()
+            self.wfile.write(data)
+
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), _H)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        cfg = HttpStreamConfig(
+            url_base=f"http://127.0.0.1:{srv.server_port}",
+            path="search",
+            records_field="results",
+            page_size=173,  # not a divisor of the row count: real pagination
+            pagination="offset",
+            http_method="POST",
+            params_in_body=True,
+            stop_condition=lambda body, headers, recs: bool(body.get("is_last")),
+        )
+        slices = [
+            {"since": lo, "until": hi_}
+            for lo, hi_ in plan_window_slices(None, hi, max(hi // 4, 1))
+        ]
+        schema = T.StructType(
+            [
+                T.StructField("doc_id", T.LongType()),
+                T.StructField("lang", T.StringType()),
+                T.StructField("n_chars", T.LongType()),
+            ]
+        )
+        out = read_http_stream(spark, cfg, slices, schema)
+        return out.localCheckpoint(eager=True)
+    finally:
+        srv.shutdown()
+
+
+O_HTTP_SEARCH_POST_READ = """
+SELECT doc_id, lang, n_chars FROM documents
+"""
+
+
+def q_http_link_header_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFC5988 Link-header pagination value-oracled against the table
+    read whole (sources/http.py — reference: NextPageUrlPaginator +
+    the InterpolatedPaginator ``headers`` namespace,
+    declarative/requesters/paginators/next_page_url_paginator.py,
+    interpolated_paginator.py:21-29). The fixture is the GitHub API
+    shape: the response body IS the record list and the next page
+    travels ONLY in a ``Link: <url>; rel="next"`` response header —
+    termination is link-driven. One slice per lang partition fans out
+    to executor tasks, each walking its own link chain. Oracle = the
+    parquet read whole: equality proves header-driven link walking
+    loses and duplicates nothing.
+
+    Scale shape: link chains are inherently serial PER SLICE, so the
+    slice list (here: lang partitions; in production: repos/orgs/
+    shards) is what distributes — N chains walk concurrently, records
+    parse JVM-side."""
+    import json as _json
+    import threading
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+    from urllib.parse import parse_qs, urlparse
+
+    import pyarrow.parquet as _pq
+    from pyspark.sql import types as T
+
+    from airbyte_integrations_spark.sources.http import (
+        HttpStreamConfig,
+        read_http_stream,
+    )
+
+    tune_session(spark)
+    tbl = _pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "lang", "n_chars"],
+    )
+    rows = sorted(tbl.to_pylist(), key=lambda r: r["doc_id"])
+    by_lang: dict[str, list] = {}
+    for r in rows:
+        by_lang.setdefault(r["lang"], []).append(r)
+
+    class _H(BaseHTTPRequestHandler):
+        def log_message(self, *a):
+            pass
+
+        def do_GET(self):
+            u = urlparse(self.path)
+            q = {k: v[0] for k, v in parse_qs(u.query).items()}
+            rs = by_lang.get(q.get("lang", ""), [])
+            off = int(q.get("cursor", 0))
+            page = rs[off : off + 83]  # fixed server page size
+            data = _json.dumps(page).encode()  # body IS the list
+            self.send_response(200)
+            self.send_header("Content-Type", "application/json")
+            if off + 83 < len(rs):
+                nxt = (
+                    f"http://127.0.0.1:{self.server.server_port}/gh"
+                    f"?lang={q.get('lang','')}&cursor={off + 83}"
+                )
+                self.send_header(
+                    "Link", f'<{nxt}>; rel="next", <http://x/last>; rel="last"'
+                )
+            self.send_header("Content-Length", str(len(data)))
+            self.end_headers()
+            self.wfile.write(data)
+
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), _H)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        cfg = HttpStreamConfig(
+            url_base=f"http://127.0.0.1:{srv.server_port}",
+            path="gh",
+            records_field=None,  # GitHub shape: the body IS the list
+            pagination="url",
+            token_in_header="Link",
+            page_size=10_000,  # deliberately irrelevant: links terminate
+        )
+        slices = [{"lang": lg} for lg in sorted(by_lang)]
+        schema = T.StructType(
+            [
+                T.StructField("doc_id", T.LongType()),
+                T.StructField("lang", T.StringType()),
+                T.StructField("n_chars", T.LongType()),
+            ]
+        )
+        out = read_http_stream(spark, cfg, slices, schema)
+        return out.localCheckpoint(eager=True)
+    finally:
+        srv.shutdown()
+
+
+O_HTTP_LINK_HEADER_READ = """
+SELECT doc_id, lang, n_chars FROM documents
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "cdc_latest_wins": q_cdc_latest_wins,
@@ -4335,6 +4530,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_catalog_sync": q_cdc_catalog_sync,
         "http_paged_read": q_http_paged_read,
         "http_declarative_substream": q_http_declarative_substream,
+        "http_search_post_read": q_http_search_post_read,
+        "http_link_header_read": q_http_link_header_read,
         "json_extract_cast": q_json_extract_cast,
         "docs_exact_dedup": q_docs_exact_dedup,
         "docs_fingerprint": q_docs_fingerprint,
@@ -4409,6 +4606,8 @@ def oracle_sql() -> dict[str, str]:
     return {
         "http_paged_read": O_HTTP_PAGED_READ,
         "http_declarative_substream": O_HTTP_DECLARATIVE_SUBSTREAM,
+        "http_search_post_read": O_HTTP_SEARCH_POST_READ,
+        "http_link_header_read": O_HTTP_LINK_HEADER_READ,
         "cdc_latest_wins": O_CDC_LATEST_WINS,
         "cdc_winner_agg": O_CDC_WINNER_AGG,
         "cdc_scd2_history": O_CDC_SCD2,
