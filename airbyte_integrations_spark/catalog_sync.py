@@ -282,6 +282,138 @@ def _read_stream_events(
     raise ValueError(f"unknown source kind: {kind!r}")
 
 
+def _sync_stream(
+    spark: SparkSession,
+    cs: ConfiguredStream,
+    table: LakeTable,
+    state: dict | None,
+    max_events_per_epoch: int,
+    extract_missing_text: bool,
+) -> None:
+    """Sync ONE configured stream to its table (every commit inside is
+    epoch-keyed and idempotent — kill/re-run converges). Thread-safe:
+    touches only this stream's table."""
+    cfg = cs.config
+    if cs.source.get("kind") == "http" and cfg.sync_mode == SyncMode.INCREMENTAL:
+        # paginated API stream: cursor-window slices with their own
+        # per-slice epoch commits + STATE cadence (sources/http.py)
+        from airbyte_integrations_spark.sources.http import sync_http_incremental
+
+        sync_http_incremental(
+            spark,
+            cs.source["config"],
+            table,
+            cfg,
+            cs.source["record_schema"],
+            key_col=cs.source["key_col"],
+            cursor_col=cs.source["cursor_col"],
+            to_lsn=cs.source["to_lsn"],
+            slice_width=cs.source.get("slice_width", 1_000_000),
+            since_param=cs.source.get("since_param", "since"),
+            until_param=cs.source.get("until_param", "until"),
+            updated_at_col=cs.source.get("updated_at_col"),
+            deleted_at_col=cs.source.get("deleted_at_col"),
+            seed_lsn=_seed_state(state, cfg.stream)[0],
+        )
+        return
+    if (
+        cs.source.get("kind") == "declarative"
+        and cfg.sync_mode == SyncMode.INCREMENTAL
+    ):
+        # low-code manifest stream: datetime-window slices with
+        # per-window epoch commits + the max-cursor-seen state rule
+        # (sources/declarative.py sync_incremental)
+        from airbyte_integrations_spark.sources.declarative import (
+            DeclarativeSource,
+        )
+
+        src = DeclarativeSource(cs.source["manifest"], cs.source["config"])
+        if cs.source.get("record_schema") is not None:
+            # caller-pinned Spark schema (e.g. timestamp cursors)
+            src.streams[cs.source["stream"]].spark_schema = (
+                lambda s=cs.source["record_schema"]: s
+            )
+        src.sync_incremental(
+            spark,
+            cs.source["stream"],
+            table,
+            cfg,
+            key_col=cs.source["key_col"],
+            cursor_col=cs.source["cursor_col"],
+            updated_at_col=cs.source.get("updated_at_col"),
+            deleted_at_col=cs.source.get("deleted_at_col"),
+        )
+        return
+    events, epoch_key, epoch_meta = _read_stream_events(spark, cs, table, state)
+    if events is not None:
+        if (
+            cfg.sync_mode == SyncMode.INCREMENTAL
+            and cfg.destination_sync_mode == DestinationSyncMode.APPEND_DEDUP
+            and epoch_key is None
+        ):
+            # lsn-sliced exactly-once replay with resume
+            run_sync(
+                spark,
+                events,
+                table,
+                cfg,
+                max_events_per_epoch=max_events_per_epoch,
+                extract_missing_text=extract_missing_text,
+            )
+        else:
+            # full refresh / append paths: one batch through the
+            # (sync_mode, destination_sync_mode) matrix
+            if (
+                epoch_key is None
+                and cfg.destination_sync_mode == DestinationSyncMode.OVERWRITE
+            ):
+                # overwrite truncates (create has no committed-skip),
+                # so a constant key is safe; it marks the snapshot in
+                # the fresh manifest's commit log for state reporting
+                epoch_key = "full:0"
+            if (
+                epoch_key is None
+                and cfg.sync_mode == SyncMode.INCREMENTAL
+                and cfg.destination_sync_mode == DestinationSyncMode.APPEND
+            ):
+                # incremental+append from cdc_log/jdbc/dataframe
+                # sources: WITHOUT a synthesized epoch the append has
+                # no committed-epoch skip and never advances the
+                # watermark, so every re-run (or crash-resume) would
+                # re-append the whole source. Filter past the durable
+                # watermark and commit under a deterministic
+                # lsn-bounded epoch key carrying to_lsn — re-running
+                # the same batch is then an epoch no-op and the
+                # watermark advances exactly like the dedup path.
+                if "_ab_cdc_lsn" not in events.columns:
+                    raise ValueError(
+                        f"stream {cfg.stream!r}: incremental+append needs an "
+                        "_ab_cdc_lsn column to synthesize an idempotent epoch "
+                        "(cdc_log/jdbc sources provide it; file sources use "
+                        "their mtime epoch); use append_dedup or full_refresh "
+                        "for sources without a total order"
+                    )
+                wm = table.watermark(cfg.stream)
+                if wm is not None:
+                    events = events.filter(F.col("_ab_cdc_lsn") > F.lit(wm))
+                # bounded metadata collect: one (min, max) row
+                lo, hi = events.agg(
+                    F.min("_ab_cdc_lsn"), F.max("_ab_cdc_lsn")
+                ).first()
+                if hi is None:
+                    events = None  # nothing past the watermark
+                else:
+                    epoch_key = f"incr:{int(hi)}"
+                    epoch_meta = {
+                        "from_lsn": int(lo),
+                        "to_lsn": int(hi),
+                        **(epoch_meta or {}),
+                    }
+            if events is not None:
+                apply_batch(table, events, cfg, epoch=epoch_key, epoch_meta=epoch_meta)
+    return
+
+
 def read_catalog(
     spark: SparkSession,
     catalog: ConfiguredCatalog,
@@ -290,6 +422,7 @@ def read_catalog(
     max_events_per_epoch: int = 1_000_000,
     extract_missing_text: bool = False,
     on_stream_committed=None,
+    max_concurrency: int = 1,
 ) -> list[dict]:
     """Sync every configured stream; returns the emitted STATE messages
     (one combined PER_STREAM document after each stream's commit).
@@ -298,140 +431,60 @@ def read_catalog(
     streams re-apply as epoch no-ops, the interrupted stream resumes
     from its durable watermark, and unstarted streams run fresh.
     `on_stream_committed(stream_name)` is a test hook fired after each
-    stream's durable commit (crash injection)."""
-    messages: list[dict] = []
-    for cs in ordered_streams(catalog):
-        cfg = cs.config
-        table = stream_table(spark, lake_root, cfg.stream)
-        if cs.source.get("kind") == "http" and cfg.sync_mode == SyncMode.INCREMENTAL:
-            # paginated API stream: cursor-window slices with their own
-            # per-slice epoch commits + STATE cadence (sources/http.py)
-            from airbyte_integrations_spark.sources.http import sync_http_incremental
+    stream's durable commit (crash injection).
 
-            sync_http_incremental(
-                spark,
-                cs.source["config"],
-                table,
-                cfg,
-                cs.source["record_schema"],
-                key_col=cs.source["key_col"],
-                cursor_col=cs.source["cursor_col"],
-                to_lsn=cs.source["to_lsn"],
-                slice_width=cs.source.get("slice_width", 1_000_000),
-                since_param=cs.source.get("since_param", "since"),
-                until_param=cs.source.get("until_param", "until"),
-                updated_at_col=cs.source.get("updated_at_col"),
-                deleted_at_col=cs.source.get("deleted_at_col"),
-                seed_lsn=_seed_state(state, cfg.stream)[0],
+    max_concurrency > 1 runs streams CONCURRENTLY in two waves —
+    all incremental streams, then all full-refresh streams — preserving
+    the reference's group-level ordering (AbstractDbSource.java:135-140)
+    while letting independent streams' Spark jobs overlap in the
+    scheduler (the reference worker is strictly serial; on a cluster,
+    serial streams leave executors idle during each stream's planning
+    and commit barriers). Each stream syncs into its OWN table, so
+    streams share no commit log; each worker thread tags its jobs with
+    a per-stream FAIR scheduler pool. STATE messages are still emitted
+    one-per-commit, in commit order."""
+    if max_concurrency <= 1:
+        messages: list[dict] = []
+        for cs in ordered_streams(catalog):
+            table = stream_table(spark, lake_root, cs.config.stream)
+            _sync_stream(
+                spark, cs, table, state, max_events_per_epoch, extract_missing_text
             )
-            msg = catalog_state_message(spark, catalog, lake_root)
-            messages.append(msg)
+            messages.append(catalog_state_message(spark, catalog, lake_root))
             if on_stream_committed is not None:
-                on_stream_committed(cfg.stream)
-            continue
-        if (
-            cs.source.get("kind") == "declarative"
-            and cfg.sync_mode == SyncMode.INCREMENTAL
-        ):
-            # low-code manifest stream: datetime-window slices with
-            # per-window epoch commits + the max-cursor-seen state rule
-            # (sources/declarative.py sync_incremental)
-            from airbyte_integrations_spark.sources.declarative import (
-                DeclarativeSource,
-            )
+                on_stream_committed(cs.config.stream)
+        return messages
 
-            src = DeclarativeSource(cs.source["manifest"], cs.source["config"])
-            if cs.source.get("record_schema") is not None:
-                # caller-pinned Spark schema (e.g. timestamp cursors)
-                src.streams[cs.source["stream"]].spark_schema = (
-                    lambda s=cs.source["record_schema"]: s
-                )
-            src.sync_incremental(
-                spark,
-                cs.source["stream"],
-                table,
-                cfg,
-                key_col=cs.source["key_col"],
-                cursor_col=cs.source["cursor_col"],
-                updated_at_col=cs.source.get("updated_at_col"),
-                deleted_at_col=cs.source.get("deleted_at_col"),
-            )
-            msg = catalog_state_message(spark, catalog, lake_root)
-            messages.append(msg)
+    import threading
+    from concurrent.futures import ThreadPoolExecutor
+
+    lock = threading.Lock()
+    messages = []
+
+    def run_one(cs: ConfiguredStream) -> None:
+        # per-thread local property: jobs from this stream land in
+        # their own FAIR pool (no-op under the default FIFO scheduler)
+        spark.sparkContext.setLocalProperty(
+            "spark.scheduler.pool", f"stream-{cs.config.stream}"
+        )
+        table = stream_table(spark, lake_root, cs.config.stream)
+        _sync_stream(
+            spark, cs, table, state, max_events_per_epoch, extract_missing_text
+        )
+        with lock:
+            messages.append(catalog_state_message(spark, catalog, lake_root))
             if on_stream_committed is not None:
-                on_stream_committed(cfg.stream)
+                on_stream_committed(cs.config.stream)
+
+    inc = [s2 for s2 in catalog.streams if s2.config.sync_mode == SyncMode.INCREMENTAL]
+    full = [s2 for s2 in catalog.streams if s2.config.sync_mode != SyncMode.INCREMENTAL]
+    for wave in (inc, full):
+        if not wave:
             continue
-        events, epoch_key, epoch_meta = _read_stream_events(spark, cs, table, state)
-        if events is not None:
-            if (
-                cfg.sync_mode == SyncMode.INCREMENTAL
-                and cfg.destination_sync_mode == DestinationSyncMode.APPEND_DEDUP
-                and epoch_key is None
-            ):
-                # lsn-sliced exactly-once replay with resume
-                run_sync(
-                    spark,
-                    events,
-                    table,
-                    cfg,
-                    max_events_per_epoch=max_events_per_epoch,
-                    extract_missing_text=extract_missing_text,
-                )
-            else:
-                # full refresh / append paths: one batch through the
-                # (sync_mode, destination_sync_mode) matrix
-                if (
-                    epoch_key is None
-                    and cfg.destination_sync_mode == DestinationSyncMode.OVERWRITE
-                ):
-                    # overwrite truncates (create has no committed-skip),
-                    # so a constant key is safe; it marks the snapshot in
-                    # the fresh manifest's commit log for state reporting
-                    epoch_key = "full:0"
-                if (
-                    epoch_key is None
-                    and cfg.sync_mode == SyncMode.INCREMENTAL
-                    and cfg.destination_sync_mode == DestinationSyncMode.APPEND
-                ):
-                    # incremental+append from cdc_log/jdbc/dataframe
-                    # sources: WITHOUT a synthesized epoch the append has
-                    # no committed-epoch skip and never advances the
-                    # watermark, so every re-run (or crash-resume) would
-                    # re-append the whole source. Filter past the durable
-                    # watermark and commit under a deterministic
-                    # lsn-bounded epoch key carrying to_lsn — re-running
-                    # the same batch is then an epoch no-op and the
-                    # watermark advances exactly like the dedup path.
-                    if "_ab_cdc_lsn" not in events.columns:
-                        raise ValueError(
-                            f"stream {cfg.stream!r}: incremental+append needs an "
-                            "_ab_cdc_lsn column to synthesize an idempotent epoch "
-                            "(cdc_log/jdbc sources provide it; file sources use "
-                            "their mtime epoch); use append_dedup or full_refresh "
-                            "for sources without a total order"
-                        )
-                    wm = table.watermark(cfg.stream)
-                    if wm is not None:
-                        events = events.filter(F.col("_ab_cdc_lsn") > F.lit(wm))
-                    # bounded metadata collect: one (min, max) row
-                    lo, hi = events.agg(
-                        F.min("_ab_cdc_lsn"), F.max("_ab_cdc_lsn")
-                    ).first()
-                    if hi is None:
-                        events = None  # nothing past the watermark
-                    else:
-                        epoch_key = f"incr:{int(hi)}"
-                        epoch_meta = {
-                            "from_lsn": int(lo),
-                            "to_lsn": int(hi),
-                            **(epoch_meta or {}),
-                        }
-                if events is not None:
-                    apply_batch(table, events, cfg, epoch=epoch_key, epoch_meta=epoch_meta)
-        msg = catalog_state_message(spark, catalog, lake_root)
-        messages.append(msg)
-        if on_stream_committed is not None:
-            on_stream_committed(cfg.stream)
+        with ThreadPoolExecutor(max_workers=max_concurrency) as pool:
+            futures = [pool.submit(run_one, cs) for cs in wave]
+            for f in futures:
+                f.result()  # propagate the first failure
     return messages
 
 

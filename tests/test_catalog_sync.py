@@ -306,3 +306,44 @@ def test_global_state_flavor_min_watermark(spark, tmp_path, derby_db):
     assert g["state"]["global"]["n_epochs_committed"] == sum(
         e["state"]["n_epochs_committed"] for e in per["state"]["streams"]
     )
+
+
+def test_concurrent_catalog_matches_serial(spark, tmp_path, derby_db):
+    """max_concurrency > 1: streams sync concurrently in two waves
+    (incremental, then full-refresh) and the final lake state is
+    identical to a serial run — each stream owns its table, commits
+    stay epoch-keyed idempotent, and one combined STATE per commit
+    still goes out (commit order, not catalog order)."""
+    ev, log = _cdc_log(spark, tmp_path, "conc")
+    root = _files_root(spark, tmp_path, "conc")
+    cat = _catalog(spark, tmp_path, derby_db, log, root)
+
+    lake_ser = str(tmp_path / "lake_ser")
+    lake_con = str(tmp_path / "lake_con")
+    read_catalog(spark, cat, lake_ser, max_events_per_epoch=300)
+    committed = []
+    msgs = read_catalog(
+        spark, cat, lake_con, max_events_per_epoch=300,
+        max_concurrency=4, on_stream_committed=committed.append,
+    )
+    assert len(msgs) == 4
+    # wave ordering: every incremental commit precedes every
+    # full-refresh commit, whatever the within-wave interleaving
+    assert committed[-1] == "pages_snapshot"
+    assert set(committed[:3]) == {"pages", "app_accounts", "drops"}
+    for name in ("pages", "pages_snapshot", "app_accounts", "drops"):
+        a = stream_table(spark, lake_ser, name).read().toPandas()
+        b = stream_table(spark, lake_con, name).read().toPandas()
+        cols = sorted(a.columns)
+        pa = a[cols].sort_values(cols).reset_index(drop=True)
+        pb = b[cols].sort_values(cols).reset_index(drop=True)
+        assert pa.equals(pb), name
+
+    # concurrent RE-RUN on the already-synced lake: epoch no-ops
+    before = {
+        n: stream_table(spark, lake_con, n).current_version()
+        for n in ("pages", "app_accounts", "drops")
+    }
+    read_catalog(spark, cat, lake_con, max_events_per_epoch=300, max_concurrency=4)
+    for n, v in before.items():
+        assert stream_table(spark, lake_con, n).current_version() == v, n
