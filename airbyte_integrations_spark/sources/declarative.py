@@ -99,6 +99,21 @@ def _resolve(expr: str, ns: Mapping[str, Any]) -> Any:
     return cur
 
 
+def _single_expr(template: str) -> str | None:
+    """The inner expression when the template is EXACTLY one
+    ``{{ expr }}`` — None otherwise. fullmatch alone is not enough:
+    the lazy ``.*?`` backtracks across ``}}-{{`` in two-expression
+    templates like ``{{ a }}-{{ b }}``, so the inner must also be
+    brace-free."""
+    whole = _EXPR.fullmatch(template.strip())
+    if whole is None:
+        return None
+    inner = whole.group(1)
+    if "{{" in inner or "}}" in inner:
+        return None
+    return inner
+
+
 def interpolate(template: Any, **ns: Any) -> Any:
     """InterpolatedString.eval analogue. A non-string passes through;
     a string that is EXACTLY one ``{{ expr }}`` returns the resolved
@@ -108,9 +123,9 @@ def interpolate(template: Any, **ns: Any) -> Any:
     empty-parent-slice contract of SubstreamSlicer)."""
     if not isinstance(template, str):
         return template
-    whole = _EXPR.fullmatch(template.strip())
-    if whole:
-        return _resolve(whole.group(1), ns)
+    inner = _single_expr(template)
+    if inner is not None:
+        return _resolve(inner, ns)
     return _EXPR.sub(
         lambda m: "" if (v := _resolve(m.group(1), ns)) is None else str(v),
         template,
@@ -122,6 +137,434 @@ def interpolate_mapping(mapping: Mapping[str, Any], **ns: Any) -> dict:
     return {
         interpolate(k, **ns): interpolate(v, **ns) for k, v in mapping.items()
     }
+
+
+# -------------------------------------- record filter / transformations
+#
+# The reference filters and reshapes records CLIENT-side, per record, in
+# Python: ``if record[cursor] >= stream_state[cursor]`` (connectors/
+# source-bigcommerce/source_bigcommerce/source.py:122, source-intercom/
+# source_intercom/source.py:107, source-delighted:76) and
+# ``record["repository"] = stream_slice["repository"]`` /
+# ``record["user_id"] = record["user"]["id"]`` (source-github/
+# source_github/streams.py:174,337,520,602-603,750,783). The declarative
+# CDK's condition language is InterpolatedBoolean
+# (declarative/interpolation/interpolated_boolean.py:10-24).
+#
+# Spark-first re-expression: the condition / value templates COMPILE to
+# Catalyst expressions applied to the parsed DataFrame — record paths
+# become columns, config paths resolve to literals at compile time, and
+# stream_slice paths read from the slice-JSON column that rides along
+# with every record (parsed once as map<string,string>), so filtering
+# and enrichment stay JVM-side instead of a per-record Python loop.
+# Grammar is paths + literals + comparisons + and/or/not/in — no code
+# execution (same restriction as the path-only interpolation above).
+
+_COND_TOKEN = re.compile(
+    r"""(?:
+      (?P<op>==|!=|>=|<=|>|<)
+    | (?P<str>'[^']*'|"[^"]*")
+    | (?P<num>-?\d+(?:\.\d+)?)
+    | (?P<name>[A-Za-z_][A-Za-z0-9_]*)
+    | (?P<punct>[\[\].,()])
+    )""",
+    re.X,
+)
+
+_SLICE_NS = re.compile(r"\bstream_slice\b")
+
+
+def _cond_tokens(src: str) -> list[tuple[str, str]]:
+    out: list[tuple[str, str]] = []
+    pos, n = 0, len(src)
+    while pos < n:
+        if src[pos].isspace():
+            pos += 1
+            continue
+        m = _COND_TOKEN.match(src, pos)
+        if m is None:
+            raise ValueError(
+                f"unparseable condition near {src[pos:pos + 20]!r}"
+            )
+        out.append((m.lastgroup, m.group(m.lastgroup)))
+        pos = m.end()
+    return out
+
+
+def _schema_dtype(record_schema: T.StructType | None, path: list[str]):
+    """Walk the declared record schema down a field path; None when the
+    schema is unknown, ValueError when the schema is known and the
+    field is not (catches manifest typos at build time, not mid-read)."""
+    if record_schema is None:
+        return None
+    cur: T.DataType = record_schema
+    for part in path:
+        if not isinstance(cur, T.StructType) or part not in cur.fieldNames():
+            raise ValueError(
+                f"record field {'.'.join(path)!r} is not in the declared "
+                f"json_schema (have {record_schema.fieldNames()})"
+            )
+        cur = cur[part].dataType
+    return cur
+
+
+class _Operand:
+    """One side of a comparison: a record column (typed), a slice-map
+    lookup (string-typed), or a Python literal/list resolved now."""
+
+    __slots__ = ("kind", "col", "value", "dtype")
+
+    def __init__(self, kind, col=None, value=None, dtype=None):
+        self.kind = kind  # "col" | "slice" | "lit" | "list"
+        self.col = col
+        self.value = value
+        self.dtype = dtype
+
+
+class _ConditionParser:
+    """Recursive-descent parser over the restricted condition grammar::
+
+        or_expr  := and_expr ('or' and_expr)*
+        and_expr := not_expr ('and' not_expr)*
+        not_expr := 'not' not_expr | comparison
+        cmp      := operand (('=='|'!='|'>='|'<='|'>'|'<'|'in'|
+                              'not' 'in') operand)? | '(' or_expr ')'
+        operand  := record/config/stream_slice path | literal | [list]
+
+    ``==``/``!=`` are null-safe (None == None is True — Jinja parity);
+    a bare operand is truthy iff non-null (boolean columns: iff true),
+    matching InterpolatedBoolean's presence-is-truthy rule
+    (interpolated_boolean.py:20-24)."""
+
+    def __init__(self, tokens, config, record_schema, slice_map):
+        self.toks = tokens
+        self.i = 0
+        self.config = config
+        self.schema = record_schema
+        self.slice_map = slice_map
+
+    def _peek(self):
+        return self.toks[self.i] if self.i < len(self.toks) else (None, None)
+
+    def _take(self):
+        t = self._peek()
+        self.i += 1
+        return t
+
+    def _expect(self, kind, val=None):
+        k, v = self._take()
+        if k != kind or (val is not None and v != val):
+            raise ValueError(f"expected {val or kind}, got {v!r}")
+        return v
+
+    # -- grammar -----------------------------------------------------
+    def parse(self):
+        from pyspark.sql import Column
+
+        col = self._or()
+        if self.i != len(self.toks):
+            raise ValueError(f"trailing tokens from {self._peek()[1]!r}")
+        assert isinstance(col, Column)
+        return col
+
+    def _or(self):
+        left = self._and()
+        while self._peek() == ("name", "or"):
+            self._take()
+            left = left | self._and()
+        return left
+
+    def _and(self):
+        left = self._not()
+        while self._peek() == ("name", "and"):
+            self._take()
+            left = left & self._not()
+        return left
+
+    def _not(self):
+        if self._peek() == ("name", "not") and (
+            self.i + 1 >= len(self.toks) or self.toks[self.i + 1][1] != "in"
+        ):
+            self._take()
+            return ~self._not()
+        return self._cmp()
+
+    def _cmp(self):
+        if self._peek() == ("punct", "("):
+            self._take()
+            inner = self._or()
+            self._expect("punct", ")")
+            return inner
+        lhs = self.operand()
+        k, v = self._peek()
+        if k == "op":
+            self._take()
+            return self._compare(lhs, v, self.operand())
+        if (k, v) == ("name", "in"):
+            self._take()
+            return self._compare(lhs, "in", self.operand())
+        if (
+            (k, v) == ("name", "not")
+            and self.i + 1 < len(self.toks)
+            and self.toks[self.i + 1][1] == "in"
+        ):
+            self.i += 2
+            return ~self._compare(lhs, "in", self.operand())
+        return self._truthy(lhs)
+
+    # -- operands ----------------------------------------------------
+    def operand(self) -> _Operand:
+        k, v = self._take()
+        if k == "str":
+            return _Operand("lit", value=v[1:-1])
+        if k == "num":
+            return _Operand(
+                "lit", value=float(v) if "." in v else int(v)
+            )
+        if k == "punct" and v == "[":
+            vals = []
+            while True:
+                o = self.operand()
+                if o.kind != "lit":
+                    raise ValueError("list elements must be literals")
+                vals.append(o.value)
+                k2, v2 = self._take()
+                if (k2, v2) == ("punct", "]"):
+                    return _Operand("list", value=vals)
+                if (k2, v2) != ("punct", ","):
+                    raise ValueError(f"expected , or ] in list, got {v2!r}")
+        if k == "name":
+            low = v.lower()
+            if low in ("true", "false"):
+                return _Operand("lit", value=low == "true")
+            if low in ("none", "null"):
+                return _Operand("lit", value=None)
+            return self._path(v)
+        raise ValueError(f"unexpected token {v!r}")
+
+    def _path(self, ns_name: str) -> _Operand:
+        from pyspark.sql import functions as F
+
+        parts: list[str] = []
+        while True:
+            k, v = self._peek()
+            if (k, v) == ("punct", "."):
+                self._take()
+                parts.append(self._expect("name"))
+            elif (k, v) == ("punct", "["):
+                self._take()
+                key = self._expect("str")
+                parts.append(key[1:-1])
+                self._expect("punct", "]")
+            else:
+                break
+        if not parts:
+            raise ValueError(f"bare name {ns_name!r} (expected a path)")
+        if ns_name == "record":
+            dtype = _schema_dtype(self.schema, parts)
+            return _Operand("col", col=F.col(".".join(parts)), dtype=dtype)
+        if ns_name == "config":
+            cur: Any = self.config
+            for p in parts:
+                if not isinstance(cur, Mapping) or p not in cur:
+                    raise InterpolationError(
+                        f"missing config key {'.'.join(parts)!r}"
+                    )
+                cur = cur[p]
+            return _Operand("lit", value=cur)
+        if ns_name == "stream_slice":
+            if self.slice_map is None:
+                raise ValueError(
+                    "condition references stream_slice but no slice "
+                    "column is available"
+                )
+            if len(parts) != 1:
+                raise ValueError("stream_slice paths are one level deep")
+            return _Operand(
+                "slice", col=F.element_at(self.slice_map, parts[0])
+            )
+        raise ValueError(
+            f"unknown namespace {ns_name!r} (record/config/stream_slice)"
+        )
+
+    # -- comparison building -----------------------------------------
+    def _truthy(self, o: _Operand):
+        from pyspark.sql import functions as F
+
+        if o.kind == "lit":
+            return F.lit(bool(o.value))
+        if o.kind == "col" and isinstance(o.dtype, T.BooleanType):
+            return F.coalesce(o.col, F.lit(False))
+        if o.kind in ("col", "slice"):
+            return o.col.isNotNull()
+        raise ValueError("a bare list is not a condition")
+
+    def _compare(self, lhs: _Operand, op: str, rhs: _Operand):
+        from pyspark.sql import functions as F
+
+        if op == "in":
+            if rhs.kind == "list":
+                return self._as_col(lhs, None).isin(*rhs.value)
+            if rhs.kind == "col" and isinstance(rhs.dtype, T.ArrayType):
+                return F.array_contains(rhs.col, self._as_col(lhs, None))
+            raise ValueError("'in' needs a literal list or an array field")
+        if lhs.kind == "list" or rhs.kind == "list":
+            raise ValueError(f"a list is not comparable with {op!r}")
+        # pick a target dtype so slice-map strings compare typed: the
+        # record column's type wins; a numeric literal forces double
+        dtype = lhs.dtype if lhs.kind == "col" else rhs.dtype
+        if dtype is None:
+            for o in (lhs, rhs):
+                if o.kind == "lit" and isinstance(o.value, bool):
+                    dtype = T.BooleanType()
+                elif o.kind == "lit" and isinstance(o.value, (int, float)):
+                    dtype = T.DoubleType()
+        l, r = self._as_col(lhs, dtype), self._as_col(rhs, dtype)
+        if op == "==":
+            return l.eqNullSafe(r)
+        if op == "!=":
+            return ~l.eqNullSafe(r)
+        return {"<": l < r, "<=": l <= r, ">": l > r, ">=": l >= r}[op]
+
+    def _as_col(self, o: _Operand, dtype):
+        from pyspark.sql import functions as F
+
+        if o.kind == "lit":
+            return F.lit(o.value)
+        if o.kind == "slice" and dtype is not None:
+            return o.col.cast(dtype)
+        return o.col
+
+
+def compile_condition(
+    template: str,
+    *,
+    config: Mapping[str, Any],
+    record_schema: T.StructType | None = None,
+    slice_map=None,
+):
+    """RecordFilter: ``{{ record['created_at'] >= stream_slice[
+    'start_date'] }}`` -> a Catalyst boolean Column. The template must
+    be exactly one ``{{ ... }}`` expression (InterpolatedBoolean's
+    shape). See the grammar on _ConditionParser."""
+    inner = _single_expr(template)
+    if inner is None:
+        raise ValueError(
+            f"record_filter must be one {{{{ ... }}}} expression, "
+            f"got {template!r}"
+        )
+    return _ConditionParser(
+        _cond_tokens(inner), config, record_schema, slice_map
+    ).parse()
+
+
+def compile_value(
+    template: Any,
+    *,
+    config: Mapping[str, Any],
+    record_schema: T.StructType | None = None,
+    slice_map=None,
+):
+    """AddFields value template -> a Catalyst Column. A single
+    ``{{ expr }}`` keeps its native type (``{{ record.user.id }}`` is
+    the typed nested column; ``{{ config.tag }}`` a literal;
+    ``{{ stream_slice.start_date }}`` the slice-map string); a mixed
+    string renders each expression as string and concatenates, None
+    rendering as '' (interpolate() parity)."""
+    from pyspark.sql import functions as F
+
+    if not isinstance(template, str):
+        return F.lit(template)
+
+    def one(expr: str):
+        p = _ConditionParser(
+            _cond_tokens(expr), config, record_schema, slice_map
+        )
+        o = p.operand()
+        if p.i != len(p.toks):
+            raise ValueError(f"value template must be one path: {expr!r}")
+        if o.kind == "lit":
+            return F.lit(o.value)
+        if o.kind == "list":
+            raise ValueError("a list is not a field value")
+        return o.col
+
+    inner = _single_expr(template)
+    if inner is not None:
+        return one(inner)
+    parts, last = [], 0
+    for m in _EXPR.finditer(template):
+        if m.start() > last:
+            parts.append(F.lit(template[last : m.start()]))
+        parts.append(F.coalesce(one(m.group(1)).cast("string"), F.lit("")))
+        last = m.end()
+    if last < len(template):
+        parts.append(F.lit(template[last:]))
+    return F.concat(*parts) if len(parts) > 1 else parts[0]
+
+
+def _field_path(p) -> str:
+    """AddFields path / RemoveFields field_pointer: ["name"] or "name".
+    Top-level only — nested struct rewrite is strictly rejected, not
+    silently wrong."""
+    if isinstance(p, (list, tuple)):
+        if len(p) != 1:
+            raise ValueError(
+                f"nested transformation path {list(p)!r} unsupported "
+                "(top-level fields only)"
+            )
+        p = p[0]
+    if not isinstance(p, str):
+        raise ValueError(f"bad transformation path {p!r}")
+    return p
+
+
+def build_transformations(
+    specs,
+    *,
+    config: Mapping[str, Any],
+    record_schema: T.StructType | None = None,
+    slice_map=None,
+):
+    """Transformation specs -> DataFrame steps, applied in declared
+    order (the reference applies its parse_response record reshaping
+    in code order: source-github streams.py:174,337,602-603)::
+
+        - {type: AddFields, fields: [{path: [branch],
+             value: "{{ stream_slice.branch }}"}]}
+        - {type: RemoveFields, field_pointers: [[obsolete]]}
+    """
+    steps = []
+    for spec in specs or []:
+        t = spec.get("type")
+        if t == "AddFields":
+            compiled = [
+                (
+                    _field_path(f["path"]),
+                    compile_value(
+                        f["value"],
+                        config=config,
+                        record_schema=record_schema,
+                        slice_map=slice_map,
+                    ),
+                )
+                for f in spec.get("fields", [])
+            ]
+
+            def add(df, compiled=compiled):
+                for name, col in compiled:
+                    df = df.withColumn(name, col)
+                return df
+
+            steps.append(add)
+        elif t == "RemoveFields":
+            names = [
+                _field_path(p) for p in spec.get("field_pointers", [])
+            ]
+            steps.append(lambda df, names=names: df.drop(*names))
+        else:
+            raise ValueError(f"unknown transformation type {t!r}")
+    return steps
 
 
 # ---------------------------------------------------------------- slicers
@@ -283,6 +726,8 @@ class DeclarativeStream:
         slicer=None,
         request_params: Mapping[str, Any] | None = None,
         json_schema: Mapping[str, Any] | None = None,
+        record_filter: str | None = None,
+        transformations: list | None = None,
     ):
         self.name = name
         self.requester = requester
@@ -294,6 +739,8 @@ class DeclarativeStream:
         self.slicer = slicer or SingleSlice()
         self.request_params = dict(request_params or {})
         self.json_schema = json_schema
+        self.record_filter = record_filter
+        self.transformations = list(transformations or [])
 
     def _stop_condition(self):
         """ConditionalPaginator's boolean template
@@ -378,6 +825,12 @@ class DeclarativeStream:
             params_in_body=bool(r.get("params_in_body", False)),
             max_retries=int(retrier.get("max_retries", 5)),
             retry_factor=float(retrier.get("retry_factor", 5.0)),
+            retry_on_status=tuple(retrier.get("retry_on_status", ())),
+            backoff_strategy=retrier.get("backoff", {}).get(
+                "type", "exponential"
+            ),
+            backoff_time=float(retrier.get("backoff", {}).get("time", 5.0)),
+            backoff_wait_header=retrier.get("backoff", {}).get("header"),
             auth=auth,
         )
 
@@ -399,6 +852,55 @@ class DeclarativeStream:
             raise ValueError(f"stream {self.name!r} declares no schema")
         return schema_from_json_schema(self.json_schema)
 
+    def _needs_slice_ns(self) -> bool:
+        """True when the record filter or a transformation value
+        references ``stream_slice`` — the read must then carry the
+        slice column for the compiled expressions to draw on."""
+        texts = [self.record_filter or ""]
+        for spec in self.transformations:
+            for f in spec.get("fields", []):
+                v = f.get("value")
+                if isinstance(v, str):
+                    texts.append(v)
+        return any(_SLICE_NS.search(t) for t in texts)
+
+    def apply_record_pipeline(
+        self,
+        df: DataFrame,
+        record_schema: T.StructType,
+        slice_json_col: str | None = None,
+    ) -> DataFrame:
+        """Filter then transform, all JVM-side (the reference's
+        record_selector order: extract -> filter -> reshape; filtering
+        sees the RAW record, so a RemoveFields cannot hide the filter's
+        own input). slice_json_col carries each record's originating
+        slice as JSON; it parses ONCE per expression tree into
+        map<string,string> for ``stream_slice`` references."""
+        from pyspark.sql import functions as F
+
+        slice_map = (
+            F.from_json(F.col(slice_json_col), "map<string,string>")
+            if slice_json_col is not None
+            else None
+        )
+        if self.record_filter:
+            df = df.filter(
+                compile_condition(
+                    self.record_filter,
+                    config=self.config,
+                    record_schema=record_schema,
+                    slice_map=slice_map,
+                )
+            )
+        for step in build_transformations(
+            self.transformations,
+            config=self.config,
+            record_schema=record_schema,
+            slice_map=slice_map,
+        ):
+            df = step(df)
+        return df
+
     def read(
         self,
         spark: SparkSession,
@@ -407,17 +909,27 @@ class DeclarativeStream:
         slice_col: str | None = None,
     ) -> DataFrame:
         """Distributed read: slicer -> concrete slice dicts ->
-        one executor task per slice (read_http_stream)."""
-        slices = [
-            self.slice_params(s) for s in self.stream_slices(stream_state)
-        ]
-        return read_http_stream(
+        one executor task per slice (read_http_stream), then the
+        compiled record filter + transformations over the parsed
+        DataFrame."""
+        logical = [dict(s) for s in self.stream_slices(stream_state)]
+        slices = [self.slice_params(s) for s in logical]
+        schema = record_schema or self.spark_schema()
+        carry = slice_col or (
+            "_ab_slice_json" if self._needs_slice_ns() else None
+        )
+        df = read_http_stream(
             spark,
             self.http_config(),
             slices,
-            record_schema or self.spark_schema(),
-            slice_col=slice_col,
+            schema,
+            slice_col=carry,
+            slice_meta=logical,
         )
+        df = self.apply_record_pipeline(df, schema, slice_json_col=carry)
+        if carry is not None and slice_col is None:
+            df = df.drop(carry)
+        return df
 
     def read_first_record(self) -> dict | None:
         """Driver-side single-record probe (CheckStream's read)."""
@@ -505,6 +1017,8 @@ class DeclarativeSource:
             slicer=slicer,
             request_params=spec.get("request_params"),
             json_schema=spec.get("json_schema"),
+            record_filter=spec.get("record_filter"),
+            transformations=spec.get("transformations"),
         )
 
     def check(self) -> tuple[bool, str]:
@@ -582,12 +1096,20 @@ class DeclarativeSource:
             epoch = f"decl:{wm if wm is not None else 'init'}:{s['start_date']}"
             if table.is_epoch_committed(config.stream, epoch):
                 continue
+            carry = "_ab_slice_json" if stream._needs_slice_ns() else None
             batch = read_http_stream(
                 spark,
                 stream.http_config(),
                 [stream.slice_params(s)],
                 stream.spark_schema(),
+                slice_col=carry,
+                slice_meta=[dict(s)],
             )
+            batch = stream.apply_record_pipeline(
+                batch, stream.spark_schema(), slice_json_col=carry
+            )
+            if carry is not None:
+                batch = batch.drop(carry)
             events = as_change_events(
                 batch,
                 key_col=key_col,

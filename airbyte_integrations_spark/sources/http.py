@@ -110,6 +110,21 @@ class HttpStreamConfig:
     params_in_body: bool = False
     token_in_header: str | None = None
     stop_condition: object | None = None  # callable(body, headers, records) -> bool
+    # Error-handling knobs beyond the default policy (the reference's
+    # per-connector should_retry/backoff_time overrides):
+    # - retry_on_status: EXTRA retryable codes — connectors widen the
+    #   retry set beyond 429/5xx (source-github streams.py:63-66 retries
+    #   specific codes and rate-limit-header states)
+    # - backoff_strategy "constant": fixed wait between tries
+    # - backoff_strategy "wait_time_from_header": the server names the
+    #   wait in a response header (source-freshdesk streams.py:47
+    #   Retry-After-as-backoff_time; source-github streams.py:74-90
+    #   Retry-After / X-RateLimit-Reset); absent header falls back to
+    #   exponential. An explicit Retry-After on a 429 always wins.
+    retry_on_status: tuple = ()
+    backoff_strategy: str = "exponential"  # exponential | constant | wait_time_from_header
+    backoff_time: float = 5.0  # seconds, for "constant"
+    backoff_wait_header: str | None = None  # for "wait_time_from_header"
 
 
 class Oauth2Authenticator:
@@ -239,15 +254,30 @@ def _get_json(url: str, cfg: HttpStreamConfig, opener=None, body: dict | None = 
                 err_body = e.read().decode("utf-8", "replace")
             except Exception:
                 pass
-            if status != 429 and 400 <= status < 500:
+            if (
+                status != 429
+                and status not in cfg.retry_on_status
+                and 400 <= status < 500
+            ):
                 raise HttpGiveUpError(status, url, err_body)  # non-rate-limit 4xx: no retry
             if tries >= cfg.max_retries:
                 raise HttpGiveUpError(status, url, f"retries exhausted: {err_body}")
+            wait = None
             if status == 429 and retry_after is not None:
-                wait = min(float(retry_after), cfg.backoff_cap)
-            else:
-                wait = min(cfg.retry_factor * (2**tries), cfg.backoff_cap)
-            time.sleep(wait)
+                wait = float(retry_after)  # user-defined backoff arm
+            elif cfg.backoff_strategy == "wait_time_from_header":
+                hv = (
+                    e.headers.get(cfg.backoff_wait_header or "Retry-After")
+                    if e.headers
+                    else None
+                )
+                if hv is not None:
+                    wait = float(hv)
+            elif cfg.backoff_strategy == "constant":
+                wait = cfg.backoff_time
+            if wait is None:  # default arm, and header-absent fallback
+                wait = cfg.retry_factor * (2**tries)
+            time.sleep(min(wait, cfg.backoff_cap))
             tries += 1
         except (urllib.error.URLError, TimeoutError, ConnectionError) as e:
             # transient transport errors: default exponential backoff
@@ -400,16 +430,28 @@ def read_http_stream(
     slices: list[dict] | None,
     record_schema: T.StructType,
     slice_col: str | None = None,
+    slice_meta: list[dict] | None = None,
 ) -> DataFrame:
     """Distributed paginated read: one executor task per slice, each
     running its own pagination/backoff loop; records leave the task as
     raw JSON strings and are parsed JVM-side with from_json (the only
     Python work is the HTTP I/O). `slices` is a list of extra-param
     dicts (time windows, shards, ...); None means one unsliced read.
-    With slice_col, the originating slice's JSON rides along."""
+    With slice_col, the originating slice's JSON rides along; when
+    slice_meta is given (parallel to slices), that LOGICAL slice dict
+    is what rides — the declarative path passes the stream_slice
+    namespace here while `slices` carries the concrete request params
+    derived from it."""
     import pandas as pd
 
-    sl = [json.dumps(s, sort_keys=True) for s in (slices or [{}])]
+    eff = slices or [{}]
+    meta = slice_meta if slice_meta is not None else eff
+    if len(meta) != len(eff):
+        raise ValueError("slice_meta must parallel slices")
+    sl = [
+        json.dumps({"params": s, "meta": m}, sort_keys=True)
+        for s, m in zip(eff, meta)
+    ]
     sdf = spark.createDataFrame([(s,) for s in sl], "slice_json string").repartition(
         len(sl), "slice_json"
     )
@@ -417,11 +459,17 @@ def read_http_stream(
     def fetch(batches):
         for pdf in batches:
             for sj in pdf["slice_json"]:
+                obj = json.loads(sj)
                 recs = [
                     json.dumps(r, sort_keys=True)
-                    for r in fetch_records(cfg, json.loads(sj))
+                    for r in fetch_records(cfg, obj["params"])
                 ]
-                yield pd.DataFrame({"slice_json": sj, "record_json": recs})
+                yield pd.DataFrame(
+                    {
+                        "slice_json": json.dumps(obj["meta"], sort_keys=True),
+                        "record_json": recs,
+                    }
+                )
 
     raw = sdf.mapInPandas(
         fetch, "slice_json string, record_json string"
