@@ -4317,6 +4317,158 @@ SELECT doc_id, lang, n_chars FROM documents
 """
 
 
+def q_http_declarative_filter_transform(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Declarative record filter + transformations compiled to Catalyst,
+    value-oracled against plain SQL over the table read whole
+    (sources/declarative.py compile_condition/build_transformations —
+    reference: client-side record filtering in connectors,
+    source-bigcommerce/source_bigcommerce/source.py:122 ``record[
+    cursor] >= state``; condition language per airbyte-cdk
+    declarative/interpolation/interpolated_boolean.py:10-24; record
+    reshaping per source-github/source_github/streams.py:174,337
+    ``record["repository"] = stream_slice["repository"]``).
+
+    The same two-level fixture as http_declarative_substream (parent
+    /langs -> child /langs/<lang>/docs), with the child declaring
+    ``record_filter: {{ record.n_chars >= config.min_chars and
+    record.lang not in ['de'] }}`` plus AddFields(lang_from_slice <-
+    stream_slice.lang) and RemoveFields(lang). The engine compiles the
+    filter to a JVM-side Filter over the parsed records (config ->
+    literal, record paths -> typed columns) and the enrichment to
+    withColumn over the slice map that rides with each record — no
+    per-record Python. Oracle = the same predicate and projection in
+    ANSI SQL: equality proves the compiled pipeline is exactly the
+    declared relational algebra.
+
+    Scale shape: the filter sits ABOVE the fetch tasks as a Catalyst
+    Filter (codegen), so post-fetch operators (joins, MERGE) see only
+    surviving rows; enrichment is a narrow projection, never a
+    shuffle."""
+    import json as _json
+    import threading
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+    from urllib.parse import parse_qs, urlparse
+
+    import pyarrow.parquet as _pq
+
+    from airbyte_integrations_spark.sources.declarative import (
+        DeclarativeSource,
+    )
+
+    tune_session(spark)
+    tbl = _pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "lang", "n_chars"],
+    )
+    rows = sorted(tbl.to_pylist(), key=lambda r: r["doc_id"])
+    by_lang: dict[str, list] = {}
+    for r in rows:
+        by_lang.setdefault(r["lang"], []).append(r)
+    langs = [{"lang": lg} for lg in sorted(by_lang)]
+
+    class _H(BaseHTTPRequestHandler):
+        def log_message(self, *a):
+            pass
+
+        def _json_resp(self, body):
+            data = _json.dumps(body).encode()
+            self.send_response(200)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(data)))
+            self.end_headers()
+            self.wfile.write(data)
+
+        def do_GET(self):
+            u = urlparse(self.path)
+            q = {k: v[0] for k, v in parse_qs(u.query).items()}
+            parts = [p for p in u.path.split("/") if p]
+            off, lim = int(q.get("offset", 0)), int(q.get("limit", 100))
+            if parts == ["langs"]:
+                return self._json_resp({"data": langs[off : off + lim]})
+            if len(parts) == 3 and parts[0] == "langs" and parts[2] == "docs":
+                rs = by_lang.get(parts[1], [])
+                return self._json_resp({"data": rs[off : off + lim]})
+            return self._json_resp({"data": []})
+
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), _H)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        manifest = {
+            "version": "0.1.0",
+            "streams": [
+                {
+                    "name": "langs",
+                    "requester": {
+                        "url_base": "{{ config.api_url }}",
+                        "path": "langs",
+                    },
+                    "record_selector": "data",
+                    "json_schema": {"properties": {"lang": {"type": "string"}}},
+                },
+                {
+                    "name": "docs",
+                    "requester": {
+                        "url_base": "{{ config.api_url }}",
+                        "path": "langs/{{ stream_slice.lang }}/docs",
+                    },
+                    "record_selector": "data",
+                    "primary_key": "doc_id",
+                    "paginator": {"type": "offset", "page_size": 41},
+                    "slicer": {
+                        "type": "substream",
+                        "parent_stream": "langs",
+                        "slice_definition": {
+                            "lang": "{{ parent_record.lang }}"
+                        },
+                    },
+                    "record_filter": (
+                        "{{ record.n_chars >= config.min_chars"
+                        " and record.lang not in ['de'] }}"
+                    ),
+                    "transformations": [
+                        {
+                            "type": "AddFields",
+                            "fields": [
+                                {
+                                    "path": ["lang_from_slice"],
+                                    "value": "{{ stream_slice.lang }}",
+                                }
+                            ],
+                        },
+                        {"type": "RemoveFields", "field_pointers": [["lang"]]},
+                    ],
+                    "json_schema": {
+                        "properties": {
+                            "doc_id": {"type": "integer"},
+                            "lang": {"type": "string"},
+                            "n_chars": {"type": "integer"},
+                        }
+                    },
+                },
+            ],
+        }
+        src = DeclarativeSource(
+            manifest,
+            {
+                "api_url": f"http://127.0.0.1:{srv.server_port}",
+                "min_chars": 120,
+            },
+        )
+        out = src.streams["docs"].read(spark)
+        return out.localCheckpoint(eager=True)
+    finally:
+        srv.shutdown()
+
+
+O_HTTP_DECLARATIVE_FILTER_TRANSFORM = """
+SELECT doc_id, n_chars, lang AS lang_from_slice
+FROM documents
+WHERE n_chars >= 120 AND lang <> 'de'
+"""
+
+
 def q_http_search_post_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     """POST/search API with a conditional paginator, value-oracled
     against the table read whole (sources/http.py — reference:
@@ -4530,6 +4682,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_catalog_sync": q_cdc_catalog_sync,
         "http_paged_read": q_http_paged_read,
         "http_declarative_substream": q_http_declarative_substream,
+        "http_declarative_filter_transform": q_http_declarative_filter_transform,
         "http_search_post_read": q_http_search_post_read,
         "http_link_header_read": q_http_link_header_read,
         "json_extract_cast": q_json_extract_cast,
@@ -4606,6 +4759,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "http_paged_read": O_HTTP_PAGED_READ,
         "http_declarative_substream": O_HTTP_DECLARATIVE_SUBSTREAM,
+        "http_declarative_filter_transform": O_HTTP_DECLARATIVE_FILTER_TRANSFORM,
         "http_search_post_read": O_HTTP_SEARCH_POST_READ,
         "http_link_header_read": O_HTTP_LINK_HEADER_READ,
         "cdc_latest_wins": O_CDC_LATEST_WINS,
