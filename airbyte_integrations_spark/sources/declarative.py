@@ -53,6 +53,7 @@ from pyspark.sql import types as T
 
 from airbyte_integrations_spark.sources.http import (
     HttpStreamConfig,
+    MultipleTokenAuthenticator,
     Oauth2Authenticator,
     fetch_records,
     read_http_stream,
@@ -783,6 +784,16 @@ class DeclarativeStream:
             prefix = spec.get("prefix", "Bearer")
             value = f"{prefix} {token}" if prefix else str(token)
             return {header: value}, None
+        if kind == "tokens":
+            # round-robin token pool (auth/token.py:26-34); headers are
+            # per-REQUEST, so the pool rides as an authenticator, not a
+            # static header
+            toks = [interpolate(t, **ns) for t in spec["api_tokens"]]
+            return {}, MultipleTokenAuthenticator(
+                toks,
+                auth_method=spec.get("prefix", "Bearer"),
+                auth_header=spec.get("header", "Authorization"),
+            )
         if kind == "oauth2":
             return {}, Oauth2Authenticator(
                 token_refresh_endpoint=interpolate(

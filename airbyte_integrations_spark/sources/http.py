@@ -211,6 +211,44 @@ class Oauth2Authenticator:
         return d
 
 
+class MultipleTokenAuthenticator:
+    """Round-robin over a token pool, one token per REQUEST (reference
+    parity: airbyte-cdk streams/http/auth/token.py:26-34
+    MultipleTokenAuthenticator — source-github's rate-limit spreading:
+    each request draws the next token, so a pool of N tokens gets N
+    times the per-token rate limit). Fits the same ``cfg.auth`` slot as
+    Oauth2Authenticator: get_auth_header() is consulted per request.
+
+    Executor note: the rotation index ships at 0 and advances per task
+    independently — rotation is a rate-spreading heuristic, not a
+    correctness contract, and per-task round-robin spreads load the
+    same way the reference's per-process cycle() does. Tokens never
+    appear in logs or error messages."""
+
+    def __init__(
+        self,
+        tokens: list,
+        auth_method: str = "Bearer",
+        auth_header: str = "Authorization",
+    ):
+        if not tokens:
+            raise ValueError("MultipleTokenAuthenticator needs >=1 token")
+        self._tokens = list(tokens)
+        self.auth_method = auth_method
+        self.auth_header = auth_header
+        self._i = 0
+
+    def get_auth_header(self) -> dict:
+        tok = self._tokens[self._i % len(self._tokens)]
+        self._i += 1
+        return {self.auth_header: f"{self.auth_method} {tok}"}
+
+    def __getstate__(self):
+        d = dict(self.__dict__)
+        d["_i"] = 0  # each task starts its own rotation
+        return d
+
+
 class HttpGiveUpError(RuntimeError):
     """Non-retryable HTTP failure (4xx other than 429, or retries
     exhausted). The status code is in .status; the message never

@@ -522,3 +522,87 @@ def test_declarative_retrier_spec_maps_to_config():
     assert cfg.retry_on_status == (420, 520)
     assert cfg.backoff_strategy == "wait_time_from_header"
     assert cfg.backoff_wait_header == "X-RateLimit-Reset"
+
+
+# ----------------------------------------------- token-pool authenticator
+
+
+def test_multiple_token_authenticator_rotates_per_request():
+    """auth/token.py:26-34: each request draws the NEXT token from the
+    pool (source-github's rate-limit spreading)."""
+    from airbyte_integrations_spark.sources.http import (
+        MultipleTokenAuthenticator,
+    )
+
+    auth = MultipleTokenAuthenticator(["t1", "t2", "t3"], auth_method="token")
+    seen = [auth.get_auth_header()["Authorization"] for _ in range(5)]
+    assert seen == ["token t1", "token t2", "token t3", "token t1", "token t2"]
+    # pickling resets rotation (per-task independence), keeps the pool
+    import pickle
+
+    a2 = pickle.loads(pickle.dumps(auth))
+    assert a2.get_auth_header() == {"Authorization": "token t1"}
+    with pytest.raises(ValueError):
+        MultipleTokenAuthenticator([])
+
+
+def test_declarative_tokens_authenticator_cycles_on_the_wire():
+    """A live read with a 2-token pool: consecutive requests must carry
+    alternating Authorization headers."""
+    seen = []
+    rows = [{"id": i} for i in range(1, 26)]
+
+    class H(BaseHTTPRequestHandler):
+        def log_message(self, *a):
+            pass
+
+        def do_GET(self):
+            seen.append(self.headers.get("Authorization"))
+            q = {k: v[0] for k, v in parse_qs(urlparse(self.path).query).items()}
+            off, lim = int(q.get("offset", 0)), int(q.get("limit", 100))
+            b = json.dumps({"data": rows[off : off + lim]}).encode()
+            self.send_response(200)
+            self.send_header("Content-Length", str(len(b)))
+            self.end_headers()
+            self.wfile.write(b)
+
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), H)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        src = DeclarativeSource(
+            {
+                "streams": [
+                    {
+                        "name": "s",
+                        "requester": {
+                            "url_base": f"http://127.0.0.1:{srv.server_port}",
+                            "path": "items",
+                            "authenticator": {
+                                "type": "tokens",
+                                "api_tokens": [
+                                    "{{ config.tok_a }}",
+                                    "{{ config.tok_b }}",
+                                ],
+                            },
+                        },
+                        "record_selector": "data",
+                        "paginator": {"type": "offset", "page_size": 10},
+                        "json_schema": {
+                            "properties": {"id": {"type": "integer"}}
+                        },
+                    }
+                ]
+            },
+            {"tok_a": "aaa", "tok_b": "bbb"},
+        )
+        got = list(
+            __import__(
+                "airbyte_integrations_spark.sources.http",
+                fromlist=["fetch_records"],
+            ).fetch_records(src.streams["s"].http_config())
+        )
+        assert len(got) == 25
+        # 3 pages -> tokens alternate a, b, a
+        assert seen == ["Bearer aaa", "Bearer bbb", "Bearer aaa"]
+    finally:
+        srv.shutdown()
