@@ -271,6 +271,7 @@ def _read_stream_events(
             fmt=cs.source.get("format", "parquet"),
             state=st_dt,
             suffix=cs.source.get("suffix", ""),
+            path_pattern=cs.source.get("path_pattern"),
             **cs.source.get("options", {}),
         )
         if df is None:

@@ -12,6 +12,7 @@ prunes at file granularity before any bytes are read.
 from __future__ import annotations
 
 import os
+import re
 from datetime import datetime, timezone
 
 from pyspark.sql import DataFrame, SparkSession
@@ -21,12 +22,82 @@ CURSOR_COL = "_ab_source_file_last_modified"
 URL_COL = "_ab_source_file_url"
 
 
-def list_files(root: str, suffix: str = "") -> list[tuple[str, datetime]]:
+def _glob_to_regex(pattern: str) -> str:
+    """One glob pattern -> an anchored regex over the key, with the
+    GLOBSTAR semantics the reference matches file keys with
+    (source-s3/source_s3/source_files_abstract/stream.py:146
+    ``globmatch(key, pattern, GLOBSTAR | SPLIT)``): ``**`` crosses
+    directory separators, ``*``/``?`` stay within a segment,
+    ``[seq]``/``[!seq]`` character classes pass through."""
+    out, i, n = [], 0, len(pattern)
+    while i < n:
+        c = pattern[i]
+        if c == "*":
+            if pattern[i : i + 2] == "**":
+                # "**/" matches zero or more whole directories
+                if pattern[i : i + 3] == "**/":
+                    out.append("(?:.*/)?")
+                    i += 3
+                else:
+                    out.append(".*")
+                    i += 2
+            else:
+                out.append("[^/]*")
+                i += 1
+        elif c == "?":
+            out.append("[^/]")
+            i += 1
+        elif c == "[":
+            j = i + 1
+            if j < n and pattern[j] == "!":
+                j += 1
+            if j < n and pattern[j] == "]":
+                j += 1
+            while j < n and pattern[j] != "]":
+                j += 1
+            if j >= n:
+                out.append(re.escape(c))  # unterminated class: literal [
+                i += 1
+            else:
+                cls = pattern[i + 1 : j]
+                if cls.startswith("!"):
+                    cls = "^" + cls[1:]
+                out.append(f"[{cls}]")
+                i = j + 1
+        else:
+            out.append(re.escape(c))
+            i += 1
+    return "".join(out)
+
+
+def compile_path_pattern(path_pattern: str):
+    """``|``-separated glob patterns (the reference's SPLIT flag,
+    source-s3 spec.py:53-57 path_pattern) -> a matcher over the file
+    key RELATIVE to the source root. A key matches when ANY pattern
+    fully matches it."""
+    regexes = [
+        re.compile(_glob_to_regex(p.strip()) + r"\Z")
+        for p in path_pattern.split("|")
+        if p.strip()
+    ]
+    if not regexes:
+        raise ValueError(f"empty path_pattern {path_pattern!r}")
+    return lambda key: any(r.match(key) for r in regexes)
+
+
+def list_files(
+    root: str, suffix: str = "", path_pattern: str | None = None
+) -> list[tuple[str, datetime]]:
+    match = compile_path_pattern(path_pattern) if path_pattern else None
     out = []
     for dirpath, _d, fns in os.walk(root):
         for fn in fns:
             if fn.endswith(suffix) and not fn.startswith(("_", ".")):
                 p = os.path.join(dirpath, fn)
+                if match is not None and not match(
+                    os.path.relpath(p, root)
+                ):
+                    continue
                 mtime = datetime.fromtimestamp(os.path.getmtime(p), tz=timezone.utc)
                 out.append((p, mtime))
     return sorted(out, key=lambda t: (t[1], t[0]))
@@ -41,6 +112,7 @@ def read_files_incremental(
     fmt: str = "parquet",
     state: datetime | None = None,
     suffix: str = "",
+    path_pattern: str | None = None,
     **options,
 ) -> tuple[DataFrame | None, datetime | None]:
     """Read files with mtime > state; returns (df | None, new state).
@@ -49,10 +121,15 @@ def read_files_incremental(
     Formats map 1:1 to `spark.read.format(...)`; avro uses the vendored
     container codec (sources/avro_io.py) decoded executor-side via
     binaryFile + mapInPandas — no spark-avro jar in this environment.
+
+    path_pattern: ``|``-separated globs matched against each file's
+    root-relative key with ``**`` crossing directories (the reference's
+    source-s3 path_pattern, stream.py:146) — pruning happens at LISTING
+    time, before any bytes are read or tasks planned.
     """
     if fmt not in SUPPORTED_FORMATS:
         raise ValueError(f"unsupported format {fmt!r}; one of {SUPPORTED_FORMATS}")
-    files = list_files(root, suffix)
+    files = list_files(root, suffix, path_pattern=path_pattern)
     if state is not None:
         files = [(p, m) for p, m in files if m > state]
     if not files:

@@ -6,6 +6,8 @@ import datetime as dt
 import os
 import time
 
+import pytest
+
 from airbyte_integrations_spark.gen import gen_change_events, gen_pages
 from airbyte_integrations_spark.sources.cdc import LogTailSource
 from airbyte_integrations_spark.sources.files import read_files_incremental
@@ -255,3 +257,53 @@ def test_file_source_html(spark, tmp_path):
     df3, s3 = read_files_incremental(spark, d, "html", s1, suffix=".html")
     assert df3.count() == 1 and s3 > s1
     assert df3.first()["text"] == "late"
+
+
+def test_glob_path_pattern_matching_semantics():
+    """source-s3 stream.py:146 globmatch(key, pattern, GLOBSTAR|SPLIT):
+    ** crosses directories, * stays in-segment, | splits alternates."""
+    from airbyte_integrations_spark.sources.files import compile_path_pattern
+
+    m = compile_path_pattern("**/*.csv")
+    assert m("a.csv") and m("x/a.csv") and m("x/y/a.csv")
+    assert not m("a.json") and not m("x/a.csv.bak")
+    m = compile_path_pattern("data/*.csv")
+    assert m("data/a.csv")
+    assert not m("data/sub/a.csv")  # * does not cross /
+    m = compile_path_pattern("data/**/part-?.parquet")
+    assert m("data/part-1.parquet")  # **/ matches zero dirs
+    assert m("data/x/y/part-2.parquet")
+    assert not m("data/part-10.parquet")  # ? is one char
+    m = compile_path_pattern("a/*.csv|b/*.json")  # SPLIT
+    assert m("a/x.csv") and m("b/y.json")
+    assert not m("a/x.json") and not m("b/y.csv")
+    m = compile_path_pattern("logs/202[34]/**")
+    assert m("logs/2023/x/y.gz") and m("logs/2024/z")
+    assert not m("logs/2025/x")
+    with pytest.raises(ValueError):
+        compile_path_pattern("  |  ")
+
+
+def test_read_files_with_path_pattern(spark, tmp_path):
+    """Pattern pruning happens at LISTING time: only matching keys are
+    read, and the mtime cursor is computed over the matched set."""
+    import pandas as pd
+
+    d = tmp_path / "root"
+    for rel in ("keep/a.csv", "keep/sub/b.csv", "skip/c.csv", "keep/d.txt"):
+        p = d / rel
+        p.parent.mkdir(parents=True, exist_ok=True)
+        pd.DataFrame({"k": [rel]}).to_csv(p, index=False)
+    df, state = read_files_incremental(
+        spark, str(d), "csv", None, path_pattern="keep/**/*.csv",
+        header="true",
+    )
+    got = sorted(r.k for r in df.collect())
+    assert got == ["keep/a.csv", "keep/sub/b.csv"]
+    assert state is not None
+    # no match -> no read, state unchanged
+    df2, st2 = read_files_incremental(
+        spark, str(d), "csv", state, path_pattern="keep/**/*.csv",
+        header="true",
+    )
+    assert df2 is None and st2 == state
