@@ -842,6 +842,9 @@ class DeclarativeStream:
             ),
             backoff_time=float(retrier.get("backoff", {}).get("time", 5.0)),
             backoff_wait_header=retrier.get("backoff", {}).get("header"),
+            backoff_min_wait=float(
+                retrier.get("backoff", {}).get("min_wait", 0.0)
+            ),
             auth=auth,
         )
 

@@ -121,10 +121,15 @@ class HttpStreamConfig:
     #   Retry-After-as-backoff_time; source-github streams.py:74-90
     #   Retry-After / X-RateLimit-Reset); absent header falls back to
     #   exponential. An explicit Retry-After on a 429 always wins.
+    # - backoff_strategy "wait_until_time_from_header": the header is an
+    #   ABSOLUTE unix epoch to resume at (source-github streams.py:80-91
+    #   X-RateLimit-Reset: wait reset_time - now, floored at
+    #   backoff_min_wait so clock skew never yields a negative sleep)
     retry_on_status: tuple = ()
-    backoff_strategy: str = "exponential"  # exponential | constant | wait_time_from_header
+    backoff_strategy: str = "exponential"  # exponential | constant | wait_time_from_header | wait_until_time_from_header
     backoff_time: float = 5.0  # seconds, for "constant"
-    backoff_wait_header: str | None = None  # for "wait_time_from_header"
+    backoff_wait_header: str | None = None  # for "wait_*_from_header"
+    backoff_min_wait: float = 0.0  # floor for "wait_until_time_from_header"
 
 
 class Oauth2Authenticator:
@@ -311,6 +316,14 @@ def _get_json(url: str, cfg: HttpStreamConfig, opener=None, body: dict | None = 
                 )
                 if hv is not None:
                     wait = float(hv)
+            elif cfg.backoff_strategy == "wait_until_time_from_header":
+                hv = (
+                    e.headers.get(cfg.backoff_wait_header or "X-RateLimit-Reset")
+                    if e.headers
+                    else None
+                )
+                if hv is not None:
+                    wait = max(float(hv) - time.time(), cfg.backoff_min_wait)
             elif cfg.backoff_strategy == "constant":
                 wait = cfg.backoff_time
             if wait is None:  # default arm, and header-absent fallback

@@ -606,3 +606,33 @@ def test_declarative_tokens_authenticator_cycles_on_the_wire():
         assert seen == ["Bearer aaa", "Bearer bbb", "Bearer aaa"]
     finally:
         srv.shutdown()
+
+
+def test_wait_until_time_from_header_strategy(monkeypatch):
+    """github streams.py:80-91: the header is an ABSOLUTE epoch; wait
+    reset - now, floored so clock skew never sleeps negative."""
+    import time as _time
+
+    waits = _sleeps(monkeypatch)
+    monkeypatch.setattr(http_mod.time, "time", lambda: 1000.0)
+    cfg = HttpStreamConfig(
+        url_base="http://x",
+        backoff_strategy="wait_until_time_from_header",
+        backoff_wait_header="X-RateLimit-Reset",
+        backoff_min_wait=0.1,
+        max_retries=3,
+    )
+    _get_json(
+        "http://x/items",
+        cfg,
+        opener=_flaky_opener([500], headers={"X-RateLimit-Reset": "1002.5"}),
+    )
+    assert waits == [2.5]
+    # reset already in the past: floor applies
+    waits.clear()
+    _get_json(
+        "http://x/items",
+        cfg,
+        opener=_flaky_opener([500], headers={"X-RateLimit-Reset": "900"}),
+    )
+    assert waits == [0.1]
