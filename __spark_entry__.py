@@ -4664,6 +4664,61 @@ SELECT doc_id, lang, n_chars FROM documents
 """
 
 
+def q_wire_emit_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wire-protocol EMIT + READ roundtrip value-oracled against the
+    table read whole (sources/airbyte_wire.py write_messages /
+    read_messages — reference: abstract_source.py:288
+    ``AirbyteRecordMessage(stream, data, emitted_at=now_millis)``,
+    envelope per airbyte_protocol.yaml:13-49). The documents table is
+    serialized to RECORD JSONL messages with to_json over nested
+    structs (distributed, whole-stage codegen — no driver loop), a
+    trailing STATE message lands after the record files commit, and the
+    read path parses the envelope + data blob back with from_json.
+    Oracle = the parquet read whole: equality proves the protocol
+    serialization loses nothing — including explicit nulls — in either
+    direction.
+
+    Scale shape: both directions are narrow JVM projections over
+    whatever partitioning the input already has; no shuffle, no
+    Python."""
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from airbyte_integrations_spark.sources.airbyte_wire import (
+        read_messages,
+        records_for_stream,
+        write_messages,
+    )
+
+    tune_session(spark)
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).select(
+        "doc_id", "lang", "n_chars"
+    )
+    out = os.path.join(tempfile.mkdtemp(prefix="wire_emit_"), "msgs")
+    write_messages(
+        docs,
+        out,
+        stream="documents",
+        emitted_at_millis=1_600_000_000_000,
+        state={"documents": {"cursor": 1}},
+    )
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("n_chars", T.LongType()),
+        ]
+    )
+    back = records_for_stream(read_messages(spark, out), "documents", schema)
+    return back.select("doc_id", "lang", "n_chars").localCheckpoint(eager=True)
+
+
+O_WIRE_EMIT_ROUNDTRIP = """
+SELECT doc_id, lang, n_chars FROM documents
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "cdc_latest_wins": q_cdc_latest_wins,
@@ -4685,6 +4740,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "http_declarative_filter_transform": q_http_declarative_filter_transform,
         "http_search_post_read": q_http_search_post_read,
         "http_link_header_read": q_http_link_header_read,
+        "wire_emit_roundtrip": q_wire_emit_roundtrip,
         "json_extract_cast": q_json_extract_cast,
         "docs_exact_dedup": q_docs_exact_dedup,
         "docs_fingerprint": q_docs_fingerprint,
@@ -4762,6 +4818,7 @@ def oracle_sql() -> dict[str, str]:
         "http_declarative_filter_transform": O_HTTP_DECLARATIVE_FILTER_TRANSFORM,
         "http_search_post_read": O_HTTP_SEARCH_POST_READ,
         "http_link_header_read": O_HTTP_LINK_HEADER_READ,
+        "wire_emit_roundtrip": O_WIRE_EMIT_ROUNDTRIP,
         "cdc_latest_wins": O_CDC_LATEST_WINS,
         "cdc_winner_agg": O_CDC_WINNER_AGG,
         "cdc_scd2_history": O_CDC_SCD2,

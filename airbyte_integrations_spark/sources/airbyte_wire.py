@@ -99,6 +99,67 @@ def latest_state(messages: DataFrame) -> str | None:
     return rows[0]["_state_blob"] if rows else None
 
 
+def write_messages(
+    df: DataFrame,
+    path: str,
+    stream: str,
+    emitted_at_col: str | None = None,
+    emitted_at_millis: int = 0,
+    namespace: str | None = None,
+    state: dict | None = None,
+    mode: str = "error",
+) -> None:
+    """Emit a DataFrame as Airbyte wire JSONL — the SOURCE side of the
+    protocol (abstract_source.py:288 ``AirbyteRecordMessage(stream=...,
+    data=..., emitted_at=now_millis)``, envelope per
+    airbyte_protocol.yaml:13-49): one RECORD message per row, then an
+    optional trailing STATE message (the per-sync checkpoint the
+    platform forwards once records are durable).
+
+    Spark-first: the envelope is built with to_json over nested structs
+    — serialization is distributed, whole-stage-codegen JVM work; no
+    row passes through the driver. Null fields stay EXPLICIT in data
+    (ignoreNullFields=false) so a read-back sees the same shape the
+    reference's jackson/pydantic serializers emit.
+
+    emitted_at: a timestamp column (converted to epoch millis) or the
+    fixed ``emitted_at_millis`` — deterministic replays need a pinned
+    clock, the reference's wall-clock ``now_millis`` is the
+    non-replayable choice. The STATE file is written AFTER the record
+    files commit, so latest_state()'s mtime ordering puts it last —
+    state never precedes the records it covers."""
+    import json
+    import os
+
+    rec_fields = [
+        F.lit(stream).alias("stream"),
+    ]
+    if namespace is not None:
+        rec_fields.append(F.lit(namespace).alias("namespace"))
+    if emitted_at_col is not None:
+        emitted = F.unix_millis(F.col(emitted_at_col))
+        data_cols = [c for c in df.columns if c != emitted_at_col]
+    else:
+        emitted = F.lit(int(emitted_at_millis))
+        data_cols = list(df.columns)
+    rec_fields.append(emitted.alias("emitted_at"))
+    rec_fields.append(F.struct(*[F.col(c) for c in data_cols]).alias("data"))
+    msg = F.to_json(
+        F.struct(
+            F.lit("RECORD").alias("type"),
+            F.struct(*rec_fields).alias("record"),
+        ),
+        {"ignoreNullFields": "false"},
+    )
+    df.select(msg.alias("value")).write.mode(mode).text(path)
+    if state is not None:
+        line = json.dumps(
+            {"type": "STATE", "state": state}, sort_keys=True
+        )
+        with open(os.path.join(path, "state.jsonl"), "w") as fh:
+            fh.write(line + "\n")
+
+
 def records_for_stream(
     messages: DataFrame, stream: str, schema: T.StructType
 ) -> DataFrame:
