@@ -4719,6 +4719,74 @@ SELECT doc_id, lang, n_chars FROM documents
 """
 
 
+def q_url_file_csv_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL single-file source (source-file HTTPS provider,
+    connectors/source-file/source_file/client.py:32-142) value-oracled
+    against the table read whole: the documents table rendered as a
+    CSV file behind a live local HTTP fixture, fetched by an executor
+    task (sources/url_file.py) and parsed JVM-side with from_csv —
+    the reference downloads AND parses the same file with pandas on
+    its single worker; here only the download is Python.
+
+    Scale shape: one task per URL (a multi-file config fans out), the
+    line parse is codegen'd Catalyst, and the declared schema keeps
+    the parse single-pass — no driver-side inference read."""
+    import threading
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    import pyarrow.parquet as _pq
+    from pyspark.sql import types as T
+
+    from airbyte_integrations_spark.sources.url_file import read_url_files
+
+    tune_session(spark)
+    tbl = _pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "lang", "n_chars"],
+    )
+    lines = ["doc_id,lang,n_chars"] + [
+        f"{r['doc_id']},{r['lang']},{r['n_chars']}" for r in tbl.to_pylist()
+    ]
+    body = ("\n".join(lines) + "\n").encode()
+
+    class _H(BaseHTTPRequestHandler):
+        def log_message(self, *a):
+            pass
+
+        def do_GET(self):
+            self.send_response(200)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), _H)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        schema = T.StructType(
+            [
+                T.StructField("doc_id", T.LongType()),
+                T.StructField("lang", T.StringType()),
+                T.StructField("n_chars", T.LongType()),
+            ]
+        )
+        out = read_url_files(
+            spark,
+            f"http://127.0.0.1:{srv.server_port}/documents.csv",
+            "csv",
+            schema,
+        )
+        return out.select("doc_id", "lang", "n_chars").localCheckpoint(
+            eager=True
+        )
+    finally:
+        srv.shutdown()
+
+
+O_URL_FILE_CSV_READ = """
+SELECT doc_id, lang, n_chars FROM documents
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "cdc_latest_wins": q_cdc_latest_wins,
@@ -4741,6 +4809,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "http_search_post_read": q_http_search_post_read,
         "http_link_header_read": q_http_link_header_read,
         "wire_emit_roundtrip": q_wire_emit_roundtrip,
+        "url_file_csv_read": q_url_file_csv_read,
         "json_extract_cast": q_json_extract_cast,
         "docs_exact_dedup": q_docs_exact_dedup,
         "docs_fingerprint": q_docs_fingerprint,
@@ -4819,6 +4888,7 @@ def oracle_sql() -> dict[str, str]:
         "http_search_post_read": O_HTTP_SEARCH_POST_READ,
         "http_link_header_read": O_HTTP_LINK_HEADER_READ,
         "wire_emit_roundtrip": O_WIRE_EMIT_ROUNDTRIP,
+        "url_file_csv_read": O_URL_FILE_CSV_READ,
         "cdc_latest_wins": O_CDC_LATEST_WINS,
         "cdc_winner_agg": O_CDC_WINNER_AGG,
         "cdc_scd2_history": O_CDC_SCD2,
