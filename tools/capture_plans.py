@@ -432,6 +432,67 @@ def main() -> None:
             "records go straight from Arrow batches into codegen parsing",
         )
 
+        from airbyte_integrations_spark.sources.declarative import (
+            DeclarativeSource,
+        )
+
+        dsrc = DeclarativeSource(
+            {
+                "streams": [
+                    {
+                        "name": "s",
+                        "requester": {
+                            "url_base": "http://example.invalid",
+                            "path": "items",
+                        },
+                        "record_selector": "data",
+                        "slicer": {"type": "single"},
+                        "record_filter": (
+                            "{{ record.ver >= config.min_ver and"
+                            " record.id not in [1] }}"
+                        ),
+                        "transformations": [
+                            {
+                                "type": "AddFields",
+                                "fields": [
+                                    {
+                                        "path": ["shard"],
+                                        "value": "{{ stream_slice.shard }}",
+                                    }
+                                ],
+                            }
+                        ],
+                        "json_schema": {
+                            "properties": {
+                                "id": {"type": "integer"},
+                                "ver": {"type": "integer"},
+                            }
+                        },
+                    }
+                ]
+            },
+            {"min_ver": 5},
+        )
+        decl_plan = (
+            dsrc.streams["s"]
+            .read(spark)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        check(
+            "declarative record filter + AddFields: compiled to Catalyst "
+            "(Filter above the fetch; zero row-at-a-time Python)",
+            "Filter" in decl_plan
+            and decl_plan.count("MapInPandas") == 1
+            and "BatchEvalPython" not in decl_plan
+            and "from_json" in decl_plan,
+            "the {{ record.ver >= config.min_ver }} condition is a codegen "
+            "Filter over from_json-parsed records; stream_slice enrichment "
+            "reads a map<string,string> parsed once from the carried slice "
+            "JSON — the only Python node is the HTTP fetch task",
+        )
+
     out = ["# PLANS — physical-plan evidence (generated by tools/capture_plans.py)", ""]
     ok_all = True
     for name, ok, ev in CHECKS:
