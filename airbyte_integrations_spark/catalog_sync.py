@@ -241,6 +241,26 @@ def _read_stream_events(
             None,
             {},
         )
+    if kind == "url_file":
+        # URL-addressed single files (source-file HTTPS provider,
+        # client.py:32-142) — inherently full-refresh: a URL names one
+        # immutable payload, so each sync re-reads it whole (the
+        # reference's source-file has no cursor either)
+        from airbyte_integrations_spark.sources.url_file import read_url_files
+
+        return (
+            read_url_files(
+                spark,
+                cs.source["urls"],
+                cs.source.get("format", "csv"),
+                cs.source["record_schema"],
+                header=cs.source.get("header", True),
+                request_headers=cs.source.get("request_headers"),
+                **cs.source.get("options", {}),
+            ),
+            None,
+            {},
+        )
     if kind == "declarative":
         # full-refresh declarative (low-code) manifest stream
         # (incremental declarative streams are routed to

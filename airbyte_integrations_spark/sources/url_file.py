@@ -97,6 +97,10 @@ def read_url_files(
 
     if fmt not in URL_FORMATS:
         raise ValueError(f"unsupported format {fmt!r}; one of {URL_FORMATS}")
+    if isinstance(schema, str):
+        # catalog stream configs are JSON-ish dicts — a DDL string is the
+        # natural way to carry the declared schema there
+        schema = T.StructType.fromDDL(schema)
     url_list = [urls] if isinstance(urls, str) else list(urls)
     _check_scheme(url_list)
     udf_df = spark.createDataFrame(

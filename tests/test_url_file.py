@@ -157,3 +157,49 @@ def test_http_404_fails_fast(spark, file_server):
         df.collect()
     # a non-retryable 4xx is requested exactly once
     assert hits.count("/missing.csv") == 1
+
+
+def test_url_file_stream_through_read_catalog(spark, file_server, tmp_path):
+    """A url_file stream flows through the multi-stream sync loop as a
+    full-refresh overwrite (source-file syncs are whole-file reads —
+    the reference connector has no cursor either)."""
+    from airbyte_integrations_spark.catalog_sync import (
+        ConfiguredCatalog,
+        ConfiguredStream,
+        read_catalog,
+        stream_table,
+    )
+    from airbyte_integrations_spark.config import (
+        DestinationSyncMode,
+        SyncConfig,
+        SyncMode,
+    )
+
+    base, _ = file_server
+    cs = ConfiguredStream(
+        config=SyncConfig(
+            stream="remote_csv",
+            primary_key=("id",),
+            sync_mode=SyncMode.FULL_REFRESH,
+            destination_sync_mode=DestinationSyncMode.OVERWRITE,
+            n_buckets=4,
+        ),
+        source={
+            "kind": "url_file",
+            "urls": [f"{base}/data.csv"],
+            "format": "csv",
+            "record_schema": SCHEMA,
+        },
+    )
+    lake = str(tmp_path / "lake")
+    msgs = read_catalog(spark, ConfiguredCatalog(streams=(cs,)), lake)
+    assert len(msgs) == 1
+    tbl = stream_table(spark, lake, "remote_csv")
+    got = sorted(
+        (r.id, r.name, r.score)
+        for r in tbl.read().select("id", "name", "score").collect()
+    )
+    assert got == sorted(ROWS)
+    # re-run converges (overwrite refresh, same content)
+    read_catalog(spark, ConfiguredCatalog(streams=(cs,)), lake)
+    assert tbl.read().count() == len(ROWS)
