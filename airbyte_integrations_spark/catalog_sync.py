@@ -93,7 +93,8 @@ def _stream_state_blob(table: LakeTable, stream: str) -> dict:
     }
     fc = file_mtime_cursor(table, stream)
     if fc is not None:
-        blob["file_mtime_cursor"] = fc
+        blob["file_mtime_cursor"] = fc.cursor.isoformat()
+        blob["file_history"] = sorted(fc.history)
     return blob
 
 
@@ -142,18 +143,32 @@ def catalog_state_message(
     }
 
 
-def file_mtime_cursor(table: LakeTable, stream: str) -> str | None:
-    """Durable mtime cursor for a file-source stream: the max
+def file_mtime_cursor(table: LakeTable, stream: str):
+    """Durable state for a file-source stream: the max
     `file_mtime_cursor` recorded in committed epoch metadata (the
-    commit log plays StateManager: state == what was durably applied)."""
+    commit log plays StateManager: state == what was durably applied),
+    plus the union of the `file_history` sets recorded at that cursor
+    (source-s3's same-mtime tie protection). Returns a
+    sources.files.FileState, or None if no file epoch committed."""
+    from airbyte_integrations_spark.sources.files import FileState
+
     if not table.exists():
         return None
-    vals = [
-        m["file_mtime_cursor"]
+    metas = [
+        m
         for m in table.committed_epochs(stream).values()
         if isinstance(m, dict) and "file_mtime_cursor" in m
     ]
-    return max(vals) if vals else None
+    if not metas:
+        return None
+    cursor = max(m["file_mtime_cursor"] for m in metas)
+    hist: set[str] = set()
+    for m in metas:
+        if m["file_mtime_cursor"] == cursor:
+            hist.update(m.get("file_history") or ())
+    return FileState(
+        cursor=datetime.fromisoformat(cursor), history=frozenset(hist)
+    )
 
 
 def _seed_state(state: dict | None, stream: str):
@@ -278,28 +293,43 @@ def _read_stream_events(
             {},
         )
     if kind == "files":
+        import hashlib
+
         from airbyte_integrations_spark.sources.files import read_files_incremental
 
         st = file_mtime_cursor(table, cfg.stream)
         if st is None:
-            st, seeded = None, _seed_state(state, cfg.stream)[1]
-            st = seeded
-        st_dt = datetime.fromisoformat(st) if isinstance(st, str) else st
+            seeded = _seed_state(state, cfg.stream)[1]
+            st = datetime.fromisoformat(seeded) if isinstance(seeded, str) else seeded
         df, new_state = read_files_incremental(
             spark,
             cs.source["root"],
             fmt=cs.source.get("format", "parquet"),
-            state=st_dt,
+            state=st,
             suffix=cs.source.get("suffix", ""),
             path_pattern=cs.source.get("path_pattern"),
             **cs.source.get("options", {}),
         )
         if df is None:
             return None, None, {}
-        iso = new_state.isoformat()
+        iso = new_state.cursor.isoformat()
         # deterministic, collision-proof epoch key: re-running the same
-        # file batch is a no-op (exactly-once for file syncs too)
-        return df, f"files:{iso}", {"file_mtime_cursor": iso}
+        # file batch is a no-op (exactly-once for file syncs too). The
+        # key hashes the BATCH (the at-cursor file set), not just the
+        # cursor — with history semantics two distinct batches can share
+        # a max mtime (a late same-mtime file), and a bare files:<iso>
+        # key would silently swallow the second one.
+        digest = hashlib.md5(
+            "\n".join(sorted(new_state.history)).encode()
+        ).hexdigest()[:12]
+        return (
+            df,
+            f"files:{iso}:{digest}",
+            {
+                "file_mtime_cursor": iso,
+                "file_history": sorted(new_state.history),
+            },
+        )
     raise ValueError(f"unknown source kind: {kind!r}")
 
 

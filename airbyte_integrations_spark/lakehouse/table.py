@@ -331,6 +331,31 @@ class LakeTable:
             manifest["committed"].setdefault(stream, {})[str(epoch)] = epoch_meta or {}
         return self._commit(manifest)
 
+    def commit_marker_epoch(
+        self, stream: str, epoch: int | str, epoch_meta: dict | None = None
+    ) -> int | None:
+        """Commit an epoch entry with NO data change (new manifest
+        version, same files/deltas/schema). The CDC heartbeat surface:
+        Debezium emits heartbeat records so the connector's offset (and
+        therefore the source's WAL retention horizon) advances even when
+        no tracked table changed (debezium heartbeat.interval.ms;
+        DebeziumRecordPublisher's offset commits). Here the marker's
+        `to_lsn` advances watermark() so the next sync plans strictly
+        above it. Idempotent: re-committing an existing epoch key is a
+        no-op returning None."""
+        if not self.exists():
+            raise ValueError(
+                "marker epochs need an existing table (no stream has "
+                "committed yet — there is no watermark to advance)"
+            )
+        manifest = self.manifest()
+        committed = manifest.setdefault("committed", {})
+        if str(epoch) in committed.get(stream, {}):
+            return None
+        committed.setdefault(stream, {})[str(epoch)] = epoch_meta or {}
+        manifest["parent"] = self.current_version()
+        return self._commit(manifest)
+
     def overwrite(self, df: DataFrame, **kw) -> int:
         """Full-refresh + overwrite (truncate-then-copy semantics of
         JdbcBufferedConsumerFactory.java:173, as one atomic commit)."""

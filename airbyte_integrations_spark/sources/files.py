@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import os
 import re
+from dataclasses import dataclass, field
 from datetime import datetime, timezone
 
 from pyspark.sql import DataFrame, SparkSession
@@ -20,6 +21,38 @@ from pyspark.sql import functions as F
 
 CURSOR_COL = "_ab_source_file_last_modified"
 URL_COL = "_ab_source_file_url"
+
+
+@dataclass(frozen=True)
+class FileState:
+    """Incremental file-source state: the mtime cursor PLUS the set of
+    file paths already synced AT that exact mtime.
+
+    Reference: source-s3's stream state keeps a ``history`` of file
+    names alongside the cursor (source_files_abstract/stream.py:47-48,
+    158 — files with last_modified == cursor are skipped only when
+    already recorded) because a bare strictly-``>`` cursor drops any
+    file that lands with an mtime EQUAL to the cursor after the sync
+    that set it (same-second writes are routine at scale). The history
+    is bounded: it only ever holds paths whose mtime equals the
+    cursor."""
+
+    cursor: datetime | None = None
+    history: frozenset[str] = field(default_factory=frozenset)
+
+    def to_json(self) -> dict:
+        return {
+            "cursor": self.cursor.isoformat() if self.cursor else None,
+            "history": sorted(self.history),
+        }
+
+    @staticmethod
+    def from_json(d: dict) -> "FileState":
+        c = d.get("cursor")
+        return FileState(
+            cursor=datetime.fromisoformat(c) if c else None,
+            history=frozenset(d.get("history") or ()),
+        )
 
 
 def _glob_to_regex(pattern: str) -> str:
@@ -110,12 +143,19 @@ def read_files_incremental(
     spark: SparkSession,
     root: str,
     fmt: str = "parquet",
-    state: datetime | None = None,
+    state: datetime | FileState | None = None,
     suffix: str = "",
     path_pattern: str | None = None,
     **options,
-) -> tuple[DataFrame | None, datetime | None]:
-    """Read files with mtime > state; returns (df | None, new state).
+) -> tuple[DataFrame | None, FileState]:
+    """Read files past the cursor; returns (df | None, new FileState).
+
+    Selection rule (source-s3 stream.py:47-48,158 history semantics):
+    mtime > cursor, OR mtime == cursor and the path is not yet in the
+    state's history — so a file written at the same timestamp as the
+    cursor AFTER the sync that set it is still picked up instead of
+    being skipped forever. A bare datetime is accepted as legacy state
+    (empty history).
 
     df carries `_ab_source_file_url` + `_ab_source_file_last_modified`.
     Formats map 1:1 to `spark.read.format(...)`; avro uses the vendored
@@ -129,12 +169,29 @@ def read_files_incremental(
     """
     if fmt not in SUPPORTED_FORMATS:
         raise ValueError(f"unsupported format {fmt!r}; one of {SUPPORTED_FORMATS}")
+    legacy = isinstance(state, datetime)
+    if legacy:
+        # bare-datetime state predates the history: it cannot say which
+        # at-cursor files were synced, so it keeps the original strict->
+        # rule rather than re-reading (and duplicating) them all
+        state = FileState(cursor=state)
+    elif state is None:
+        state = FileState()
     files = list_files(root, suffix, path_pattern=path_pattern)
-    if state is not None:
-        files = [(p, m) for p, m in files if m > state]
+    if state.cursor is not None:
+        files = [
+            (p, m)
+            for p, m in files
+            if m > state.cursor
+            or (not legacy and m == state.cursor and p not in state.history)
+        ]
     if not files:
         return None, state
-    new_state = max(m for _p, m in files)
+    new_cursor = max(m for _p, m in files)
+    at_cursor = {p for p, m in files if m == new_cursor}
+    if state.cursor == new_cursor:
+        at_cursor |= state.history
+    new_state = FileState(cursor=new_cursor, history=frozenset(at_cursor))
     mtime_map = {p: m for p, m in files}
     if fmt == "avro":
         from airbyte_integrations_spark.sources.avro_io import PATH_COL, read_avro

@@ -232,12 +232,23 @@ def run_sync(
     max_epochs: int | None = None,
     compact_threshold: int | None = 8,
     tx_col: str | None = None,
+    heartbeat_position: int | None = None,
 ) -> list[Epoch]:
     """One bounded sync: plan epochs past the committed watermark and
     apply each as dedup -> MERGE -> atomic commit (+ lineage).
 
     With `tx_col`, epoch boundaries are snapped to transaction ends
     (plan_epochs_tx) so no commit ever exposes half a transaction.
+
+    `heartbeat_position` is the source's CURRENT log position (Debezium
+    heartbeat semantics: the WAL can be ahead of the last change to any
+    tracked table — e.g. other databases' traffic — and the offset must
+    still advance or the source retains WAL forever). If it is past the
+    final watermark after all planned epochs apply, a zero-row marker
+    epoch `hb:<position>` commits to advance watermark(); the next sync
+    then plans strictly above it, so stale events at or below the
+    heartbeat are treated as already-consumed (exactly the offset
+    contract).
 
     Returns the epochs applied. Safe to re-run at any time (idempotent
     per epoch); safe to kill at any point (snapshot isolation)."""
@@ -279,6 +290,20 @@ def run_sync(
             key=config.primary_key,
             n_buckets=config.n_buckets,
         )
+    if heartbeat_position is not None and table.exists() and (
+        max_epochs is None or len(epochs) < max_epochs
+    ):
+        final_wm = table.watermark(config.stream)
+        if final_wm is None or heartbeat_position > final_wm:
+            table.commit_marker_epoch(
+                config.stream,
+                f"hb:{heartbeat_position}",
+                {
+                    "from_lsn": final_wm,
+                    "to_lsn": heartbeat_position,
+                    "heartbeat": True,
+                },
+            )
     # Maintenance: bound small files (COW keeps touched buckets at ~1
     # file, but skewed batches and appends fragment; at the 10^10 point
     # this is the rewrite_data_files compaction an operator would cron).

@@ -152,7 +152,7 @@ def test_distributed_read_and_mtime_cursor(spark, tmp_path):
     p3 = os.path.join(root, "part2.avro")
     write_avro_file(p3, SCHEMA, _records(5), codec="deflate")
     df3, state3 = read_files_incremental(spark, root, fmt="avro", state=state)
-    assert df3.count() == 5 and state3 > state
+    assert df3.count() == 5 and state3.cursor > state.cursor
 
 
 def test_codec_property_roundtrip_hypothesis(tmp_path):

@@ -253,7 +253,7 @@ def test_file_stream_mtime_cursor_durable(spark, tmp_path, derby_db):
             os.rename(os.path.join(extra, fn), os.path.join(root, "late_" + fn))
     read_catalog(spark, cat, lake, max_events_per_epoch=300)
     assert t.read().count() == 25
-    assert file_mtime_cursor(t, "drops") > c1
+    assert file_mtime_cursor(t, "drops").cursor > c1.cursor
     # re-running with nothing new: cursor unchanged, no new rows
     read_catalog(spark, cat, lake, max_events_per_epoch=300)
     assert t.read().count() == 25

@@ -49,7 +49,37 @@ def test_file_source_mtime_cursor(spark, tmp_path):
     time.sleep(1.1)
     gen_pages(spark, 5).select("url", "lang").write.parquet(d + "/f2")
     df3, s3 = read_files_incremental(spark, d, "parquet", s1, suffix=".parquet")
-    assert df3.count() == 5 and s3 > s1
+    assert df3.count() == 5 and s3.cursor > s1.cursor
+
+
+def test_file_source_same_mtime_tie_history(spark, tmp_path):
+    """A file landing with mtime EQUAL to the cursor after the sync that
+    set it is still picked up (source-s3 stream.py history semantics) —
+    a bare strictly-> cursor would skip it forever — and the history
+    makes the re-read converge."""
+    d = str(tmp_path / "tie")
+    os.makedirs(d)
+    gen_pages(spark, 10).select("url", "lang").coalesce(1).write.parquet(d + "/f1")
+    df1, s1 = read_files_incremental(spark, d, "parquet", None, suffix=".parquet")
+    assert df1.count() == 10
+    # late arrival stamped at EXACTLY the cursor mtime
+    gen_pages(spark, 4).select("url", "lang").coalesce(1).write.parquet(d + "/f2")
+    tie = s1.cursor.timestamp()
+    for dirpath, _dd, fns in os.walk(d + "/f2"):
+        for fn in fns:
+            os.utime(os.path.join(dirpath, fn), (tie, tie))
+    df2, s2 = read_files_incremental(spark, d, "parquet", s1, suffix=".parquet")
+    assert df2 is not None and df2.count() == 4
+    assert s2.cursor == s1.cursor and s2.history > s1.history
+    # converged: nothing selects on the next pass
+    df3, s3 = read_files_incremental(spark, d, "parquet", s2, suffix=".parquet")
+    assert df3 is None and s3 == s2
+    # legacy bare-datetime state still accepted (and demonstrates why
+    # history exists: the tied file is invisible to it)
+    df4, _s4 = read_files_incremental(
+        spark, d, "parquet", s1.cursor, suffix=".parquet"
+    )
+    assert df4 is None
 
 
 def test_cdc_target_position_bounds_sync(spark):
@@ -213,7 +243,7 @@ def test_orc_and_feather_formats(spark, tmp_path):
     p3 = os.path.join(f, "part2.feather")
     pd.DataFrame({"id": [99], "name": ["z"]}).to_feather(p3)
     df2, st2 = read_files_incremental(spark, f, "feather", st)
-    assert df2.count() == 1 and st2 > st
+    assert df2.count() == 1 and st2.cursor > st.cursor
     import pytest as _pytest
 
     with _pytest.raises(ValueError, match="no options"):
@@ -255,7 +285,7 @@ def test_file_source_html(spark, tmp_path):
     with open(os.path.join(d, "c.html"), "w") as f:
         f.write("<p>late</p>")
     df3, s3 = read_files_incremental(spark, d, "html", s1, suffix=".html")
-    assert df3.count() == 1 and s3 > s1
+    assert df3.count() == 1 and s3.cursor > s1.cursor
     assert df3.first()["text"] == "late"
 
 
