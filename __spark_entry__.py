@@ -262,6 +262,73 @@ FROM ce GROUP BY 1
 """
 
 
+def q_cdc_heartbeat_offsets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC heartbeat / offset-advance contract (Debezium
+    heartbeat.interval.ms; DebeziumRecordPublisher offset commits):
+    after half the log applies, the source's WAL position advances to
+    mid + hi/10 with NO tracked-table changes — run_sync commits a
+    zero-row `hb:<pos>` marker epoch that moves the watermark. A full
+    replay of the log then treats everything at or below the offset as
+    already consumed, so events in (mid, hb] never apply. Exercises
+    lakehouse/table.commit_marker_epoch + streaming/microbatch.run_sync
+    heartbeat_position through a REAL 3-sync lifecycle."""
+    import tempfile
+
+    from airbyte_integrations_spark.config import SyncConfig
+    from airbyte_integrations_spark.lakehouse.table import LakeTable
+    from airbyte_integrations_spark.streaming.microbatch import run_sync
+
+    tune_session(spark)
+    ce = change_events(spark, sf_dir)
+    hi = int(ce.agg(F.max("_ab_cdc_lsn")).collect()[0][0])
+    mid, hb = hi // 2, hi // 2 + hi // 10
+    scratch = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    table = LakeTable(
+        spark, tempfile.mkdtemp(prefix="hb_entry_", dir=scratch) + "/t"
+    )
+    cfg = SyncConfig(stream="pages")
+    run_sync(
+        spark, ce.filter(F.col("_ab_cdc_lsn") <= mid), table, cfg,
+        extract_missing_text=False, compact_threshold=None,
+    )
+    # WAL moved (other tables' traffic); nothing for this stream
+    run_sync(
+        spark, ce.filter(F.lit(False)), table, cfg,
+        heartbeat_position=hb,
+        extract_missing_text=False, compact_threshold=None,
+    )
+    assert table.watermark("pages") == hb
+    # at-least-once transport replays the whole log; the offset rules
+    run_sync(
+        spark, ce, table, cfg,
+        extract_missing_text=False, compact_threshold=None,
+    )
+    return table.read_live().select(
+        "url", "_ab_cdc_lsn", "event_type", "value_m"
+    )
+
+
+O_CDC_HEARTBEAT_OFFSETS = f"""
+WITH {CE_SQL},
+b AS (
+  SELECT CAST(floor(max(_ab_cdc_lsn) / 2) AS BIGINT) AS mid,
+         CAST(floor(max(_ab_cdc_lsn) / 2) + floor(max(_ab_cdc_lsn) / 10)
+              AS BIGINT) AS hb
+  FROM ce
+),
+vis AS (
+  SELECT ce.* FROM ce, b
+  WHERE ce._ab_cdc_lsn <= b.mid OR ce._ab_cdc_lsn > b.hb
+),
+w AS (
+  SELECT *, row_number() OVER (PARTITION BY url ORDER BY {ORDER_SQL}) AS rn
+  FROM vis
+)
+SELECT url, _ab_cdc_lsn, event_type, value_m
+FROM w WHERE rn = 1 AND _ab_cdc_deleted_at IS NULL
+"""
+
+
 def q_cdc_lineage_offsets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-(epoch, shard) offset ranges + counts — the lineage/metrics
     table shape (DefaultReplicationWorker.java:197-228)."""
@@ -4797,6 +4864,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_mor_replay": q_cdc_mor_replay,
         "cdc_incremental_cursor": q_cdc_incremental_cursor,
         "cdc_epoch_plan": q_cdc_epoch_plan,
+        "cdc_heartbeat_offsets": q_cdc_heartbeat_offsets,
         "cdc_lineage_offsets": q_cdc_lineage_offsets,
         "cdc_schema_evolution": q_cdc_schema_evolution,
         "cdc_snapshot_plus_log": q_cdc_snapshot_plus_log,
@@ -4897,6 +4965,7 @@ def oracle_sql() -> dict[str, str]:
         "cdc_mor_replay": O_CDC_MOR_REPLAY,
         "cdc_incremental_cursor": O_CDC_INCREMENTAL_CURSOR,
         "cdc_epoch_plan": O_CDC_EPOCH_PLAN,
+        "cdc_heartbeat_offsets": O_CDC_HEARTBEAT_OFFSETS,
         "cdc_lineage_offsets": O_CDC_LINEAGE_OFFSETS,
         "cdc_schema_evolution": O_CDC_SCHEMA_EVOLUTION,
         "cdc_snapshot_plus_log": O_CDC_SNAPSHOT_PLUS_LOG,

@@ -33,6 +33,38 @@ ENVELOPE = T.StructType(
             ),
         ),
         T.StructField("state", T.StringType()),
+        # TRACE / STREAM_STATUS (airbyte_protocol.yaml AirbyteTraceMessage
+        # + AirbyteStreamStatusTraceMessage): the per-stream lifecycle
+        # signal the platform uses to distinguish "no records" from
+        # "never ran" and to fail syncs whose streams end INCOMPLETE.
+        T.StructField(
+            "trace",
+            T.StructType(
+                [
+                    T.StructField("type", T.StringType()),
+                    T.StructField("emitted_at", T.LongType()),
+                    T.StructField(
+                        "stream_status",
+                        T.StructType(
+                            [
+                                T.StructField("status", T.StringType()),
+                                T.StructField(
+                                    "stream_descriptor",
+                                    T.StructType(
+                                        [
+                                            T.StructField("name", T.StringType()),
+                                            T.StructField(
+                                                "namespace", T.StringType()
+                                            ),
+                                        ]
+                                    ),
+                                ),
+                            ]
+                        ),
+                    ),
+                ]
+            ),
+        ),
     ]
 )
 
@@ -71,8 +103,18 @@ def read_messages(spark: SparkSession, path: str) -> DataFrame:
             ).otherwise(F.col("m.record.emitted_at"))
         ).alias("_airbyte_emitted_at"),
         F.col("_airbyte_data"),
-        F.col("m.record.stream").alias("stream"),
+        # TRACE stream-status messages name their stream in the
+        # descriptor, not the record envelope — coalesce so per-stream
+        # filters see both message kinds
+        F.coalesce(
+            F.col("m.record.stream"),
+            F.col("m.trace.stream_status.stream_descriptor.name"),
+        ).alias("stream"),
         F.col("m.type").alias("type"),
+        F.col("m.trace.stream_status.status").alias("_stream_status"),
+        F.timestamp_millis(F.col("m.trace.emitted_at")).alias(
+            "_trace_emitted_at"
+        ),
         F.col("_state_blob"),
         F.col("_file_mtime"),
         F.col("_file"),
@@ -108,6 +150,7 @@ def write_messages(
     namespace: str | None = None,
     state: dict | None = None,
     mode: str = "error",
+    stream_status: bool = False,
 ) -> None:
     """Emit a DataFrame as Airbyte wire JSONL — the SOURCE side of the
     protocol (abstract_source.py:288 ``AirbyteRecordMessage(stream=...,
@@ -127,7 +170,14 @@ def write_messages(
     clock, the reference's wall-clock ``now_millis`` is the
     non-replayable choice. The STATE file is written AFTER the record
     files commit, so latest_state()'s mtime ordering puts it last —
-    state never precedes the records it covers."""
+    state never precedes the records it covers.
+
+    stream_status=True brackets the emission with STREAM_STATUS TRACE
+    messages (AirbyteStreamStatusTraceMessage): STARTED before any
+    record file exists, COMPLETE after records + state are durable, and
+    INCOMPLETE (then re-raise) if the record write fails — the platform
+    uses these to distinguish "stream produced no records" from "stream
+    never ran / died" (protocol stream status lifecycle)."""
     import json
     import os
 
@@ -151,13 +201,63 @@ def write_messages(
         ),
         {"ignoreNullFields": "false"},
     )
-    df.select(msg.alias("value")).write.mode(mode).text(path)
+    def _trace(status: str, fname: str) -> None:
+        desc = {"name": stream}
+        if namespace is not None:
+            desc["namespace"] = namespace
+        line = json.dumps(
+            {
+                "type": "TRACE",
+                "trace": {
+                    "type": "STREAM_STATUS",
+                    "emitted_at": int(emitted_at_millis),
+                    "stream_status": {
+                        "status": status,
+                        "stream_descriptor": desc,
+                    },
+                },
+            },
+            sort_keys=True,
+        )
+        with open(os.path.join(path, fname), "w") as fh:
+            fh.write(line + "\n")
+
+    if stream_status:
+        os.makedirs(path, exist_ok=True)
+        if mode == "error" and any(
+            f.startswith("part-") for f in os.listdir(path)
+        ):
+            raise ValueError(f"path {path!r} already has record files")
+        _trace("STARTED", "trace_started.jsonl")
+    try:
+        df.select(msg.alias("value")).write.mode(
+            "append" if stream_status and mode == "error" else mode
+        ).text(path)
+    except Exception:
+        if stream_status:
+            _trace("INCOMPLETE", "trace_status.jsonl")
+        raise
     if state is not None:
         line = json.dumps(
             {"type": "STATE", "state": state}, sort_keys=True
         )
         with open(os.path.join(path, "state.jsonl"), "w") as fh:
             fh.write(line + "\n")
+    if stream_status:
+        _trace("COMPLETE", "trace_status.jsonl")
+
+
+def stream_statuses(messages: DataFrame) -> DataFrame:
+    """Per-stream lifecycle signals in file/line order: (stream, status,
+    _trace_emitted_at). The consumer-side check is `every stream that
+    STARTED also reached COMPLETE` — the replication worker's
+    stream-status accounting."""
+    return (
+        messages.filter(F.col("_stream_status").isNotNull())
+        .orderBy("_file_mtime", "_file", "_block_start", "_line_id")
+        .select("stream", F.col("_stream_status").alias("status"),
+                "_trace_emitted_at")
+    )
 
 
 def records_for_stream(

@@ -128,9 +128,18 @@ def read_url_files(
         return udf_df.mapInPandas(fetch_parquet, out_schema)
 
     def fetch_lines(batches):
+        import gzip as _gz
+
         for pdf in batches:
             for u in pdf[URL_COL]:
-                text = _fetch_url_bytes(u, hdrs).decode("utf-8")
+                body = _fetch_url_bytes(u, hdrs)
+                # gzip transport (the reference's source-file opens
+                # *.gz with smart_open's transparent decompression,
+                # client.py reader path). Sniff the magic bytes rather
+                # than trusting the extension — a CDN can serve either.
+                if body[:2] == b"\x1f\x8b":
+                    body = _gz.decompress(body)
+                text = body.decode("utf-8")
                 lines = [ln for ln in text.splitlines() if ln.strip()]
                 yield pd.DataFrame(
                     {

@@ -64,10 +64,14 @@ def _parquet_bytes() -> bytes:
 
 @pytest.fixture()
 def file_server():
+    import gzip
+
     files = {
         "/data.csv": _csv_bytes(),
         "/data.jsonl": _jsonl_bytes(),
         "/data.parquet": _parquet_bytes(),
+        "/data.csv.gz": gzip.compress(_csv_bytes()),
+        "/data.jsonl.gz": gzip.compress(_jsonl_bytes()),
     }
     hits = []
 
@@ -203,3 +207,14 @@ def test_url_file_stream_through_read_catalog(spark, file_server, tmp_path):
     # re-run converges (overwrite refresh, same content)
     read_catalog(spark, ConfiguredCatalog(streams=(cs,)), lake)
     assert tbl.read().count() == len(ROWS)
+
+
+def test_gzip_transport_transparent(spark, file_server):
+    """*.gz payloads decompress in the fetch task (source-file's
+    smart_open transparent decompression); sniffed by magic bytes, so
+    plain payloads are untouched."""
+    base, _ = file_server
+    df = read_url_files(spark, f"{base}/data.csv.gz", "csv", SCHEMA)
+    assert _collect(df) == sorted(ROWS)
+    dfj = read_url_files(spark, f"{base}/data.jsonl.gz", "jsonl", SCHEMA)
+    assert _collect(dfj) == sorted(ROWS)

@@ -152,3 +152,77 @@ def test_write_messages_emitted_at_col_and_serialization_plan(spark, tmp_path):
 
     one = _json.loads(msgs.select("_airbyte_data").first()[0])
     assert set(one) == {"id"}
+
+
+def test_stream_status_trace_lifecycle(spark, tmp_path):
+    """STREAM_STATUS TRACE bracket (protocol stream status lifecycle):
+    STARTED precedes the records, COMPLETE follows state; the reader
+    surfaces both in file/line order, and per-stream filters see TRACE
+    messages under their descriptor's stream name."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from airbyte_integrations_spark.sources.airbyte_wire import (
+        latest_state,
+        read_messages,
+        records_for_stream,
+        stream_statuses,
+        write_messages,
+    )
+
+    schema = T.StructType(
+        [T.StructField("id", T.LongType()), T.StructField("name", T.StringType())]
+    )
+    df = spark.createDataFrame([(1, "a"), (2, "b")], schema)
+    out = str(tmp_path / "wire")
+    write_messages(
+        df,
+        out,
+        stream="things",
+        emitted_at_millis=1_600_000_000_000,
+        state={"things": {"cursor": 2}},
+        stream_status=True,
+    )
+    msgs = read_messages(spark, out)
+    assert msgs.filter(F.col("type") == "RECORD").count() == 2
+    st = stream_statuses(msgs).collect()
+    assert [(r.stream, r.status) for r in st] == [
+        ("things", "STARTED"),
+        ("things", "COMPLETE"),
+    ]
+    # records still parse; state still last
+    back = records_for_stream(msgs, "things", schema)
+    assert back.count() == 2
+    import json
+
+    assert json.loads(latest_state(msgs)) == {"things": {"cursor": 2}}
+
+
+def test_stream_status_incomplete_on_write_failure(spark, tmp_path):
+    """A failed record write leaves an INCOMPLETE status (then
+    re-raises) so the consumer can distinguish crash from empty."""
+    import pytest
+    from pyspark.sql import types as T
+
+    from airbyte_integrations_spark.sources.airbyte_wire import (
+        read_messages,
+        stream_statuses,
+        write_messages,
+    )
+
+    schema = T.StructType([T.StructField("id", T.LongType())])
+    # a df whose evaluation fails on the executor
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def die(s: pd.Series) -> pd.Series:
+        raise RuntimeError("synthetic failure")
+
+    df = spark.createDataFrame([(1,), (0,)], schema).withColumn("id", die("id"))
+    out = str(tmp_path / "wire_fail")
+    with pytest.raises(Exception):
+        write_messages(df, out, stream="things", stream_status=True)
+    msgs = read_messages(spark, out)
+    st = [(r.stream, r.status) for r in stream_statuses(msgs).collect()]
+    assert st == [("things", "STARTED"), ("things", "INCOMPLETE")]
