@@ -1486,6 +1486,55 @@ FROM scored
 """
 
 
+def q_docs_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG-style document chunking: fixed 200-char windows with a
+    50-char overlap (stride 150), the retrieval-index preprocessing
+    every embedding pipeline runs before ingestion. Scale shape:
+    a narrow Generate (sequence+posexplode) expansion — constant ~n/
+    stride fan-out per doc, NO shuffle, no UDF; chunk text leaves as an
+    md5 so the result stays hash-comparable without shipping bodies."""
+    tune_session(spark)
+    width, stride = 200, 150
+    docs = load(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    starts = F.sequence(
+        F.lit(0), F.length("text") - 1, F.lit(stride)
+    )
+    chunk = F.substring(F.col("text"), F.col("s") + 1, width)
+    ex = docs.select(
+        "doc_id",
+        F.col("text"),
+        F.length("text").alias("n"),
+        F.posexplode(starts).alias("chunk_idx", "s"),
+    )
+    return ex.select(
+        "doc_id",
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        F.col("s").cast("long").alias("start_off"),
+        F.md5(chunk).alias("chunk_md5"),
+        F.least(F.lit(width), F.col("n") - F.col("s"))
+        .cast("long")
+        .alias("chunk_len"),
+    )
+
+
+O_DOCS_CHUNK_OVERLAP = """
+WITH s AS (
+  SELECT CAST(g AS BIGINT) AS s
+  FROM generate_series(0, 9999, 150) t(g)
+),
+ex AS (
+  SELECT d.doc_id, d.text, len(d.text) AS n, s.s AS start_off,
+         CAST(s.s / 150 AS BIGINT) AS chunk_idx
+  FROM documents d JOIN s ON s.s < len(d.text)
+  WHERE d.n_chars > 0
+)
+SELECT doc_id, chunk_idx, start_off,
+       md5(substr(text, CAST(start_off AS INT) + 1, 200)) AS chunk_md5,
+       least(200, n - start_off) AS chunk_len
+FROM ex
+"""
+
+
 def q_docs_pack_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequence packing for pretraining: documents are concatenated in
     doc_id order and cut into fixed 8192-token windows — each doc gets
@@ -4936,6 +4985,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_sample_stratified": q_docs_sample_stratified,
         "docs_incremental_dedup": q_docs_incremental_dedup,
         "docs_trigram_lm_score": q_docs_trigram_lm_score,
+        "docs_chunk_overlap": q_docs_chunk_overlap,
         "docs_pack_windows": q_docs_pack_windows,
         "docs_source_mix": q_docs_source_mix,
         "docs_dsir_weights": q_docs_dsir_weights,
@@ -5031,6 +5081,7 @@ def oracle_sql() -> dict[str, str]:
         "docs_dsir_weights": O_DOCS_DSIR_WEIGHTS,
         "docs_incremental_dedup": O_DOCS_INCREMENTAL_DEDUP,
         "docs_trigram_lm_score": O_DOCS_TRIGRAM_LM_SCORE,
+        "docs_chunk_overlap": O_DOCS_CHUNK_OVERLAP,
         "docs_pack_windows": O_DOCS_PACK_WINDOWS,
         "docs_source_mix": O_DOCS_SOURCE_MIX,
         "docs_simhash": O_DOCS_SIMHASH,

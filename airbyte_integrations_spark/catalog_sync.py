@@ -410,6 +410,11 @@ def _sync_stream(
                 cfg,
                 max_events_per_epoch=max_events_per_epoch,
                 extract_missing_text=extract_missing_text,
+                # source's current WAL position (Debezium heartbeat):
+                # advances the offset past quiet streams so re-reads
+                # skip consumed history even when this table saw no
+                # changes
+                heartbeat_position=cs.source.get("heartbeat_position"),
             )
         else:
             # full refresh / append paths: one batch through the

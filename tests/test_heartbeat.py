@@ -100,3 +100,37 @@ def test_marker_epoch_requires_existing_table(spark, tmp_path):
     t = LakeTable(spark, str(tmp_path / "none"))
     with pytest.raises(ValueError, match="existing table"):
         t.commit_marker_epoch("pages", "hb:5")
+
+
+def test_heartbeat_through_read_catalog(spark, tmp_path):
+    """A cdc_log stream in a configured catalog carries the source's
+    WAL position: the quiet stream's watermark advances via the marker
+    epoch and the next catalog pass replans above it."""
+    from airbyte_integrations_spark.catalog_sync import (
+        ConfiguredCatalog,
+        ConfiguredStream,
+        read_catalog,
+        stream_table,
+    )
+    from airbyte_integrations_spark.config import DestinationSyncMode, SyncMode
+
+    ev = _events(spark, 400)
+    log = str(tmp_path / "log")
+    ev.write.parquet(log)
+    cs = ConfiguredStream(
+        config=SyncConfig(
+            stream="pages",
+            sync_mode=SyncMode.INCREMENTAL,
+            destination_sync_mode=DestinationSyncMode.APPEND_DEDUP,
+            n_buckets=4,
+        ),
+        source={"kind": "cdc_log", "path": log, "heartbeat_position": 4000},
+    )
+    lake = str(tmp_path / "lake")
+    read_catalog(spark, ConfiguredCatalog(streams=(cs,)), lake)
+    t = stream_table(spark, lake, "pages")
+    assert t.watermark("pages") == 4000
+    v = t.current_version()
+    # converged: the second pass plans nothing and commits nothing
+    read_catalog(spark, ConfiguredCatalog(streams=(cs,)), lake)
+    assert t.current_version() == v
