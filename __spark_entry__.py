@@ -329,6 +329,71 @@ FROM w WHERE rn = 1 AND _ab_cdc_deleted_at IS NULL
 """
 
 
+def q_cdc_changelog_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-diff changelog (Delta CDF / Iceberg
+    create_changelog_view): after syncing the first half of the log
+    and then the rest, LakeTable.changes(v_mid) classifies every key
+    whose live image moved — insert / update_postimage carry the new
+    winner, delete carries the BEFORE image. Exercises the real lake
+    layer end to end (two syncs, version pin, resolved-view diff)."""
+    import tempfile
+
+    from airbyte_integrations_spark.config import SyncConfig
+    from airbyte_integrations_spark.lakehouse.table import LakeTable
+    from airbyte_integrations_spark.streaming.microbatch import run_sync
+
+    tune_session(spark)
+    ce = change_events(spark, sf_dir)
+    hi = int(ce.agg(F.max("_ab_cdc_lsn")).collect()[0][0])
+    mid = hi // 2
+    scratch = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    table = LakeTable(
+        spark, tempfile.mkdtemp(prefix="cdf_entry_", dir=scratch) + "/t"
+    )
+    cfg = SyncConfig(stream="pages")
+    run_sync(
+        spark, ce.filter(F.col("_ab_cdc_lsn") <= mid), table, cfg,
+        extract_missing_text=False, compact_threshold=None,
+    )
+    v_mid = table.current_version()
+    run_sync(
+        spark, ce, table, cfg,
+        extract_missing_text=False, compact_threshold=None,
+    )
+    return table.changes(v_mid).select(
+        "url", "_change_type", "_ab_cdc_lsn", "value_m"
+    )
+
+
+O_CDC_CHANGELOG_DIFF = f"""
+WITH {CE_SQL},
+b AS (SELECT CAST(floor(max(_ab_cdc_lsn) / 2) AS BIGINT) AS mid FROM ce),
+wo AS (
+  SELECT *, row_number() OVER (PARTITION BY url ORDER BY {ORDER_SQL}) AS rn
+  FROM ce, b WHERE _ab_cdc_lsn <= b.mid
+),
+old AS (SELECT url, _ab_cdc_lsn, value_m FROM wo
+        WHERE rn = 1 AND _ab_cdc_deleted_at IS NULL),
+wn AS (
+  SELECT *, row_number() OVER (PARTITION BY url ORDER BY {ORDER_SQL}) AS rn
+  FROM ce
+),
+new AS (SELECT url, _ab_cdc_lsn, value_m FROM wn
+        WHERE rn = 1 AND _ab_cdc_deleted_at IS NULL)
+SELECT coalesce(new.url, old.url) AS url,
+       CASE WHEN old.url IS NULL THEN 'insert'
+            WHEN new.url IS NULL THEN 'delete'
+            ELSE 'update_postimage' END AS _change_type,
+       CASE WHEN new.url IS NULL THEN old._ab_cdc_lsn
+            ELSE new._ab_cdc_lsn END AS _ab_cdc_lsn,
+       CASE WHEN new.url IS NULL THEN old.value_m
+            ELSE new.value_m END AS value_m
+FROM old FULL OUTER JOIN new ON old.url = new.url
+WHERE old.url IS NULL OR new.url IS NULL
+   OR old._ab_cdc_lsn IS DISTINCT FROM new._ab_cdc_lsn
+"""
+
+
 def q_cdc_lineage_offsets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-(epoch, shard) offset ranges + counts — the lineage/metrics
     table shape (DefaultReplicationWorker.java:197-228)."""
@@ -4914,6 +4979,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_incremental_cursor": q_cdc_incremental_cursor,
         "cdc_epoch_plan": q_cdc_epoch_plan,
         "cdc_heartbeat_offsets": q_cdc_heartbeat_offsets,
+        "cdc_changelog_diff": q_cdc_changelog_diff,
         "cdc_lineage_offsets": q_cdc_lineage_offsets,
         "cdc_schema_evolution": q_cdc_schema_evolution,
         "cdc_snapshot_plus_log": q_cdc_snapshot_plus_log,
@@ -5016,6 +5082,7 @@ def oracle_sql() -> dict[str, str]:
         "cdc_incremental_cursor": O_CDC_INCREMENTAL_CURSOR,
         "cdc_epoch_plan": O_CDC_EPOCH_PLAN,
         "cdc_heartbeat_offsets": O_CDC_HEARTBEAT_OFFSETS,
+        "cdc_changelog_diff": O_CDC_CHANGELOG_DIFF,
         "cdc_lineage_offsets": O_CDC_LINEAGE_OFFSETS,
         "cdc_schema_evolution": O_CDC_SCHEMA_EVOLUTION,
         "cdc_snapshot_plus_log": O_CDC_SNAPSHOT_PLUS_LOG,
