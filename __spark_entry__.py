@@ -394,6 +394,52 @@ WHERE old.url IS NULL OR new.url IS NULL
 """
 
 
+def q_cdc_partitioned_offsets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kafka-shaped partitioned-log consume (source-kafka's
+    {partition: offset} vector state): the log is key-hash split into 4
+    partitions, consumed in two rounds (first everything at or below
+    mid, then the rest) with per-partition offset resume — the final
+    live state must equal the plain winner replay (partitioning and
+    round boundaries are invisible to the result). Exercises
+    sources/partitioned_log.sync_partitioned_log end to end."""
+    import tempfile
+
+    from airbyte_integrations_spark.config import SyncConfig
+    from airbyte_integrations_spark.lakehouse.table import LakeTable
+    from airbyte_integrations_spark.sources.partitioned_log import (
+        PART_COL,
+        sync_partitioned_log,
+    )
+
+    tune_session(spark)
+    ce = change_events(spark, sf_dir)
+    plog = ce.withColumn(
+        PART_COL, F.pmod(F.xxhash64("url"), F.lit(4)).cast("int")
+    )
+    hi = int(ce.agg(F.max("_ab_cdc_lsn")).collect()[0][0])
+    mid = hi // 2
+    scratch = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    table = LakeTable(
+        spark, tempfile.mkdtemp(prefix="plog_entry_", dir=scratch) + "/t"
+    )
+    cfg = SyncConfig(stream="pages")
+    sync_partitioned_log(
+        spark, plog.filter(F.col("_ab_cdc_lsn") <= mid), table, cfg,
+        compact_threshold=None,
+    )
+    sync_partitioned_log(spark, plog, table, cfg, compact_threshold=None)
+    return table.read_live().select(
+        "url", "_ab_cdc_lsn", "event_type", "value_m"
+    )
+
+
+O_CDC_PARTITIONED_OFFSETS = f"""
+WITH {CE_SQL}, {WINNERS_SQL}
+SELECT url, _ab_cdc_lsn, event_type, value_m
+FROM w WHERE rn = 1 AND _ab_cdc_deleted_at IS NULL
+"""
+
+
 def q_cdc_lineage_offsets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-(epoch, shard) offset ranges + counts — the lineage/metrics
     table shape (DefaultReplicationWorker.java:197-228)."""
@@ -4980,6 +5026,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_epoch_plan": q_cdc_epoch_plan,
         "cdc_heartbeat_offsets": q_cdc_heartbeat_offsets,
         "cdc_changelog_diff": q_cdc_changelog_diff,
+        "cdc_partitioned_offsets": q_cdc_partitioned_offsets,
         "cdc_lineage_offsets": q_cdc_lineage_offsets,
         "cdc_schema_evolution": q_cdc_schema_evolution,
         "cdc_snapshot_plus_log": q_cdc_snapshot_plus_log,
@@ -5083,6 +5130,7 @@ def oracle_sql() -> dict[str, str]:
         "cdc_epoch_plan": O_CDC_EPOCH_PLAN,
         "cdc_heartbeat_offsets": O_CDC_HEARTBEAT_OFFSETS,
         "cdc_changelog_diff": O_CDC_CHANGELOG_DIFF,
+        "cdc_partitioned_offsets": O_CDC_PARTITIONED_OFFSETS,
         "cdc_lineage_offsets": O_CDC_LINEAGE_OFFSETS,
         "cdc_schema_evolution": O_CDC_SCHEMA_EVOLUTION,
         "cdc_snapshot_plus_log": O_CDC_SNAPSHOT_PLUS_LOG,
