@@ -345,6 +345,23 @@ def _sync_stream(
     epoch-keyed and idempotent — kill/re-run converges). Thread-safe:
     touches only this stream's table."""
     cfg = cs.config
+    if cs.source.get("kind") == "partitioned_log":
+        # Kafka-shaped log: vector {partition: offset} state — the
+        # consume round manages its own epoch key + resume
+        from airbyte_integrations_spark.sources.partitioned_log import (
+            sync_partitioned_log,
+        )
+
+        ev = (
+            cs.source["df"]
+            if "df" in cs.source
+            else spark.read.parquet(cs.source["path"])
+        )
+        sync_partitioned_log(
+            spark, ev, table, cfg,
+            extract_missing_text=extract_missing_text,
+        )
+        return
     if cs.source.get("kind") == "http" and cfg.sync_mode == SyncMode.INCREMENTAL:
         # paginated API stream: cursor-window slices with their own
         # per-slice epoch commits + STATE cadence (sources/http.py)

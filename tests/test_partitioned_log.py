@@ -136,3 +136,38 @@ def test_missing_part_col_rejected(spark, tmp_path):
 
     with pytest.raises(ValueError, match="_ab_part"):
         sync_partitioned_log(spark, ev, t, SyncConfig(stream="pages"))
+
+
+def test_partitioned_log_through_read_catalog(spark, tmp_path):
+    """A partitioned_log stream flows through the multi-stream loop;
+    re-runs converge on the vector state."""
+    from airbyte_integrations_spark.catalog_sync import (
+        ConfiguredCatalog,
+        ConfiguredStream,
+        read_catalog,
+        stream_table,
+    )
+    from airbyte_integrations_spark.config import DestinationSyncMode, SyncMode
+
+    ev = _plog(spark, n=400, n_urls=30)
+    log = str(tmp_path / "plog")
+    ev.write.parquet(log)
+    cs = ConfiguredStream(
+        config=SyncConfig(
+            stream="pages",
+            sync_mode=SyncMode.INCREMENTAL,
+            destination_sync_mode=DestinationSyncMode.APPEND_DEDUP,
+            n_buckets=4,
+        ),
+        source={"kind": "partitioned_log", "path": log},
+    )
+    lake = str(tmp_path / "lake")
+    read_catalog(spark, ConfiguredCatalog(streams=(cs,)), lake)
+    t = stream_table(spark, lake, "pages")
+    offs = committed_offsets(t, "pages")
+    assert offs and len(offs) <= N_PARTS
+    expect = winner_window(ev.drop(PART_COL), drop_tombstones=True)
+    assert t.read_live().count() == expect.count()
+    v = t.current_version()
+    read_catalog(spark, ConfiguredCatalog(streams=(cs,)), lake)
+    assert t.current_version() == v
