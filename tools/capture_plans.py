@@ -493,6 +493,51 @@ def main() -> None:
             "JSON — the only Python node is the HTTP fetch task",
         )
 
+    if os.path.isdir("/root/testdata/sf0.001"):
+        import __spark_entry__ as entry
+
+        chunk_plan = (
+            entry.q_docs_chunk_overlap(spark, "/root/testdata/sf0.001")
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        check(
+            "RAG chunk-overlap: narrow Generate expansion — zero Exchange, "
+            "zero Python",
+            "Generate" in chunk_plan
+            and "Exchange" not in chunk_plan
+            and "BatchEvalPython" not in chunk_plan
+            and "MapInPandas" not in chunk_plan,
+            "posexplode(sequence(...)) fan-out stays in the scan stage; "
+            "chunking 10^10 docs is shuffle-free",
+        )
+
+    from airbyte_integrations_spark.sources.partitioned_log import (
+        PART_COL,
+        _past_offsets,
+    )
+
+    plog_ev = ev.withColumn(
+        PART_COL, F.pmod(F.xxhash64("url"), F.lit(4)).cast("int")
+    )
+    plog_plan = (
+        _past_offsets(plog_ev, {0: 10, 1: 20, 2: 30, 3: 40}, "_ab_cdc_lsn")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    check(
+        "partitioned-log offsets vector: inlined-literal-map Filter — "
+        "no Join, no Exchange",
+        "Filter" in plog_plan
+        and "Join" not in plog_plan
+        and "Exchange" not in plog_plan,
+        "offset > offsets[part] rides the scan as a narrow predicate; "
+        "the {partition: offset} vector is metadata-sized and never "
+        "becomes a join side",
+    )
+
     out = ["# PLANS — physical-plan evidence (generated by tools/capture_plans.py)", ""]
     ok_all = True
     for name, ok, ev in CHECKS:
