@@ -43,6 +43,22 @@ ENVELOPE = T.StructType(
                 [
                     T.StructField("type", T.StringType()),
                     T.StructField("emitted_at", T.LongType()),
+                    # ERROR traces (airbyte_protocol.yaml:136-173
+                    # AirbyteTraceMessage type=ERROR +
+                    # AirbyteErrorTraceMessage)
+                    T.StructField(
+                        "error",
+                        T.StructType(
+                            [
+                                T.StructField("message", T.StringType()),
+                                T.StructField(
+                                    "internal_message", T.StringType()
+                                ),
+                                T.StructField("stack_trace", T.StringType()),
+                                T.StructField("failure_type", T.StringType()),
+                            ]
+                        ),
+                    ),
                     T.StructField(
                         "stream_status",
                         T.StructType(
@@ -112,6 +128,9 @@ def read_messages(spark: SparkSession, path: str) -> DataFrame:
         ).alias("stream"),
         F.col("m.type").alias("type"),
         F.col("m.trace.stream_status.status").alias("_stream_status"),
+        F.col("m.trace.error.message").alias("_error_message"),
+        F.col("m.trace.error.internal_message").alias("_error_internal"),
+        F.col("m.trace.error.failure_type").alias("_error_failure_type"),
         F.timestamp_millis(F.col("m.trace.emitted_at")).alias(
             "_trace_emitted_at"
         ),
@@ -233,9 +252,35 @@ def write_messages(
         df.select(msg.alias("value")).write.mode(
             "append" if stream_status and mode == "error" else mode
         ).text(path)
-    except Exception:
+    except Exception as exc:
         if stream_status:
             _trace("INCOMPLETE", "trace_status.jsonl")
+            # ERROR trace alongside the status (airbyte_protocol.yaml
+            # AirbyteErrorTraceMessage; AirbyteTraceMessageUtility
+            # emitSystemErrorTrace semantics)
+            import traceback
+
+            line = json.dumps(
+                {
+                    "type": "TRACE",
+                    "trace": {
+                        "type": "ERROR",
+                        "emitted_at": int(emitted_at_millis),
+                        "error": {
+                            "message": (
+                                "Something went wrong writing records "
+                                f"for stream {stream}"
+                            ),
+                            "internal_message": str(exc),
+                            "stack_trace": traceback.format_exc(),
+                            "failure_type": "system_error",
+                        },
+                    },
+                },
+                sort_keys=True,
+            )
+            with open(os.path.join(path, "trace_error.jsonl"), "w") as fh:
+                fh.write(line + "\n")
         raise
     if state is not None:
         line = json.dumps(
@@ -245,6 +290,22 @@ def write_messages(
             fh.write(line + "\n")
     if stream_status:
         _trace("COMPLETE", "trace_status.jsonl")
+
+
+def error_traces(messages: DataFrame) -> DataFrame:
+    """ERROR trace messages (AirbyteErrorTraceMessage fields) in
+    file/line order — what the platform surfaces as the failure
+    reason (airbyte_protocol.yaml:136-173)."""
+    return (
+        messages.filter(F.col("_error_message").isNotNull())
+        .orderBy("_file_mtime", "_file", "_block_start", "_line_id")
+        .select(
+            F.col("_error_message").alias("message"),
+            F.col("_error_internal").alias("internal_message"),
+            F.col("_error_failure_type").alias("failure_type"),
+            "_trace_emitted_at",
+        )
+    )
 
 
 def stream_statuses(messages: DataFrame) -> DataFrame:

@@ -226,3 +226,35 @@ def test_stream_status_incomplete_on_write_failure(spark, tmp_path):
     msgs = read_messages(spark, out)
     st = [(r.stream, r.status) for r in stream_statuses(msgs).collect()]
     assert st == [("things", "STARTED"), ("things", "INCOMPLETE")]
+
+
+def test_error_trace_on_write_failure(spark, tmp_path):
+    """The INCOMPLETE status is accompanied by an ERROR trace carrying
+    the AirbyteErrorTraceMessage fields (airbyte_protocol.yaml:136-173;
+    emitSystemErrorTrace semantics)."""
+    import pandas as pd
+    import pytest
+    from pyspark.sql import types as T
+    from pyspark.sql.functions import pandas_udf
+
+    from airbyte_integrations_spark.sources.airbyte_wire import (
+        error_traces,
+        read_messages,
+        write_messages,
+    )
+
+    @pandas_udf("long")
+    def die(s: pd.Series) -> pd.Series:
+        raise RuntimeError("boom-internal")
+
+    df = spark.createDataFrame(
+        [(1,)], T.StructType([T.StructField("id", T.LongType())])
+    ).withColumn("id", die("id"))
+    out = str(tmp_path / "wire_err")
+    with pytest.raises(Exception):
+        write_messages(df, out, stream="things", stream_status=True)
+    errs = error_traces(read_messages(spark, out)).collect()
+    assert len(errs) == 1
+    assert errs[0].failure_type == "system_error"
+    assert "things" in errs[0].message
+    assert "boom-internal" in errs[0].internal_message
