@@ -139,6 +139,36 @@ def bench_stream_sync(spark, n_events: int, n_urls: int) -> dict:
     return {"sec": dt, "events_per_sec": n_events / dt}
 
 
+def bench_plog_consume(spark, n_events: int, n_urls: int) -> dict:
+    """Message-bus ingest: consume a key-hash partitioned log (Kafka
+    consumer shape, {partition: offset} vector state) in one round —
+    sources/partitioned_log.sync_partitioned_log into a MoR table.
+    Production generation is not timed; only the consume."""
+    from pyspark.sql import functions as F
+
+    from airbyte_integrations_spark.sources.partitioned_log import (
+        PART_COL,
+        sync_partitioned_log,
+    )
+
+    base = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    root = tempfile.mkdtemp(prefix="bench_plog_", dir=base)
+    log = os.path.join(root, "log")
+    gen_change_events(spark, n_events, n_urls=n_urls).select(
+        *BENCH_COLS
+    ).withColumn(
+        PART_COL, F.pmod(F.xxhash64("url"), F.lit(16)).cast("int")
+    ).write.parquet(log)
+    table = LakeTable(spark, os.path.join(root, "lake"))
+    cfg = SyncConfig(stream="pages", n_buckets=64, write_mode="mor")
+    ev = spark.read.parquet(log)
+    t0 = time.perf_counter()
+    sync_partitioned_log(spark, ev, table, cfg, compact_threshold=None)
+    dt = time.perf_counter() - t0
+    shutil.rmtree(root, ignore_errors=True)
+    return {"sec": dt, "events_per_sec": n_events / dt}
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -204,6 +234,12 @@ def main() -> None:
     )
     timings["stream_sync_ingest"] = round(streamed["sec"], 3)
 
+    # message-bus mode (partitioned-log consume, vector offset state)
+    plog = bench_plog_consume(
+        spark, max(n_events // 4, 100_000), n_urls=max(n_events // 80, 1000)
+    )
+    timings["plog_consume"] = round(plog["sec"], 3)
+
     out = {
         "metric": "change-events/sec sustained MERGE-apply (CDC replay into lake table)",
         "value": round(max(merge["events_per_sec"], merge_mor["events_per_sec"]), 1),
@@ -219,6 +255,7 @@ def main() -> None:
         "events_per_sec_with_extraction": round(merge_x["events_per_sec"], 1),
         "events_per_sec_stateful_view": round(stateful["events_per_sec"], 1),
         "events_per_sec_stream_sync": round(streamed["events_per_sec"], 1),
+        "events_per_sec_plog": round(plog["events_per_sec"], 1),
         "cpus": cpus,
     }
     # Attach the last recorded N->4N scaling evidence (protocol +
@@ -267,6 +304,7 @@ def main() -> None:
         "events_per_sec_with_extraction": out["events_per_sec_with_extraction"],
         "events_per_sec_stateful_view": out["events_per_sec_stateful_view"],
         "events_per_sec_stream_sync": out["events_per_sec_stream_sync"],
+        "events_per_sec_plog": out["events_per_sec_plog"],
         "scaling_efficiency_N_to_4N": out.get("scaling_efficiency_N_to_4N"),
         "bench_events": out["bench_events"],
         "cpus": out["cpus"],
