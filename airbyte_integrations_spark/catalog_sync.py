@@ -92,7 +92,9 @@ def _stream_state_blob(table: LakeTable, stream: str) -> dict:
         "snapshot_version": table.current_version(),
     }
     fc = file_mtime_cursor(table, stream)
-    if fc is not None:
+    if isinstance(fc, datetime):  # pre-history commits: cursor only
+        blob["file_mtime_cursor"] = fc.isoformat()
+    elif fc is not None:
         blob["file_mtime_cursor"] = fc.cursor.isoformat()
         blob["file_history"] = sorted(fc.history)
     return blob
@@ -162,10 +164,15 @@ def file_mtime_cursor(table: LakeTable, stream: str):
     if not metas:
         return None
     cursor = max(m["file_mtime_cursor"] for m in metas)
+    at_cursor = [m for m in metas if m["file_mtime_cursor"] == cursor]
+    if not any("file_history" in m for m in at_cursor):
+        # table last synced by a pre-history engine: no record of WHICH
+        # at-cursor files are in it, so keep the legacy strict-> rule
+        # (returning an empty-history FileState would re-append them)
+        return datetime.fromisoformat(cursor)
     hist: set[str] = set()
-    for m in metas:
-        if m["file_mtime_cursor"] == cursor:
-            hist.update(m.get("file_history") or ())
+    for m in at_cursor:
+        hist.update(m.get("file_history") or ())
     return FileState(
         cursor=datetime.fromisoformat(cursor), history=frozenset(hist)
     )

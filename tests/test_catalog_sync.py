@@ -347,3 +347,31 @@ def test_concurrent_catalog_matches_serial(spark, tmp_path, derby_db):
     read_catalog(spark, cat, lake_con, max_events_per_epoch=300, max_concurrency=4)
     for n, v in before.items():
         assert stream_table(spark, lake_con, n).current_version() == v, n
+
+
+def test_pre_history_file_epochs_keep_strict_cursor(spark, tmp_path, derby_db):
+    """Migration edge: a table whose committed file epochs predate the
+    history (no file_history key) must keep the legacy strictly->
+    rule — an empty-history FileState would re-append the at-cursor
+    files on the first post-upgrade sync."""
+    import datetime as dt
+
+    from airbyte_integrations_spark.sources.files import FileState
+
+    _ev, log = _cdc_log(spark, tmp_path, "ph")
+    root = _files_root(spark, tmp_path, "ph")
+    cat = _catalog(spark, tmp_path, derby_db, log, root)
+    lake = str(tmp_path / "lake")
+    read_catalog(spark, cat, lake, max_events_per_epoch=300)
+    t = stream_table(spark, lake, "drops")
+    n1 = t.read().count()
+    # rewrite the committed meta to the PRE-history shape (cursor only)
+    m = t.manifest()
+    for meta in m["committed"]["drops"].values():
+        meta.pop("file_history", None)
+    t._commit(m)
+    st = file_mtime_cursor(t, "drops")
+    assert isinstance(st, dt.datetime) and not isinstance(st, FileState)
+    # re-run: nothing re-appends under the legacy strict-> rule
+    read_catalog(spark, cat, lake, max_events_per_epoch=300)
+    assert t.read().count() == n1
