@@ -242,15 +242,25 @@ def write_messages(
             fh.write(line + "\n")
 
     if stream_status:
+        # the record write must APPEND or Spark clears the directory
+        # (taking the STARTED trace with it); enforce error/overwrite
+        # semantics ourselves before the trace lands
         os.makedirs(path, exist_ok=True)
-        if mode == "error" and any(
-            f.startswith("part-") for f in os.listdir(path)
-        ):
+        existing = [
+            f for f in os.listdir(path) if not f.startswith((".", "_"))
+        ]
+        if mode == "error" and any(f.startswith("part-") for f in existing):
             raise ValueError(f"path {path!r} already has record files")
+        if mode == "overwrite":
+            import shutil
+
+            for f in os.listdir(path):
+                fp = os.path.join(path, f)
+                shutil.rmtree(fp) if os.path.isdir(fp) else os.remove(fp)
         _trace("STARTED", "trace_started.jsonl")
     try:
         df.select(msg.alias("value")).write.mode(
-            "append" if stream_status and mode == "error" else mode
+            "append" if stream_status else mode
         ).text(path)
     except Exception as exc:
         if stream_status:

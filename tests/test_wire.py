@@ -258,3 +258,32 @@ def test_error_trace_on_write_failure(spark, tmp_path):
     assert errs[0].failure_type == "system_error"
     assert "things" in errs[0].message
     assert "boom-internal" in errs[0].internal_message
+
+
+def test_stream_status_overwrite_keeps_started_trace(spark, tmp_path):
+    """mode=overwrite with stream_status: the directory is cleared by
+    the writer itself BEFORE the STARTED trace, so the lifecycle
+    survives (Spark's own overwrite would delete the trace file)."""
+    from pyspark.sql import types as T
+
+    from airbyte_integrations_spark.sources.airbyte_wire import (
+        read_messages,
+        stream_statuses,
+        write_messages,
+    )
+
+    schema = T.StructType([T.StructField("id", T.LongType())])
+    out = str(tmp_path / "wire_ow")
+    for batch in ([(1,), (2,)], [(3,)]):
+        write_messages(
+            spark.createDataFrame(batch, schema),
+            out,
+            stream="things",
+            stream_status=True,
+            mode="overwrite",
+        )
+    msgs = read_messages(spark, out)
+    # only the second batch's records remain; lifecycle complete
+    assert msgs.filter("type = 'RECORD'").count() == 1
+    st = [(r.stream, r.status) for r in stream_statuses(msgs).collect()]
+    assert st == [("things", "STARTED"), ("things", "COMPLETE")]
