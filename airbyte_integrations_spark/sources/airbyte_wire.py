@@ -331,6 +331,29 @@ def stream_statuses(messages: DataFrame) -> DataFrame:
     )
 
 
+def infer_record_schema(
+    spark: SparkSession, messages: DataFrame, stream: str, sample: int = 10_000
+) -> T.StructType:
+    """Schema discovery by document sampling — the schemaless-store
+    discover path (source-mongodb-v2 MongoUtils.getUniqueFields: read
+    10,000 documents, union every field, demote a field whose type
+    conflicts across documents to String; nested documents recurse).
+
+    Spark-first: Catalyst's own JSON schema inference implements
+    exactly that contract (field union across rows, widening, conflict
+    -> StringType, recursive structs), so the sample's `_airbyte_data`
+    blobs go straight through `spark.read.json` — distributed, no
+    Python per document."""
+    blobs = (
+        messages.filter(
+            (F.col("type") == "RECORD") & (F.col("stream") == stream)
+        )
+        .select("_airbyte_data")
+        .limit(sample)
+    )
+    return spark.read.json(blobs.rdd.map(lambda r: r[0])).schema
+
+
 def records_for_stream(
     messages: DataFrame, stream: str, schema: T.StructType
 ) -> DataFrame:

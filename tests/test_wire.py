@@ -287,3 +287,43 @@ def test_stream_status_overwrite_keeps_started_trace(spark, tmp_path):
     assert msgs.filter("type = 'RECORD'").count() == 1
     st = [(r.stream, r.status) for r in stream_statuses(msgs).collect()]
     assert st == [("things", "STARTED"), ("things", "COMPLETE")]
+
+
+def test_infer_record_schema_by_sampling(spark, tmp_path):
+    """Schemaless-store discover (MongoUtils.getUniqueFields contract):
+    union of fields across sampled documents; a field with conflicting
+    types demotes to string; nested documents become structs; the
+    inferred schema round-trips through records_for_stream."""
+    import json as _json
+
+    from pyspark.sql import types as T
+
+    from airbyte_integrations_spark.sources.airbyte_wire import (
+        infer_record_schema,
+        read_messages,
+        records_for_stream,
+    )
+
+    docs = [
+        {"id": 1, "name": "a", "meta": {"depth": 2}},
+        {"id": 2, "score": 1.5},              # new field, missing name
+        {"id": "three", "name": "c"},         # id conflicts: long vs str
+    ]
+    lines = [
+        _json.dumps(
+            {"type": "RECORD",
+             "record": {"stream": "things", "data": d, "emitted_at": 1}}
+        )
+        for d in docs
+    ]
+    p = tmp_path / "m.jsonl"
+    p.write_text("\n".join(lines) + "\n")
+    msgs = read_messages(spark, str(p))
+    schema = infer_record_schema(spark, msgs, "things")
+    by_name = {f.name: f.dataType for f in schema.fields}
+    assert isinstance(by_name["id"], T.StringType)      # conflict -> string
+    assert isinstance(by_name["meta"], T.StructType)    # nested doc
+    assert {"id", "name", "score", "meta"} <= set(by_name)
+    back = records_for_stream(msgs, "things", schema)
+    assert back.count() == 3
+    assert back.filter("id = 'three'").count() == 1
