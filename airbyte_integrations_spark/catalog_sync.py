@@ -299,6 +299,29 @@ def _read_stream_events(
             None,
             {},
         )
+    if kind == "wire":
+        # another connector's JSONL output as the source (the
+        # destination half of the protocol: RECORD envelopes in, typed
+        # rows out). Schema comes from the stream config or — for
+        # schemaless upstreams — from document sampling
+        # (infer_record_schema, the MongoDB-discover contract).
+        from airbyte_integrations_spark.sources.airbyte_wire import (
+            infer_record_schema,
+            read_messages,
+            records_for_stream,
+        )
+
+        msgs = read_messages(spark, cs.source["path"])
+        schema = cs.source.get("record_schema")
+        if isinstance(schema, str):
+            from pyspark.sql import types as T
+
+            schema = T.StructType.fromDDL(schema)
+        if schema is None:
+            schema = infer_record_schema(
+                spark, msgs, cfg.stream, cs.source.get("sample", 10_000)
+            )
+        return records_for_stream(msgs, cfg.stream, schema), None, {}
     if kind == "files":
         import hashlib
 

@@ -375,3 +375,39 @@ def test_pre_history_file_epochs_keep_strict_cursor(spark, tmp_path, derby_db):
     # re-run: nothing re-appends under the legacy strict-> rule
     read_catalog(spark, cat, lake, max_events_per_epoch=300)
     assert t.read().count() == n1
+
+
+def test_wire_stream_through_read_catalog(spark, tmp_path):
+    """A 'wire' stream (another connector's JSONL output) flows through
+    the catalog loop; with no declared schema, discovery samples the
+    documents (infer_record_schema)."""
+    import json as _json
+
+    from airbyte_integrations_spark.sources.airbyte_wire import write_messages
+
+    df = spark.createDataFrame(
+        [(1, "a", 0.5), (2, "b", 1.5), (2, "b2", 2.5)],
+        "id long, name string, score double",
+    )
+    out = str(tmp_path / "wire_src")
+    write_messages(df, out, stream="things", emitted_at_millis=1_600_000_000_000)
+
+    cs = ConfiguredStream(
+        config=SyncConfig(
+            stream="things",
+            primary_key=("id",),
+            cursor_field=("score",),
+            sync_mode=SyncMode.FULL_REFRESH,
+            destination_sync_mode=DestinationSyncMode.OVERWRITE,
+            n_buckets=4,
+        ),
+        source={"kind": "wire", "path": out},  # schema inferred
+    )
+    lake = str(tmp_path / "lake")
+    read_catalog(spark, ConfiguredCatalog(streams=(cs,)), lake)
+    t = stream_table(spark, lake, "things")
+    got = {(r.id, r.name) for r in t.read().select("id", "name").collect()}
+    assert got == {(1, "a"), (2, "b"), (2, "b2")}
+    # re-run converges (overwrite refresh)
+    read_catalog(spark, ConfiguredCatalog(streams=(cs,)), lake)
+    assert t.read().count() == 3
