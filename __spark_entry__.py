@@ -1597,6 +1597,52 @@ FROM scored
 """
 
 
+def q_cdc_unnest_children(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested-array explosion into a child stream
+    (stream_processor.py:78-82,343-380 + array.sql unnest macros):
+    documents' word arrays unnest through operators/unnest.unnest_stream
+    into (parent hashid, 0-based index, element) rows plus the per-
+    element child hashid md5(parent ~ index) — the reference's
+    `_airbyte_<child>_hashid` linkage (stream_processor.py:631-660).
+    Scale shape: one narrow Generate (lateral view), zero shuffle."""
+    from airbyte_integrations_spark.operators.unnest import unnest_stream
+
+    tune_session(spark)
+    docs = load(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    parent = docs.select(
+        F.md5(F.col("doc_id").cast("string")).alias("_airbyte_ab_id"),
+        F.split(F.trim(F.col("text")), r"\s+").alias("words"),
+    )
+    child = unnest_stream(parent)["words"]
+    return child.select(
+        F.col("_airbyte_parent_id").alias("parent_hashid"),
+        F.col("_airbyte_index").cast("long").alias("idx"),
+        F.col("words").alias("word"),
+        F.md5(
+            F.concat_ws(
+                "~",
+                F.col("_airbyte_parent_id"),
+                F.col("_airbyte_index").cast("string"),
+            )
+        ).alias("child_hashid"),
+    )
+
+
+O_CDC_UNNEST_CHILDREN = r"""
+WITH p AS (
+  SELECT md5(CAST(doc_id AS VARCHAR)) AS parent_hashid,
+         string_split_regex(trim(text), '\s+') AS arr
+  FROM documents WHERE n_chars > 0
+)
+SELECT parent_hashid,
+       CAST(unnest(range(len(arr))) AS BIGINT) AS idx,
+       unnest(arr) AS word,
+       md5(parent_hashid || '~' ||
+           CAST(unnest(range(len(arr))) AS VARCHAR)) AS child_hashid
+FROM p
+"""
+
+
 def q_docs_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RAG-style document chunking: fixed 200-char windows with a
     50-char overlap (stride 150), the retrieval-index preprocessing
@@ -5027,6 +5073,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_heartbeat_offsets": q_cdc_heartbeat_offsets,
         "cdc_changelog_diff": q_cdc_changelog_diff,
         "cdc_partitioned_offsets": q_cdc_partitioned_offsets,
+        "cdc_unnest_children": q_cdc_unnest_children,
         "cdc_lineage_offsets": q_cdc_lineage_offsets,
         "cdc_schema_evolution": q_cdc_schema_evolution,
         "cdc_snapshot_plus_log": q_cdc_snapshot_plus_log,
@@ -5131,6 +5178,7 @@ def oracle_sql() -> dict[str, str]:
         "cdc_heartbeat_offsets": O_CDC_HEARTBEAT_OFFSETS,
         "cdc_changelog_diff": O_CDC_CHANGELOG_DIFF,
         "cdc_partitioned_offsets": O_CDC_PARTITIONED_OFFSETS,
+        "cdc_unnest_children": O_CDC_UNNEST_CHILDREN,
         "cdc_lineage_offsets": O_CDC_LINEAGE_OFFSETS,
         "cdc_schema_evolution": O_CDC_SCHEMA_EVOLUTION,
         "cdc_snapshot_plus_log": O_CDC_SNAPSHOT_PLUS_LOG,
