@@ -59,6 +59,18 @@ def log_offsets(root: str, topic: str) -> dict[int, int]:
         return {int(k): int(v) for k, v in json.load(fh).items()}
 
 
+def producer_epochs(root: str, topic: str) -> dict[str, dict[int, int]]:
+    """Recorded idempotent-producer epochs: {epoch_key: highs-after}."""
+    p = os.path.join(_topic_dir(root, topic), "_producer_epochs.json")
+    if not os.path.exists(p):
+        return {}
+    with open(p) as fh:
+        return {
+            k: {int(pp): int(h) for pp, h in v.items()}
+            for k, v in json.load(fh).items()
+        }
+
+
 def write_partitioned_log(
     df: DataFrame,
     root: str,
@@ -68,6 +80,7 @@ def write_partitioned_log(
     key_col: str = "url",
     n_partitions: int = 4,
     order_by: tuple[str, ...] = ("_ab_cdc_lsn",),
+    producer_epoch: str | int | None = None,
 ) -> dict[int, int]:
     """Append df to the topic's partitioned log; returns the new
     per-partition high offsets. Records gain `_ab_part` (producer
@@ -75,10 +88,24 @@ def write_partitioned_log(
     sequence continuing from the sidecar highs) — the exact shape
     sources/partitioned_log consumes. order_by fixes the within-
     partition emission order (a real producer serializes sends; a
-    batch writer must say what that order is to be reproducible)."""
+    batch writer must say what that order is to be reproducible).
+
+    `producer_epoch` upgrades delivery from at-least-once to
+    exactly-once (Kafka's idempotent/transactional producer:
+    enable.idempotence + epoch fencing): a re-run carrying an
+    already-recorded epoch key is a no-op returning the highs recorded
+    at its first commit, so crash-retry loops never double-append.
+    (A crash BETWEEN the record append and the epoch record re-appends
+    on retry — the same at-least-once window a non-transactional Kafka
+    producer has; the engine's consumer-side winner rule absorbs it,
+    and the lake's epoch-keyed MERGE stays exactly-once regardless.)"""
     topic = resolve_topic(topic_pattern, namespace, stream)
     tdir = _topic_dir(root, topic)
     os.makedirs(tdir, exist_ok=True)
+    if producer_epoch is not None:
+        done = producer_epochs(root, topic)
+        if str(producer_epoch) in done:
+            return done[str(producer_epoch)]
     highs = log_offsets(root, topic)
     part = F.pmod(F.xxhash64(F.col(key_col)), F.lit(n_partitions)).cast("int")
     base = F.create_map(
@@ -110,6 +137,19 @@ def write_partitioned_log(
     with open(tmp, "w") as fh:
         json.dump({str(p): h for p, h in sorted(new_highs.items())}, fh)
     os.replace(tmp, os.path.join(tdir, "_offsets.json"))
+    if producer_epoch is not None:
+        done = producer_epochs(root, topic)
+        done[str(producer_epoch)] = new_highs
+        tmp2 = os.path.join(tdir, f"_pe.json.tmp-{uuid.uuid4().hex}")
+        with open(tmp2, "w") as fh:
+            json.dump(
+                {
+                    k: {str(p): h for p, h in v.items()}
+                    for k, v in done.items()
+                },
+                fh,
+            )
+        os.replace(tmp2, os.path.join(tdir, "_producer_epochs.json"))
     return new_highs
 
 

@@ -96,3 +96,21 @@ def test_produce_consume_roundtrip(spark, tmp_path):
     got = t.read_live().select("url", "_ab_cdc_lsn")
     assert got.count() == expect.count()
     assert got.exceptAll(expect).count() == 0
+
+
+def test_idempotent_producer_epoch(spark, tmp_path):
+    """Kafka idempotent-producer analogue: re-sending a committed
+    producer epoch is a no-op returning the recorded highs — the
+    crash-retry loop never double-appends."""
+    ev = gen_change_events(spark, 300, n_urls=20).select(*COLS)
+    root = str(tmp_path / "bus")
+    h1 = write_partitioned_log(ev, root, "pages", producer_epoch="sync:1")
+    n1 = read_topic(spark, root, "pages").count()
+    # retry of the same epoch: no new records, same highs back
+    h2 = write_partitioned_log(ev, root, "pages", producer_epoch="sync:1")
+    assert h2 == h1
+    assert read_topic(spark, root, "pages").count() == n1 == 300
+    # a NEW epoch appends
+    h3 = write_partitioned_log(ev, root, "pages", producer_epoch="sync:2")
+    assert read_topic(spark, root, "pages").count() == 600
+    assert all(h3[p] >= h1.get(p, -1) for p in h3)
