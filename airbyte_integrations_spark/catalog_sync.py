@@ -647,6 +647,48 @@ def jdbc_streams_from_discovery(
     return out
 
 
+def emit_catalog(
+    spark: SparkSession,
+    catalog: ConfiguredCatalog,
+    lake_root: str,
+    out_dir: str,
+    emitted_at_millis: int = 0,
+    stream_status: bool = True,
+) -> dict:
+    """The lake as an Airbyte SOURCE: emit every catalog stream's live
+    rows as RECORD JSONL (one directory per stream under `out_dir`)
+    bracketed by STREAM_STATUS traces, with the combined PER_STREAM
+    STATE document written once after every stream's records are
+    durable (abstract_source.read emission order: records, then the
+    state that covers them). Output parses back with read_messages /
+    records_for_stream — the produce half of the wire roundtrip.
+
+    Serialization is to_json over structs (distributed, codegen); the
+    per-stream emission order on disk is Spark's file order, exactly
+    like the reference's stdout interleaving is per-stream sequential."""
+    import json as _json
+
+    from airbyte_integrations_spark.sources.airbyte_wire import write_messages
+
+    state = catalog_state_message(spark, catalog, lake_root)
+    for cs in catalog.streams:
+        table = stream_table(spark, lake_root, cs.config.stream)
+        if not table.exists():
+            continue
+        write_messages(
+            table.read_live(),
+            os.path.join(out_dir, cs.config.stream),
+            stream=cs.config.stream,
+            emitted_at_millis=emitted_at_millis,
+            namespace=(cs.config.properties or {}).get("namespace"),
+            stream_status=stream_status,
+            mode="overwrite",
+        )
+    with open(os.path.join(out_dir, "state.jsonl"), "w") as fh:
+        fh.write(_json.dumps(state, sort_keys=True) + "\n")
+    return state
+
+
 def read_catalog_asof(
     spark: SparkSession,
     lake_root: str,

@@ -411,3 +411,40 @@ def test_wire_stream_through_read_catalog(spark, tmp_path):
     # re-run converges (overwrite refresh)
     read_catalog(spark, ConfiguredCatalog(streams=(cs,)), lake)
     assert t.read().count() == 3
+
+
+def test_emit_catalog_roundtrip(spark, tmp_path):
+    """Lake-as-source: emit_catalog writes each stream's live rows as
+    wire RECORD messages + lifecycle traces + one trailing combined
+    STATE; a second engine ingests the emitted wire and reproduces the
+    tables (the produce->consume wire roundtrip at catalog scope)."""
+    from airbyte_integrations_spark.catalog_sync import emit_catalog
+    from airbyte_integrations_spark.sources.airbyte_wire import (
+        read_messages,
+        records_for_stream,
+        stream_statuses,
+    )
+
+    ev, log = _cdc_log(spark, tmp_path, "emit", n=400, n_urls=25)
+    cs = ConfiguredStream(
+        config=SyncConfig(stream="pages", n_buckets=4),
+        source={"kind": "cdc_log", "path": log},
+    )
+    cat = ConfiguredCatalog(streams=(cs,))
+    lake = str(tmp_path / "lake")
+    read_catalog(spark, cat, lake, max_events_per_epoch=200)
+    t = stream_table(spark, lake, "pages")
+    want = t.read_live()
+
+    out = str(tmp_path / "wire_out")
+    state = emit_catalog(spark, cat, lake, out, emitted_at_millis=1_600_000_000_000)
+    assert state["state"]["state_type"] == "PER_STREAM"
+
+    msgs = read_messages(spark, str(tmp_path / "wire_out" / "pages"))
+    st = [(r.stream, r.status) for r in stream_statuses(msgs).collect()]
+    assert st == [("pages", "STARTED"), ("pages", "COMPLETE")]
+    back = records_for_stream(msgs, "pages", want.schema)
+    assert back.count() == want.count()
+    got = {(r.url, r._ab_cdc_lsn) for r in back.select("url", "_ab_cdc_lsn").collect()}
+    exp = {(r.url, r._ab_cdc_lsn) for r in want.select("url", "_ab_cdc_lsn").collect()}
+    assert got == exp
