@@ -211,6 +211,57 @@ FROM w WHERE rn = 1 AND _ab_cdc_deleted_at IS NULL
 """
 
 
+def q_cdc_maintenance_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full table-maintenance lifecycle over a merge-on-read replay:
+    apply the log as 4 MoR epochs (deltas kept), then run every
+    maintenance operation the lake layer offers — compact() (fold
+    deltas into base via the winner rule; Iceberg rewrite_data_files
+    analogue), rebucket() (partition-spec evolution to a different
+    hash-bucket count), expire_snapshots(keep_last=1) (history GC) —
+    and read the surviving live state. Each step commits a new
+    snapshot; none may change the answer: the result must still equal
+    the plain winner-rule oracle. Pins the maintenance path the 10^10
+    design point depends on (delta fold-in keeps MoR read cost O(1) in
+    sync count; rebucketing re-sizes write parallelism as the table
+    grows; expiry bounds manifest/file growth)."""
+    import tempfile
+
+    from airbyte_integrations_spark.config import SyncConfig
+    from airbyte_integrations_spark.lakehouse.table import LakeTable
+    from airbyte_integrations_spark.streaming.microbatch import run_sync
+
+    tune_session(spark)
+    ce = change_events(spark, sf_dir)
+    hi = ce.agg(F.max("_ab_cdc_lsn")).collect()[0][0]
+    scratch = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    table = LakeTable(
+        spark, tempfile.mkdtemp(prefix="maint_entry_", dir=scratch) + "/t"
+    )
+    run_sync(
+        spark, ce, table, SyncConfig(stream="pages", write_mode="mor"),
+        max_events_per_epoch=max(int(hi) // 4, 1),
+        extract_missing_text=False,
+        compact_threshold=None,  # leave all 4 delta sets for compact()
+    )
+    table.compact(max_files_per_bucket=1)  # fold deltas into base
+    m = table.manifest()
+    assert not any(ps for ps in m.get("deltas", {}).values()), "compact left deltas"
+    table.rebucket(int(m["n_buckets"]) * 2)  # partition evolution
+    gone = table.expire_snapshots(keep_last=1)
+    # 4 epochs + compact + rebucket left >=5 superseded manifests; the
+    # GC must actually reclaim them (and their unreferenced data files)
+    assert gone["manifests_removed"] >= 5, gone
+    assert gone["data_files_removed"] > 0, gone
+    return table.read_live().select("url", "_ab_cdc_lsn", "event_type", "value_m")
+
+
+O_CDC_MAINTENANCE_REPLAY = f"""
+WITH {CE_SQL}, {WINNERS_SQL}
+SELECT url, _ab_cdc_lsn, event_type, value_m
+FROM w WHERE rn = 1 AND _ab_cdc_deleted_at IS NULL
+"""
+
+
 def q_cdc_incremental_cursor(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cursor scan: strictly-greater filter + new max-cursor state
     (AbstractJdbcSource.java:261-286, StateDecoratingIterator.java:50-60).
@@ -669,6 +720,77 @@ SELECT doc_id,
             * 1000.0 / length(text)) AS BIGINT) AS punct_ratio_pm,
        length(text) AS n_chars_live
 FROM documents WHERE n_chars > 0
+"""
+
+
+def q_docs_c4_line_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 line-level cleaning (functions/curation.c4_line_filter):
+    keep lines ending in terminal punctuation with >=5 words and no
+    blocklisted word; keep documents with >=3 surviving lines. The
+    corpus words are single-line, so line structure is synthesized
+    deterministically first (8-token lines; every (doc_id+i)%4==0 line
+    is left without terminal punctuation so rule (a) actually fires);
+    'slow'/'big' stand in for the C4 badword list. clean_sig pins the
+    exact cleaned text, not just the counters. Entirely Catalyst
+    higher-order functions — zero Python, zero shuffle, zero explode."""
+    from airbyte_integrations_spark.functions.curation import c4_line_filter
+
+    tune_session(spark)
+    docs = load(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    toks = F.split(F.col("text"), " ")
+    idx = F.sequence(
+        F.lit(0), F.floor((F.size(toks) - F.lit(1)) / 8).cast("int")
+    )
+    line = lambda i: F.concat(  # noqa: E731
+        F.array_join(F.slice(toks, i * 8 + 1, 8), " "),
+        F.when(((F.col("doc_id") + i) % 4) != 0, F.lit(".")).otherwise(
+            F.lit("")
+        ),
+    )
+    synth = docs.withColumn("text", F.array_join(F.transform(idx, line), "\n"))
+    out = c4_line_filter(
+        synth, min_words_per_line=5, min_kept_lines=3, badwords=("slow", "big")
+    )
+    return out.select(
+        "doc_id",
+        F.col("n_lines").cast("long").alias("n_lines"),
+        F.col("n_kept_lines").cast("long").alias("n_kept_lines"),
+        F.col("kept_words").cast("long").alias("kept_words"),
+        "doc_kept",
+        F.md5(F.col("clean_text").cast("binary")).alias("clean_sig"),
+    )
+
+
+O_DOCS_C4_LINE_FILTER = r"""
+WITH base AS (
+  SELECT doc_id, string_split(text, ' ') AS toks
+  FROM documents WHERE n_chars > 0
+),
+synth AS (
+  SELECT doc_id,
+    list_transform(
+      range(CAST(floor((len(toks) - 1) / 8.0) AS BIGINT) + 1),
+      i -> array_to_string(toks[(i*8+1):(i*8+8)], ' ')
+           || CASE WHEN (doc_id + i) % 4 <> 0 THEN '.' ELSE '' END
+    ) AS lines
+  FROM base
+),
+filt AS (
+  SELECT doc_id, lines,
+    list_filter(lines, ln ->
+      right(ln, 1) IN ('.', '!', '?', '"')
+      AND len(string_split(ln, ' ')) >= 5
+      AND NOT regexp_matches(ln, '\b(slow|big)\b')
+    ) AS kept
+  FROM synth
+)
+SELECT doc_id,
+       CAST(len(lines) AS BIGINT) AS n_lines,
+       CAST(len(kept) AS BIGINT) AS n_kept_lines,
+       CAST(coalesce(list_sum(list_transform(kept, ln -> len(string_split(ln, ' ')))), 0) AS BIGINT) AS kept_words,
+       len(kept) >= 3 AS doc_kept,
+       md5(coalesce(array_to_string(kept, chr(10)), '')) AS clean_sig
+FROM filt
 """
 
 
@@ -5068,6 +5190,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_tombstone_stats": q_cdc_tombstone_stats,
         "cdc_idempotent_replay": q_cdc_idempotent_replay,
         "cdc_mor_replay": q_cdc_mor_replay,
+        "cdc_maintenance_replay": q_cdc_maintenance_replay,
         "cdc_incremental_cursor": q_cdc_incremental_cursor,
         "cdc_epoch_plan": q_cdc_epoch_plan,
         "cdc_heartbeat_offsets": q_cdc_heartbeat_offsets,
@@ -5091,6 +5214,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_exact_dedup": q_docs_exact_dedup,
         "docs_fingerprint": q_docs_fingerprint,
         "docs_quality": q_docs_quality,
+        "docs_c4_line_filter": q_docs_c4_line_filter,
         "docs_lang_id": q_docs_lang_id,
         "docs_repetition": q_docs_repetition,
         "docs_tfidf_top_terms": q_docs_tfidf_top_terms,
@@ -5173,6 +5297,7 @@ def oracle_sql() -> dict[str, str]:
         "cdc_tombstone_stats": O_CDC_TOMBSTONE_STATS,
         "cdc_idempotent_replay": O_CDC_IDEMPOTENT_REPLAY,
         "cdc_mor_replay": O_CDC_MOR_REPLAY,
+        "cdc_maintenance_replay": O_CDC_MAINTENANCE_REPLAY,
         "cdc_incremental_cursor": O_CDC_INCREMENTAL_CURSOR,
         "cdc_epoch_plan": O_CDC_EPOCH_PLAN,
         "cdc_heartbeat_offsets": O_CDC_HEARTBEAT_OFFSETS,
@@ -5189,6 +5314,7 @@ def oracle_sql() -> dict[str, str]:
         "docs_exact_dedup": O_DOCS_EXACT_DEDUP,
         "docs_fingerprint": O_DOCS_FINGERPRINT,
         "docs_quality": O_DOCS_QUALITY,
+        "docs_c4_line_filter": O_DOCS_C4_LINE_FILTER,
         "docs_lang_id": _o_lang_sql(),
         "docs_repetition": O_DOCS_REPETITION,
         "docs_tfidf_top_terms": O_DOCS_TFIDF_TOP_TERMS,

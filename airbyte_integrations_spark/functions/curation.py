@@ -133,3 +133,70 @@ def url_canonicalize(url: Column) -> Column:
         path,
         F.when(kept != "", F.concat(F.lit("?"), kept)).otherwise(F.lit("")),
     )
+
+
+# ---------------------------------------------------------- C4 line cleaning
+
+TERMINAL_PUNCT = (".", "!", "?", '"')
+
+
+def c4_line_filter(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    min_words_per_line: int = 5,
+    min_kept_lines: int = 3,
+    badwords: tuple[str, ...] = (),
+) -> DataFrame:
+    """C4-style line-level cleaning (Raffel et al. 2020 §2.2; the same
+    rule set ships in TensorFlow-Datasets' c4_utils and every open
+    reproduction): split the document on newlines, keep only lines that
+    (a) end in terminal punctuation, (b) have at least
+    ``min_words_per_line`` words, and (c) contain no blocklisted word;
+    then keep only documents with at least ``min_kept_lines`` surviving
+    lines. Emits per-document audit counters plus the cleaned text so
+    downstream dedup runs on what a C4 pipeline would actually keep.
+
+    Scale shape: one narrow projection — split / filter / aggregate are
+    Catalyst higher-order functions over the line array, entirely
+    inside whole-stage codegen. No shuffle, no Python, no explode (the
+    line array never leaves the row), so at 10^10 documents this is a
+    pure map stage that parallelizes with executors.
+
+    Output columns: every input column plus
+      n_lines        total lines in the document
+      n_kept_lines   lines surviving the three rules
+      kept_words     total words across surviving lines
+      doc_kept       n_kept_lines >= min_kept_lines
+      clean_text     surviving lines rejoined with '\\n' ('' when none)
+    """
+    lines = F.split(F.col(text_col), "\n")
+    words = lambda ln: F.size(F.split(F.trim(ln), " +"))  # noqa: E731
+    ends_ok = lambda ln: F.substring(F.trim(ln), -1, 1).isin(  # noqa: E731
+        *TERMINAL_PUNCT
+    )
+    if badwords:
+        bad_re = "(?i)\\b(" + "|".join(badwords) + ")\\b"
+        clean = lambda ln: ~F.trim(ln).rlike(bad_re)  # noqa: E731
+    else:
+        clean = lambda ln: F.lit(True)  # noqa: E731
+    keep = lambda ln: (
+        ends_ok(ln) & (words(ln) >= min_words_per_line) & clean(ln)
+    )  # noqa: E731
+    kept = F.filter(lines, keep)
+    out = (
+        df.withColumn("n_lines", F.size(lines))
+        .withColumn("n_kept_lines", F.size(kept))
+        .withColumn(
+            "kept_words",
+            F.coalesce(
+                F.aggregate(
+                    kept, F.lit(0), lambda acc, ln: acc + words(ln)
+                ),
+                F.lit(0),
+            ),
+        )
+        .withColumn("doc_kept", F.col("n_kept_lines") >= F.lit(min_kept_lines))
+        .withColumn("clean_text", F.array_join(kept, "\n"))
+    )
+    return out

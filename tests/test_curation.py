@@ -280,3 +280,74 @@ def test_incremental_dedup_status_taxonomy(spark, tmp_path):
         28: "dup_in_batch",
         38: "new",
     }
+
+
+# ----------------------------------------------------------- c4 line filter
+
+def test_c4_line_filter_rules(spark):
+    from airbyte_integrations_spark.functions.curation import c4_line_filter
+
+    df = spark.createDataFrame(
+        [
+            Row(
+                doc_id=1,
+                text=(
+                    "one two three four five six.\n"      # kept
+                    "no terminal punctuation here at all\n"  # dropped: rule (a)
+                    "too short.\n"                        # dropped: rule (b)
+                    "this line mentions javascript a lot.\n"  # dropped: rule (c)
+                    "another good line with many words!\n"    # kept
+                    'quoted line stays with five words"'      # kept (quote terminal)
+                ),
+            ),
+            Row(doc_id=2, text="only one decent line right here."),
+        ]
+    )
+    out = c4_line_filter(
+        df, min_words_per_line=5, min_kept_lines=3, badwords=("javascript",)
+    ).collect()
+    by_id = {r.doc_id: r for r in out}
+    d1 = by_id[1]
+    assert d1.n_lines == 6
+    assert d1.n_kept_lines == 3
+    assert d1.doc_kept is True
+    assert d1.clean_text == (
+        "one two three four five six.\n"
+        "another good line with many words!\n"
+        'quoted line stays with five words"'
+    )
+    assert d1.kept_words == 6 + 6 + 6
+    d2 = by_id[2]
+    assert d2.n_kept_lines == 1 and d2.doc_kept is False
+    assert d2.clean_text == "only one decent line right here."
+
+
+def test_c4_line_filter_badword_boundary_and_case(spark):
+    """The blocklist matches whole words case-insensitively: 'Slow'
+    fires, 'slowly' does not (word boundary)."""
+    from airbyte_integrations_spark.functions.curation import c4_line_filter
+
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="the Slow train arrives here today."),
+            Row(doc_id=2, text="she walked slowly across the room."),
+        ]
+    )
+    out = {
+        r.doc_id: r.n_kept_lines
+        for r in c4_line_filter(df, badwords=("slow",), min_kept_lines=1).collect()
+    }
+    assert out == {1: 0, 2: 1}
+
+
+def test_c4_line_filter_narrow_plan(spark):
+    """Scale pin: the cleaning is one codegen'd projection — no
+    Exchange beyond the input parallelize, no Python evaluation, no
+    Generate (the line array never explodes)."""
+    from airbyte_integrations_spark.functions.curation import c4_line_filter
+
+    df = spark.createDataFrame([Row(doc_id=1, text="a b c d e f.")])
+    plan = c4_line_filter(df, badwords=("x",))._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "Generate" not in plan
+    assert plan.count("Exchange") == 0
