@@ -883,6 +883,100 @@ FROM per GROUP BY doc_id
 """
 
 
+def q_docs_sparse_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse keyword retrieval (the BM25/TF-IDF inverted-index shape a
+    curation pipeline uses to mine topical subsets or audit
+    decontamination): given a FIXED query set, score every document by
+    sum over query terms of an integer-exact df-normalized term weight
+    (floor(tf*1e6/df) via integer division — no ln()/double ULP
+    hazards), and return the top-10 documents per query with rank.
+
+    Scale shape: the token stream is filtered to the query vocabulary
+    BEFORE any aggregation (a broadcast isin over <=9 literals — the
+    corpus never shuffles on anything wider), tf is a map-side-combined
+    hash agg over (doc, term) restricted to matching tokens, df is a
+    second tiny agg over that, the query map joins by broadcast, and
+    the final top-k is one window per query id over already-reduced
+    (query, doc) scores. Query count is a constant (the |Q| knob is
+    independent of corpus size), so total cost is O(matching tokens).
+    """
+    tune_session(spark)
+    from airbyte_integrations_spark.functions.neardup import words
+
+    queries = spark.createDataFrame(
+        [
+            (1, "spark"), (1, "join"), (1, "merge"),
+            (2, "window"), (2, "sort"), (2, "group"),
+            (3, "customer"), (3, "query"), (3, "table"),
+        ],
+        "query_id int, term string",
+    )
+    vocab = [r.term for r in queries.select("term").distinct().collect()]
+    docs = load(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    tok = docs.select(
+        "doc_id", F.explode(words("text")).alias("term")
+    ).filter(F.col("term").isin(vocab))
+    tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    weighted = tf.join(F.broadcast(dfreq), "term").withColumn(
+        "w", F.expr("(tf * 1000000L) div df")
+    )
+    scored = (
+        weighted.join(F.broadcast(queries), "term")
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum("w").alias("score_m"), F.count("*").alias("n_terms_hit"))
+    )
+    win = Window.partitionBy("query_id").orderBy(
+        F.col("score_m").desc(), F.col("doc_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(win))
+        .filter(F.col("rank") <= 10)
+        .select(
+            F.col("query_id").cast("int").alias("query_id"),
+            F.col("rank").cast("int").alias("rank"),
+            "doc_id",
+            F.col("score_m").cast("long").alias("score_m"),
+            F.col("n_terms_hit").cast("long").alias("n_terms_hit"),
+        )
+    )
+
+
+O_DOCS_SPARSE_RETRIEVAL = r"""
+WITH q(query_id, term) AS (
+  VALUES (1,'spark'),(1,'join'),(1,'merge'),
+         (2,'window'),(2,'sort'),(2,'group'),
+         (3,'customer'),(3,'query'),(3,'table')
+),
+tok AS (
+  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+  FROM documents WHERE n_chars > 0
+),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf
+  FROM tok WHERE term IN (SELECT DISTINCT term FROM q)
+  GROUP BY 1, 2
+),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+scored AS (
+  SELECT q.query_id, tf.doc_id,
+         sum((tf.tf * 1000000) // dfreq.df) AS score_m,
+         count(*) AS n_terms_hit
+  FROM tf JOIN dfreq USING (term) JOIN q USING (term)
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY score_m DESC, doc_id ASC) AS rank
+  FROM scored
+)
+SELECT CAST(query_id AS INTEGER) AS query_id, CAST(rank AS INTEGER) AS rank,
+       doc_id, CAST(score_m AS BIGINT) AS score_m,
+       CAST(n_terms_hit AS BIGINT) AS n_terms_hit
+FROM ranked WHERE rank <= 10
+"""
+
+
 def q_docs_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-weighted salient terms: top-3 tokens per doc by an
     integer-exact tf-over-df score (TF-IDF-style; exact integer
@@ -5218,6 +5312,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_lang_id": q_docs_lang_id,
         "docs_repetition": q_docs_repetition,
         "docs_tfidf_top_terms": q_docs_tfidf_top_terms,
+        "docs_sparse_retrieval": q_docs_sparse_retrieval,
         "docs_curation_pipeline": q_docs_curation_pipeline,
         "docs_decontaminate": q_docs_decontaminate,
         "docs_pii_redact": q_docs_pii_redact,
@@ -5318,6 +5413,7 @@ def oracle_sql() -> dict[str, str]:
         "docs_lang_id": _o_lang_sql(),
         "docs_repetition": O_DOCS_REPETITION,
         "docs_tfidf_top_terms": O_DOCS_TFIDF_TOP_TERMS,
+        "docs_sparse_retrieval": O_DOCS_SPARSE_RETRIEVAL,
         "docs_curation_pipeline": O_DOCS_CURATION_PIPELINE,
         "docs_decontaminate": O_DOCS_DECONTAMINATE,
         "docs_pii_redact": O_DOCS_PII_REDACT,

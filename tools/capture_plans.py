@@ -513,6 +513,42 @@ def main() -> None:
             "chunking 10^10 docs is shuffle-free",
         )
 
+    if os.path.isdir("/root/testdata/sf0.001"):
+        import __spark_entry__ as entry
+
+        c4_plan = (
+            entry.q_docs_c4_line_filter(spark, "/root/testdata/sf0.001")
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        check(
+            "C4 line cleaning: one codegen'd projection — zero Exchange, "
+            "zero Python, zero Generate (the line array never explodes)",
+            "Exchange" not in c4_plan
+            and "BatchEvalPython" not in c4_plan
+            and "MapInPandas" not in c4_plan
+            and "Generate" not in c4_plan,
+            "split/filter/aggregate are Catalyst higher-order functions "
+            "inside the scan stage; cleaning 10^10 docs is a pure map",
+        )
+
+        sr_plan = (
+            entry.q_docs_sparse_retrieval(spark, "/root/testdata/sf0.001")
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        check(
+            "sparse retrieval: query-vocab filter before any agg, df and "
+            "query map joined by broadcast (corpus never shuffles wide)",
+            sr_plan.count("BroadcastHashJoin") >= 2
+            and "partial_count" in sr_plan
+            and "SortMergeJoin" not in sr_plan,
+            "tokens filtered to <=9 literal terms in the scan stage; tf is "
+            "a map-side-combined hash agg; both join sides broadcast",
+        )
+
     from airbyte_integrations_spark.sources.partitioned_log import (
         PART_COL,
         _past_offsets,
