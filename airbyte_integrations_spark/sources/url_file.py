@@ -67,6 +67,49 @@ def _fetch_url_bytes(
             tries += 1
 
 
+def _decompress(body: bytes) -> bytes:
+    """Transparent transport decompression for line formats, sniffed
+    from magic bytes rather than the extension — a CDN can serve
+    either. Parity: the reference's source-file opens gz/bz2/zip/xz
+    through smart_open/pandas ``infer_compression``
+    (client.py reader path); zstd needs a vendor lib absent here and
+    is rejected explicitly rather than mis-parsed.
+
+    zip follows pandas' contract: exactly one member file (a
+    multi-member archive is ambiguous — which member is THE table? —
+    so it is an error, matching ``pandas.read_csv(compression='zip')``).
+    """
+    if body[:2] == b"\x1f\x8b":
+        import gzip
+
+        return gzip.decompress(body)
+    if body[:3] == b"BZh":
+        import bz2
+
+        return bz2.decompress(body)
+    if body[:6] == b"\xfd7zXZ\x00":
+        import lzma
+
+        return lzma.decompress(body)
+    if body[:4] == b"\x28\xb5\x2f\xfd":
+        raise NotImplementedError(
+            "zstd transport needs the zstandard package, absent from "
+            "this environment; re-serve as gzip/bz2/xz"
+        )
+    if body[:4] == b"PK\x03\x04":
+        import zipfile
+
+        with zipfile.ZipFile(io.BytesIO(body)) as zf:
+            members = [n for n in zf.namelist() if not n.endswith("/")]
+            if len(members) != 1:
+                raise ValueError(
+                    f"zip archive must contain exactly one file, found "
+                    f"{len(members)}: {members[:5]}"
+                )
+            return zf.read(members[0])
+    return body
+
+
 def _check_scheme(urls: list[str]) -> None:
     for u in urls:
         scheme = u.split("://", 1)[0].lower() if "://" in u else ""
@@ -128,17 +171,9 @@ def read_url_files(
         return udf_df.mapInPandas(fetch_parquet, out_schema)
 
     def fetch_lines(batches):
-        import gzip as _gz
-
         for pdf in batches:
             for u in pdf[URL_COL]:
-                body = _fetch_url_bytes(u, hdrs)
-                # gzip transport (the reference's source-file opens
-                # *.gz with smart_open's transparent decompression,
-                # client.py reader path). Sniff the magic bytes rather
-                # than trusting the extension — a CDN can serve either.
-                if body[:2] == b"\x1f\x8b":
-                    body = _gz.decompress(body)
+                body = _decompress(_fetch_url_bytes(u, hdrs))
                 text = body.decode("utf-8")
                 lines = [ln for ln in text.splitlines() if ln.strip()]
                 yield pd.DataFrame(

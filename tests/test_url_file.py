@@ -72,6 +72,13 @@ def file_server():
         "/data.parquet": _parquet_bytes(),
         "/data.csv.gz": gzip.compress(_csv_bytes()),
         "/data.jsonl.gz": gzip.compress(_jsonl_bytes()),
+        "/data.csv.bz2": __import__("bz2").compress(_csv_bytes()),
+        "/data.csv.xz": __import__("lzma").compress(_csv_bytes()),
+        "/data.csv.zip": _zip_bytes({"data.csv": _csv_bytes()}),
+        "/multi.zip": _zip_bytes(
+            {"a.csv": _csv_bytes(), "b.csv": _csv_bytes()}
+        ),
+        "/data.csv.zst": b"\x28\xb5\x2f\xfd" + b"\x00" * 16,
     }
     hits = []
 
@@ -218,3 +225,34 @@ def test_gzip_transport_transparent(spark, file_server):
     assert _collect(df) == sorted(ROWS)
     dfj = read_url_files(spark, f"{base}/data.jsonl.gz", "jsonl", SCHEMA)
     assert _collect(dfj) == sorted(ROWS)
+
+
+def _zip_bytes(members: dict) -> bytes:
+    import zipfile
+
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
+        for name, body in members.items():
+            zf.writestr(name, body)
+    return buf.getvalue()
+
+
+def test_bz2_xz_zip_transports(spark, file_server):
+    """source-file's other pandas infer_compression transports: bz2,
+    xz, and single-member zip all decompress transparently in the
+    fetch task, sniffed by magic bytes."""
+    base, _ = file_server
+    for path in ("/data.csv.bz2", "/data.csv.xz", "/data.csv.zip"):
+        df = read_url_files(spark, f"{base}{path}", "csv", SCHEMA)
+        assert _collect(df) == sorted(ROWS), path
+
+
+def test_multi_member_zip_and_zstd_rejected(spark, file_server):
+    """A multi-member zip is ambiguous (pandas compression='zip'
+    contract) and zstd needs an absent vendor lib — both fail with a
+    clear error instead of mis-parsing."""
+    base, _ = file_server
+    with pytest.raises(Exception, match="exactly one file"):
+        read_url_files(spark, f"{base}/multi.zip", "csv", SCHEMA).collect()
+    with pytest.raises(Exception, match="zstd"):
+        read_url_files(spark, f"{base}/data.csv.zst", "csv", SCHEMA).collect()
