@@ -5153,6 +5153,79 @@ SELECT doc_id, lang, n_chars FROM documents
 """
 
 
+def q_protocol_cli_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The connector CLI contract end-to-end (entrypoint.run — the
+    reference's AirbyteEntrypoint argv + stdout-JSONL protocol,
+    airbyte-cdk entrypoint.py / base-java IntegrationRunner): `read
+    --config --catalog` over a files-kind stream pointing at the
+    documents table, RECORD lines parsed back off the captured pipe and
+    value-oracled against the table read whole. Pins the whole chain:
+    catalog JSON parsing -> source fan-out -> distributed to_json
+    serialization -> protocol envelope -> lossless data blob.
+
+    Scale note: the pipe relay (toLocalIterator) is the protocol's
+    single-consumer serialization point, exactly as the reference's
+    docker stdout; the serialization itself is distributed codegen.
+    Lake-to-lake syncs bypass this path entirely (read_catalog)."""
+    import io as _io
+    import json as _json
+    import tempfile
+
+    from airbyte_integrations_spark.entrypoint import run as cli_run
+
+    tune_session(spark)
+    tmp = tempfile.mkdtemp(prefix="cli_read_")
+    with open(os.path.join(tmp, "config.json"), "w") as fh:
+        _json.dump({"log_path": sf_dir}, fh)  # check() needs a real path
+    with open(os.path.join(tmp, "catalog.json"), "w") as fh:
+        _json.dump(
+            {
+                "streams": [
+                    {
+                        "name": "documents",
+                        "sync_mode": "full_refresh",
+                        "destination_sync_mode": "overwrite",
+                        "primary_key": ["doc_id"],
+                        "cursor_field": ["doc_id"],
+                        "source": {
+                            "kind": "files",
+                            "root": sf_dir,
+                            "format": "parquet",
+                            "path_pattern": "documents.parquet",
+                        },
+                    }
+                ]
+            },
+            fh,
+        )
+    buf = _io.StringIO()
+    code = cli_run(
+        ["read", "--config", os.path.join(tmp, "config.json"),
+         "--catalog", os.path.join(tmp, "catalog.json")],
+        spark=spark, out=buf,
+    )
+    assert code == 0
+    lines = [ln for ln in buf.getvalue().splitlines()]
+    recs = [
+        _json.loads(ln)["record"]["data"]
+        for ln in lines
+        if _json.loads(ln)["type"] == "RECORD"
+    ]
+    kinds = [_json.loads(ln)["type"] for ln in lines]
+    assert "STATE" in kinds and kinds.index("STATE") > kinds.index("RECORD")
+    rows = [
+        (r["doc_id"], r["lang"], r["source"], r["n_chars"]) for r in recs
+    ]
+    return spark.createDataFrame(
+        rows, "doc_id long, lang string, source string, n_chars long"
+    )
+
+
+O_PROTOCOL_CLI_READ = """
+SELECT doc_id, lang, source, n_chars FROM documents
+"""
+
+
 def q_wire_emit_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Wire-protocol EMIT + READ roundtrip value-oracled against the
     table read whole (sources/airbyte_wire.py write_messages /
@@ -5303,6 +5376,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "http_search_post_read": q_http_search_post_read,
         "http_link_header_read": q_http_link_header_read,
         "wire_emit_roundtrip": q_wire_emit_roundtrip,
+        "protocol_cli_read": q_protocol_cli_read,
         "url_file_csv_read": q_url_file_csv_read,
         "json_extract_cast": q_json_extract_cast,
         "docs_exact_dedup": q_docs_exact_dedup,
@@ -5385,6 +5459,7 @@ def oracle_sql() -> dict[str, str]:
         "http_search_post_read": O_HTTP_SEARCH_POST_READ,
         "http_link_header_read": O_HTTP_LINK_HEADER_READ,
         "wire_emit_roundtrip": O_WIRE_EMIT_ROUNDTRIP,
+        "protocol_cli_read": O_PROTOCOL_CLI_READ,
         "url_file_csv_read": O_URL_FILE_CSV_READ,
         "cdc_latest_wins": O_CDC_LATEST_WINS,
         "cdc_winner_agg": O_CDC_WINNER_AGG,

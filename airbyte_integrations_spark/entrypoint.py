@@ -1,0 +1,264 @@
+"""Connector CLI entrypoint — the reference's invocation contract.
+
+Reference: `airbyte-cdk/python/airbyte_cdk/entrypoint.py`
+(AirbyteEntrypoint.parse_args/run: the four subcommands, required
+--config/--catalog/--state flags, protocol JSONL on stdout) and
+base-java `IntegrationRunner`. A connector is a PROGRAM:
+
+    <connector> spec
+    <connector> check    --config config.json
+    <connector> discover --config config.json
+    <connector> read     --config config.json --catalog catalog.json
+                         [--state state.json]
+
+every line of stdout a protocol message (SPEC / CONNECTION_STATUS /
+CATALOG / RECORD / STATE / TRACE), config errors reported as a FAILED
+CONNECTION_STATUS rather than a stack trace, secrets never echoed.
+
+Spark-first note on `read`: record serialization is DISTRIBUTED —
+`to_json` over nested structs builds each wire line inside whole-stage
+codegen on executors; the driver only relays finished strings to the
+pipe via `toLocalIterator` (one partition buffered at a time, no
+collect). stdout is the protocol's single-consumer serialization point
+in the reference too (the docker stdout pipe). Lake-to-lake syncs
+should use `catalog_sync.read_catalog`, which never routes records
+through the driver at all; this entrypoint is the wire-compatible
+boundary for a platform that speaks the protocol.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from airbyte_integrations_spark.catalog_sync import (
+    ConfiguredCatalog,
+    ConfiguredStream,
+    _read_stream_events,
+    ordered_streams,
+)
+from airbyte_integrations_spark.config import (
+    DestinationSyncMode,
+    SyncConfig,
+    SyncMode,
+)
+from airbyte_integrations_spark.connector import check, discover, mask_secrets, spec
+
+# source kinds a JSON catalog may carry (the DataFrame kind is
+# embedded-use only — not expressible as JSON)
+_JSON_KINDS = ("cdc_log", "files", "url_file", "http", "wire", "partitioned_log")
+
+
+def configured_catalog_from_json(doc: dict) -> ConfiguredCatalog:
+    """Parse a ConfiguredAirbyteCatalog-shaped JSON document into the
+    engine's ConfiguredCatalog. Per stream:
+
+        {"name": ..., "sync_mode": "incremental"|"full_refresh",
+         "destination_sync_mode": "append"|"overwrite"|"append_dedup",
+         "primary_key": [...], "cursor_field": [...],
+         "n_buckets": int, "write_mode": "cow"|"mor",
+         "source": {"kind": ..., ...}}
+
+    Unknown source kinds and malformed streams fail fast with a clear
+    error (the reference validates the catalog against the protocol
+    schema before reading)."""
+    streams = []
+    for i, s in enumerate(doc.get("streams", ())):
+        name = s.get("name") or s.get("stream")
+        if not name:
+            raise ValueError(f"catalog stream #{i} has no name")
+        src = dict(s.get("source") or {})
+        kind = src.get("kind", "cdc_log")
+        if kind not in _JSON_KINDS:
+            raise ValueError(
+                f"stream {name!r}: unsupported source kind {kind!r} "
+                f"(one of {_JSON_KINDS})"
+            )
+        kw: dict = {"stream": name}
+        if "primary_key" in s:
+            kw["primary_key"] = tuple(s["primary_key"])
+        if "cursor_field" in s:
+            kw["cursor_field"] = tuple(s["cursor_field"])
+        if "sync_mode" in s:
+            kw["sync_mode"] = SyncMode(s["sync_mode"])
+        if "destination_sync_mode" in s:
+            kw["destination_sync_mode"] = DestinationSyncMode(
+                s["destination_sync_mode"]
+            )
+        for opt in ("n_buckets", "write_mode", "dedup_impl"):
+            if opt in s:
+                kw[opt] = s[opt]
+        if "properties" in s:
+            kw["properties"] = dict(s["properties"])
+        streams.append(ConfiguredStream(config=SyncConfig(**kw), source=src))
+    return ConfiguredCatalog(streams=tuple(streams))
+
+
+def _emit(out, msg: dict) -> None:
+    out.write(json.dumps(msg, sort_keys=True) + "\n")
+
+
+def _trace_status(out, stream: str, status: str) -> None:
+    _emit(
+        out,
+        {
+            "type": "TRACE",
+            "trace": {
+                "type": "STREAM_STATUS",
+                "emitted_at": 0,
+                "stream_status": {
+                    "status": status,
+                    "stream_descriptor": {"name": stream},
+                },
+            },
+        },
+    )
+
+
+def _read(
+    spark: SparkSession, config: dict, catalog: ConfiguredCatalog,
+    state: dict | None, out,
+) -> None:
+    """SOURCE read: emit each stream's records as RECORD JSONL
+    bracketed by STREAM_STATUS traces, with one cumulative PER_STREAM
+    STATE after each stream completes (abstract_source.read emission
+    order; state covers only records already written to the pipe)."""
+    import os
+    import tempfile
+
+    from airbyte_integrations_spark.lakehouse.table import LakeTable
+
+    scratch = tempfile.mkdtemp(prefix="entrypoint_read_")
+    blobs: dict[str, dict] = {}
+    for cs in ordered_streams(catalog):
+        name = cs.config.stream
+        _trace_status(out, name, "STARTED")
+        try:
+            # throwaway sink table: a pure source read has no durable
+            # watermark of its own, so resume comes from --state
+            table = LakeTable(spark, os.path.join(scratch, name))
+            ev, _, _meta = _read_stream_events(spark, cs, table, state)
+            cursor = cs.config.cursor_field[0]
+            if ev is None:
+                blobs[name] = {"lsn_watermark": None}
+                _emit_state(out, blobs)
+                _trace_status(out, name, "COMPLETE")
+                continue
+            msg = F.to_json(
+                F.struct(
+                    F.lit("RECORD").alias("type"),
+                    F.struct(
+                        F.lit(name).alias("stream"),
+                        F.lit(0).alias("emitted_at"),
+                        F.struct(*[F.col(c) for c in ev.columns]).alias(
+                            "data"
+                        ),
+                    ).alias("record"),
+                ),
+                {"ignoreNullFields": "false"},
+            ).alias("line")
+            hi = None
+            if cursor in ev.columns:
+                # one distributed pass computes the new cursor; the
+                # record relay below streams partition-by-partition
+                hi = ev.agg(F.max(cursor)).collect()[0][0]
+                if hasattr(hi, "isoformat"):
+                    hi = hi.isoformat()
+            for row in ev.select(msg).toLocalIterator():
+                out.write(row["line"] + "\n")
+            blobs[name] = {"lsn_watermark": hi}
+            _emit_state(out, blobs)
+            _trace_status(out, name, "COMPLETE")
+        except Exception as e:
+            _trace_status(out, name, "INCOMPLETE")
+            _emit(
+                out,
+                {
+                    "type": "TRACE",
+                    "trace": {
+                        "type": "ERROR",
+                        "emitted_at": 0,
+                        "error": {
+                            "message": mask_secrets(str(e)[:500], config),
+                            "stream_descriptor": {"name": name},
+                        },
+                    },
+                },
+            )
+            raise
+
+
+def _emit_state(out, blobs: dict[str, dict]) -> None:
+    _emit(
+        out,
+        {
+            "type": "STATE",
+            "state": {
+                "state_type": "PER_STREAM",
+                "streams": [
+                    {"name": n, "state": b} for n, b in sorted(blobs.items())
+                ],
+            },
+        },
+    )
+
+
+def _load_json(path: str) -> dict:
+    with open(path) as fh:
+        return json.load(fh)
+
+
+def run(argv: list[str], spark: SparkSession | None = None, out=None) -> int:
+    """Drive one subcommand; returns the process exit code. `spark` and
+    `out` are injectable for tests/embedding (entrypoint.py:40's
+    launch(source, args) split)."""
+    out = out or sys.stdout
+    p = argparse.ArgumentParser(prog="airbyte-integrations-spark")
+    sub = p.add_subparsers(dest="command", required=True)
+    sub.add_parser("spec")
+    for cmd in ("check", "discover"):
+        sp = sub.add_parser(cmd)
+        sp.add_argument("--config", required=True)
+    rd = sub.add_parser("read")
+    rd.add_argument("--config", required=True)
+    rd.add_argument("--catalog", required=True)
+    rd.add_argument("--state", default=None)
+    args = p.parse_args(argv)
+
+    if args.command == "spec":
+        _emit(out, {"type": "SPEC", "spec": spec()})
+        return 0
+
+    config = _load_json(args.config)
+    if spark is None:
+        from airbyte_integrations_spark.session import get_spark
+
+        spark = get_spark("entrypoint")
+
+    if args.command == "check":
+        status = check(spark, config)
+        _emit(out, {"type": "CONNECTION_STATUS", "connectionStatus": status})
+        # the reference exits 0 even for FAILED checks — the status IS
+        # the answer (entrypoint.py run(): failed check is a message,
+        # not a crash)
+        return 0
+    if args.command == "discover":
+        _emit(out, {"type": "CATALOG", "catalog": discover(spark, config)})
+        return 0
+    # read
+    catalog = configured_catalog_from_json(_load_json(args.catalog))
+    state = _load_json(args.state) if args.state else None
+    _read(spark, config, catalog, state, out)
+    return 0
+
+
+def main() -> None:  # pragma: no cover - thin process wrapper
+    sys.exit(run(sys.argv[1:]))
+
+
+if __name__ == "__main__":  # pragma: no cover
+    main()

@@ -1,0 +1,157 @@
+"""CLI entrypoint contract: the reference's AirbyteEntrypoint argv +
+stdout-JSONL protocol (airbyte-cdk entrypoint.py; base-java
+IntegrationRunner): spec / check / discover / read subcommands, RECORD
++ STATE + STREAM_STATUS emission order, state-seeded incremental
+resume, catalog validation."""
+
+import io
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from airbyte_integrations_spark.entrypoint import (
+    configured_catalog_from_json,
+    run,
+)
+from airbyte_integrations_spark.gen import gen_change_events
+
+
+def _run(spark, argv):
+    buf = io.StringIO()
+    code = run(argv, spark=spark, out=buf)
+    lines = [json.loads(ln) for ln in buf.getvalue().splitlines()]
+    return code, lines
+
+
+@pytest.fixture()
+def log_dir(spark, tmp_path):
+    p = str(tmp_path / "log")
+    gen_change_events(spark, 300, n_urls=80).write.parquet(p)
+    return p
+
+
+def _cfg(tmp_path, log_dir):
+    cfg = tmp_path / "config.json"
+    cfg.write_text(json.dumps({"log_path": log_dir}))
+    return str(cfg)
+
+
+def test_spec_cli(spark):
+    code, msgs = _run(spark, ["spec"])
+    assert code == 0 and len(msgs) == 1
+    assert msgs[0]["type"] == "SPEC"
+    props = msgs[0]["spec"]["connectionSpecification"]["properties"]
+    assert props["jdbc_password"]["airbyte_secret"] is True
+
+
+def test_check_cli_succeeds_and_fails_as_message(spark, tmp_path, log_dir):
+    code, msgs = _run(spark, ["check", "--config", _cfg(tmp_path, log_dir)])
+    assert code == 0
+    assert msgs[0] == {
+        "type": "CONNECTION_STATUS",
+        "connectionStatus": {"status": "SUCCEEDED"},
+    }
+    bad = tmp_path / "bad.json"
+    bad.write_text(json.dumps({"log_path": "/nonexistent/nope"}))
+    code, msgs = _run(spark, ["check", "--config", str(bad)])
+    # a failed check is a FAILED message with exit 0, not a crash
+    assert code == 0
+    assert msgs[0]["connectionStatus"]["status"] == "FAILED"
+    assert "nope" in msgs[0]["connectionStatus"]["message"]
+
+
+def test_discover_cli(spark, tmp_path, log_dir):
+    code, msgs = _run(spark, ["discover", "--config", _cfg(tmp_path, log_dir)])
+    assert code == 0 and msgs[0]["type"] == "CATALOG"
+    assert msgs[0]["catalog"]["streams"]
+
+
+def _catalog_file(tmp_path, log_dir, name="pages"):
+    doc = {
+        "streams": [
+            {
+                "name": name,
+                "sync_mode": "incremental",
+                "destination_sync_mode": "append_dedup",
+                "primary_key": ["url"],
+                "cursor_field": ["_ab_cdc_lsn"],
+                "source": {"kind": "cdc_log", "path": log_dir},
+            }
+        ]
+    }
+    cat = tmp_path / "catalog.json"
+    cat.write_text(json.dumps(doc))
+    return str(cat)
+
+
+def test_read_cli_emission_order(spark, tmp_path, log_dir):
+    code, msgs = _run(
+        spark,
+        ["read", "--config", _cfg(tmp_path, log_dir),
+         "--catalog", _catalog_file(tmp_path, log_dir)],
+    )
+    assert code == 0
+    kinds = [m["type"] for m in msgs]
+    n_events = spark.read.parquet(log_dir).count()
+    assert kinds.count("RECORD") == n_events
+    # STARTED ... records ... STATE, COMPLETE — state never precedes
+    # the records it covers
+    assert kinds[0] == "TRACE" and kinds[-1] == "TRACE"
+    statuses = [
+        m["trace"]["stream_status"]["status"]
+        for m in msgs
+        if m["type"] == "TRACE"
+    ]
+    assert statuses == ["STARTED", "COMPLETE"]
+    assert kinds.index("STATE") > kinds.index("RECORD")
+    state = next(m for m in msgs if m["type"] == "STATE")
+    hi = spark.read.parquet(log_dir).agg(F.max("_ab_cdc_lsn")).collect()[0][0]
+    assert state["state"]["streams"][0]["state"]["lsn_watermark"] == hi
+    # a record round-trips the full row (explicit nulls kept)
+    rec = next(m for m in msgs if m["type"] == "RECORD")
+    assert rec["record"]["stream"] == "pages"
+    assert "_ab_cdc_lsn" in rec["record"]["data"]
+    assert "_ab_cdc_deleted_at" in rec["record"]["data"]
+
+
+def test_read_cli_state_seeds_incremental(spark, tmp_path, log_dir):
+    hi = spark.read.parquet(log_dir).agg(F.max("_ab_cdc_lsn")).collect()[0][0]
+    mid = int(hi) // 2
+    st = tmp_path / "state.json"
+    st.write_text(json.dumps({
+        "type": "STATE",
+        "state": {
+            "state_type": "PER_STREAM",
+            "streams": [{"name": "pages", "state": {"lsn_watermark": mid}}],
+        },
+    }))
+    code, msgs = _run(
+        spark,
+        ["read", "--config", _cfg(tmp_path, log_dir),
+         "--catalog", _catalog_file(tmp_path, log_dir), "--state", str(st)],
+    )
+    assert code == 0
+    want = (
+        spark.read.parquet(log_dir)
+        .filter(F.col("_ab_cdc_lsn") > mid)
+        .count()
+    )
+    recs = [m for m in msgs if m["type"] == "RECORD"]
+    assert len(recs) == want
+    assert all(m["record"]["data"]["_ab_cdc_lsn"] > mid for m in recs)
+
+
+def test_catalog_json_validation():
+    with pytest.raises(ValueError, match="unsupported source kind"):
+        configured_catalog_from_json(
+            {"streams": [{"name": "x", "source": {"kind": "carrier_pigeon"}}]}
+        )
+    with pytest.raises(ValueError, match="no name"):
+        configured_catalog_from_json({"streams": [{"source": {}}]})
+    cat = configured_catalog_from_json(
+        {"streams": [{"name": "y", "sync_mode": "full_refresh",
+                      "source": {"kind": "cdc_log", "path": "/tmp/x"}}]}
+    )
+    assert cat.streams[0].config.stream == "y"
+    assert cat.streams[0].config.sync_mode.value == "full_refresh"
