@@ -212,10 +212,43 @@ def _load_json(path: str) -> dict:
         return json.load(fh)
 
 
-def run(argv: list[str], spark: SparkSession | None = None, out=None) -> int:
-    """Drive one subcommand; returns the process exit code. `spark` and
-    `out` are injectable for tests/embedding (entrypoint.py:40's
-    launch(source, args) split)."""
+def _write(
+    spark: SparkSession, config: dict, catalog_doc: dict, input_path: str,
+    out,
+) -> None:
+    """DESTINATION write: consume protocol JSONL (another connector's
+    stdout) and apply each configured stream into the lake at
+    config["lake_root"] per its destination_sync_mode, echoing back
+    only the STATE messages whose records are durably committed — the
+    reference's BufferedStreamConsumer contract (base-java
+    IntegrationRunner `write --config --catalog` over the stdin pipe).
+
+    Spark-first: the pipe content becomes ONE distributed JSONL scan
+    (read_messages); per-stream typed extraction, winner dedup, and
+    MERGE are the same declarative plans every other source kind uses —
+    the only driver-side work is the catalog loop."""
+    from airbyte_integrations_spark.catalog_sync import read_catalog
+
+    lake_root = config.get("lake_root")
+    if not lake_root:
+        raise ValueError("write requires config.lake_root")
+    streams = []
+    for s in catalog_doc.get("streams", ()):
+        src = {"kind": "wire", "path": input_path}
+        if "record_schema" in s:
+            src["record_schema"] = s["record_schema"]
+        streams.append({**s, "source": src})
+    catalog = configured_catalog_from_json({"streams": streams})
+    for state in read_catalog(spark, catalog, lake_root):
+        _emit(out, state)
+
+
+def run(
+    argv: list[str], spark: SparkSession | None = None, out=None, stdin=None
+) -> int:
+    """Drive one subcommand; returns the process exit code. `spark`,
+    `out`, and `stdin` are injectable for tests/embedding
+    (entrypoint.py:40's launch(source, args) split)."""
     out = out or sys.stdout
     p = argparse.ArgumentParser(prog="airbyte-integrations-spark")
     sub = p.add_subparsers(dest="command", required=True)
@@ -227,6 +260,13 @@ def run(argv: list[str], spark: SparkSession | None = None, out=None) -> int:
     rd.add_argument("--config", required=True)
     rd.add_argument("--catalog", required=True)
     rd.add_argument("--state", default=None)
+    wr = sub.add_parser("write")
+    wr.add_argument("--config", required=True)
+    wr.add_argument("--catalog", required=True)
+    wr.add_argument(
+        "--input", default="-",
+        help="protocol JSONL file/dir; '-' (default) reads stdin",
+    )
     args = p.parse_args(argv)
 
     if args.command == "spec":
@@ -248,6 +288,24 @@ def run(argv: list[str], spark: SparkSession | None = None, out=None) -> int:
         return 0
     if args.command == "discover":
         _emit(out, {"type": "CATALOG", "catalog": discover(spark, config)})
+        return 0
+    if args.command == "write":
+        input_path = args.input
+        if input_path == "-":
+            # spool the pipe to a file so Spark can scan it as a
+            # dataset (the reference buffers stdin the same way before
+            # the consumer sees batches)
+            import tempfile
+
+            src = stdin or sys.stdin
+            fd = tempfile.NamedTemporaryFile(
+                "w", suffix=".jsonl", prefix="wire_stdin_", delete=False
+            )
+            with fd:
+                for line in src:
+                    fd.write(line if line.endswith("\n") else line + "\n")
+            input_path = fd.name
+        _write(spark, config, _load_json(args.catalog), input_path, out)
         return 0
     # read
     catalog = configured_catalog_from_json(_load_json(args.catalog))

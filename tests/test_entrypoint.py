@@ -155,3 +155,96 @@ def test_catalog_json_validation():
     )
     assert cat.streams[0].config.stream == "y"
     assert cat.streams[0].config.sync_mode.value == "full_refresh"
+
+
+def _wire_lines(stream, rows):
+    return [
+        json.dumps({"type": "RECORD", "record": {
+            "stream": stream, "emitted_at": 0, "data": d}})
+        for d in rows
+    ]
+
+
+# envelope concerns (_airbyte_ab_id, _airbyte_emitted_at) deliberately
+# NOT in the data blob — read_messages derives them from the wire line
+_CDC_ROWS = [
+    {"url": "a", "_ab_cdc_lsn": 1, "_ab_cdc_updated_at": "2024-01-01T00:00:01",
+     "_ab_cdc_deleted_at": None},
+    {"url": "a", "_ab_cdc_lsn": 3, "_ab_cdc_updated_at": "2024-01-01T00:00:03",
+     "_ab_cdc_deleted_at": None},
+    {"url": "b", "_ab_cdc_lsn": 2, "_ab_cdc_updated_at": "2024-01-01T00:00:02",
+     "_ab_cdc_deleted_at": None},
+    {"url": "b", "_ab_cdc_lsn": 4, "_ab_cdc_updated_at": "2024-01-01T00:00:04",
+     "_ab_cdc_deleted_at": "2024-01-01T00:00:04"},
+]
+
+_CDC_DDL = ("url string, _ab_cdc_lsn bigint, _ab_cdc_updated_at timestamp, "
+            "_ab_cdc_deleted_at timestamp")
+
+
+def _write_catalog(tmp_path, lake, name="pages"):
+    cfg = tmp_path / "wcfg.json"
+    cfg.write_text(json.dumps({"log_path": str(tmp_path), "lake_root": lake}))
+    cat = tmp_path / "wcat.json"
+    cat.write_text(json.dumps({"streams": [{
+        "name": name,
+        "sync_mode": "incremental",
+        "destination_sync_mode": "append_dedup",
+        "primary_key": ["url"],
+        "cursor_field": ["_ab_cdc_lsn"],
+        "n_buckets": 4,
+        "record_schema": _CDC_DDL,
+    }]}))
+    return str(cfg), str(cat)
+
+
+def test_write_cli_applies_winner_dedup(spark, tmp_path):
+    """`write --config --catalog --input` consumes RECORD JSONL and
+    MERGEs it into the lake: winner per PK, tombstone removed, STATE
+    echoed only after the durable commit; a re-run of the same pipe
+    converges (no duplicate application)."""
+    from airbyte_integrations_spark.lakehouse.table import LakeTable
+
+    msgs = tmp_path / "messages.jsonl"
+    msgs.write_text("\n".join(_wire_lines("pages", _CDC_ROWS)) + "\n")
+    lake = str(tmp_path / "lake")
+    cfg, cat = _write_catalog(tmp_path, lake)
+    code, out_msgs = _run(
+        spark, ["write", "--config", cfg, "--catalog", cat,
+                "--input", str(msgs)],
+    )
+    assert code == 0
+    assert [m["type"] for m in out_msgs] == ["STATE"]
+    tbl = LakeTable(spark, f"{lake}/pages")
+    rows = {(r.url, r._ab_cdc_lsn) for r in tbl.read_live().collect()}
+    assert rows == {("a", 3)}  # b's winner is the lsn-4 tombstone
+    # re-running the same pipe is a no-op (idempotent epochs)
+    v = tbl.current_version()
+    code, _ = _run(
+        spark, ["write", "--config", cfg, "--catalog", cat,
+                "--input", str(msgs)],
+    )
+    assert code == 0
+    assert {(r.url, r._ab_cdc_lsn) for r in tbl.read_live().collect()} == rows
+
+
+def test_write_cli_reads_stdin(spark, tmp_path):
+    """--input - spools the pipe (the reference's stdin contract)."""
+    import io as _io
+
+    from airbyte_integrations_spark.entrypoint import run as _entry_run
+    from airbyte_integrations_spark.lakehouse.table import LakeTable
+
+    lake = str(tmp_path / "lake2")
+    cfg, cat = _write_catalog(tmp_path, lake)
+    pipe = _io.StringIO("\n".join(_wire_lines("pages", _CDC_ROWS[:2])) + "\n")
+    buf = _io.StringIO()
+    code = _entry_run(
+        ["write", "--config", cfg, "--catalog", cat, "--input", "-"],
+        spark=spark, out=buf, stdin=pipe,
+    )
+    assert code == 0
+    tbl = LakeTable(spark, f"{lake}/pages")
+    assert {(r.url, r._ab_cdc_lsn) for r in tbl.read_live().collect()} == {
+        ("a", 3)
+    }
