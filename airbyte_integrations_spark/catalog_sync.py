@@ -312,6 +312,12 @@ def _read_stream_events(
         )
 
         msgs = read_messages(spark, cs.source["path"])
+        # the WIRE stream name may differ from the destination stream
+        # when a namespacing mapper renamed the catalog entry (the
+        # platform rewrites catalog + messages together; we read by the
+        # original name and land at the mapped one — NamespacingMapper
+        # semantics without touching record payloads)
+        wire_name = cs.source.get("stream", cfg.stream)
         schema = cs.source.get("record_schema")
         if isinstance(schema, str):
             from pyspark.sql import types as T
@@ -319,9 +325,9 @@ def _read_stream_events(
             schema = T.StructType.fromDDL(schema)
         if schema is None:
             schema = infer_record_schema(
-                spark, msgs, cfg.stream, cs.source.get("sample", 10_000)
+                spark, msgs, wire_name, cs.source.get("sample", 10_000)
             )
-        return records_for_stream(msgs, cfg.stream, schema), None, {}
+        return records_for_stream(msgs, wire_name, schema), None, {}
     if kind == "files":
         import hashlib
 

@@ -232,12 +232,41 @@ def _write(
     lake_root = config.get("lake_root")
     if not lake_root:
         raise ValueError("write requires config.lake_root")
+    mapper = None
+    if any(
+        k in config
+        for k in ("namespace_definition", "namespace_format", "stream_prefix")
+    ):
+        # platform-side catalog rewrite (NamespacingMapper.java:44-99):
+        # the destination address changes, the wire records keep their
+        # source stream names — the wire source reads by the original
+        # name via source["stream"]
+        from airbyte_integrations_spark.mappers import NamespacingMapper
+
+        mapper = NamespacingMapper(
+            namespace_definition=config.get("namespace_definition", "source"),
+            namespace_format=config.get("namespace_format"),
+            stream_prefix=config.get("stream_prefix"),
+        )
     streams = []
     for s in catalog_doc.get("streams", ()):
-        src = {"kind": "wire", "path": input_path}
+        src = {"kind": "wire", "path": input_path, "stream": s.get("name")}
         if "record_schema" in s:
             src["record_schema"] = s["record_schema"]
-        streams.append({**s, "source": src})
+        entry = {**s, "source": src}
+        if mapper is not None:
+            ns, name = mapper.map_address(
+                s.get("namespace")
+                or (s.get("properties") or {}).get("namespace"),
+                s["name"],
+            )
+            props = dict(entry.get("properties") or {})
+            if ns is not None:
+                props["namespace"] = ns
+            else:
+                props.pop("namespace", None)
+            entry = {**entry, "name": name, "properties": props}
+        streams.append(entry)
     catalog = configured_catalog_from_json({"streams": streams})
     for state in read_catalog(spark, catalog, lake_root):
         _emit(out, state)

@@ -96,3 +96,23 @@ def test_files_source_core_battery(spark, log_dir, tmp_path):
     assert len(recs) == 8
     sat.test_full_refresh_sequential_reads()
     assert all(ok for _, ok, _ in sat.results), sat.results
+
+
+def test_destination_acceptance_battery(spark, tmp_path):
+    """standard-destination-test battery over the write CLI
+    (DestinationAcceptanceTest.java:339-680 arms)."""
+    from airbyte_integrations_spark.testing.destination_acceptance import (
+        DestinationAcceptance,
+    )
+
+    dat = DestinationAcceptance(spark, workdir=str(tmp_path))
+    results = dat.run_all()
+    assert all(ok for _, ok, _ in results), results
+    names = [n for n, _, _ in results]
+    for expected in (
+        "sync_rows", "overwrite_replaces", "append_accumulates",
+        "dedup_one_active_row_per_pk", "line_breaks_roundtrip",
+        "very_big_record_intact", "replay_converges",
+        "namespace_prefix_renames_table",
+    ):
+        assert expected in names, expected
