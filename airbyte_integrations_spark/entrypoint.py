@@ -98,6 +98,33 @@ def configured_catalog_from_json(doc: dict) -> ConfiguredCatalog:
     return ConfiguredCatalog(streams=tuple(streams))
 
 
+def validate_config(config: dict, spec_doc: dict | None = None) -> list[str]:
+    """Pre-flight config validation against the spec's
+    connectionSpecification (the reference validates with a JSON-schema
+    validator before check/read ever run — entrypoint.py:71
+    `validate_config_against_spec`). Returns human-readable problems:
+    missing required properties and wrong primitive types. Secrets are
+    never echoed — only property NAMES appear in messages."""
+    doc = (spec_doc or spec())["connectionSpecification"]
+    problems = []
+    for req in doc.get("required", ()):
+        if req not in config:
+            problems.append(f"missing required config property: {req}")
+    prim = {"string": str, "integer": int, "number": (int, float),
+            "boolean": bool, "object": dict, "array": list}
+    for k, v in config.items():
+        want = doc.get("properties", {}).get(k, {}).get("type")
+        py = prim.get(want)
+        if py is None or v is None:
+            continue
+        # bool is an int subclass in Python — an integer/number
+        # property fed true must still be flagged
+        bad_bool = want in ("integer", "number") and isinstance(v, bool)
+        if bad_bool or not isinstance(v, py):
+            problems.append(f"config property {k} must be {want}")
+    return sorted(set(problems))
+
+
 def _emit(out, msg: dict) -> None:
     out.write(json.dumps(msg, sort_keys=True) + "\n")
 
@@ -121,7 +148,7 @@ def _trace_status(out, stream: str, status: str) -> None:
 
 def _read(
     spark: SparkSession, config: dict, catalog: ConfiguredCatalog,
-    state: dict | None, out,
+    state: dict | None, out, state_type: str = "PER_STREAM",
 ) -> None:
     """SOURCE read: emit each stream's records as RECORD JSONL
     bracketed by STREAM_STATUS traces, with one cumulative PER_STREAM
@@ -145,7 +172,7 @@ def _read(
             cursor = cs.config.cursor_field[0]
             if ev is None:
                 blobs[name] = {"lsn_watermark": None}
-                _emit_state(out, blobs)
+                _emit_state(out, blobs, state_type)
                 _trace_status(out, name, "COMPLETE")
                 continue
             msg = F.to_json(
@@ -171,7 +198,7 @@ def _read(
             for row in ev.select(msg).toLocalIterator():
                 out.write(row["line"] + "\n")
             blobs[name] = {"lsn_watermark": hi}
-            _emit_state(out, blobs)
+            _emit_state(out, blobs, state_type)
             _trace_status(out, name, "COMPLETE")
         except Exception as e:
             _trace_status(out, name, "INCOMPLETE")
@@ -192,7 +219,22 @@ def _read(
             raise
 
 
-def _emit_state(out, blobs: dict[str, dict]) -> None:
+def _emit_state(out, blobs: dict[str, dict], flavor: str = "PER_STREAM") -> None:
+    if flavor == "GLOBAL":
+        # log-based CDC's single shared WAL offset: the safe shared
+        # watermark is the MINIMUM across streams that have one
+        # (CdcStateManager.java:13-33 — resuming a laggard from a
+        # higher watermark would skip its events)
+        wms = [
+            b.get("lsn_watermark")
+            for b in blobs.values()
+            if b.get("lsn_watermark") is not None
+        ]
+        _emit(out, {"type": "STATE", "state": {
+            "state_type": "GLOBAL",
+            "global": {"lsn_watermark": min(wms) if wms else None},
+        }})
+        return
     _emit(
         out,
         {
@@ -289,6 +331,11 @@ def run(
     rd.add_argument("--config", required=True)
     rd.add_argument("--catalog", required=True)
     rd.add_argument("--state", default=None)
+    rd.add_argument(
+        "--state-type", default="PER_STREAM",
+        choices=("PER_STREAM", "GLOBAL"),
+        help="STATE flavor to emit (GLOBAL = one shared WAL offset)",
+    )
     wr = sub.add_parser("write")
     wr.add_argument("--config", required=True)
     wr.add_argument("--catalog", required=True)
@@ -303,6 +350,13 @@ def run(
         return 0
 
     config = _load_json(args.config)
+    problems = validate_config(config)
+    if problems:
+        # schema-invalid config is a FAILED status, never a crash
+        # (entrypoint.py:71 validate_config_against_spec semantics)
+        _emit(out, {"type": "CONNECTION_STATUS", "connectionStatus": {
+            "status": "FAILED", "message": "; ".join(problems)}})
+        return 0 if args.command == "check" else 1
     if spark is None:
         from airbyte_integrations_spark.session import get_spark
 
@@ -339,7 +393,7 @@ def run(
     # read
     catalog = configured_catalog_from_json(_load_json(args.catalog))
     state = _load_json(args.state) if args.state else None
-    _read(spark, config, catalog, state, out)
+    _read(spark, config, catalog, state, out, state_type=args.state_type)
     return 0
 
 

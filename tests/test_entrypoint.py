@@ -248,3 +248,39 @@ def test_write_cli_reads_stdin(spark, tmp_path):
     assert {(r.url, r._ab_cdc_lsn) for r in tbl.read_live().collect()} == {
         ("a", 3)
     }
+
+
+def test_config_validated_against_spec(spark, tmp_path):
+    """Schema-invalid config fails as a message before any engine work
+    (entrypoint.py:71 validate_config_against_spec parity): missing
+    required property and wrong primitive type."""
+    bad = tmp_path / "badtype.json"
+    bad.write_text(json.dumps({"log_path": 7}))
+    code, msgs = _run(spark, ["check", "--config", str(bad)])
+    assert code == 0
+    assert msgs[0]["connectionStatus"]["status"] == "FAILED"
+    assert "must be string" in msgs[0]["connectionStatus"]["message"]
+    empty = tmp_path / "empty.json"
+    empty.write_text("{}")
+    code, msgs = _run(spark, ["check", "--config", str(empty)])
+    assert "missing required config property: log_path" in \
+        msgs[0]["connectionStatus"]["message"]
+    # read with invalid config exits nonzero after the FAILED message
+    code, msgs = _run(
+        spark, ["read", "--config", str(empty),
+                "--catalog", str(empty)])
+    assert code == 1 and msgs[0]["connectionStatus"]["status"] == "FAILED"
+
+
+def test_read_cli_global_state_flavor(spark, tmp_path, log_dir):
+    code, msgs = _run(
+        spark,
+        ["read", "--config", _cfg(tmp_path, log_dir),
+         "--catalog", _catalog_file(tmp_path, log_dir),
+         "--state-type", "GLOBAL"],
+    )
+    assert code == 0
+    st = next(m for m in msgs if m["type"] == "STATE")["state"]
+    hi = spark.read.parquet(log_dir).agg(F.max("_ab_cdc_lsn")).collect()[0][0]
+    assert st["state_type"] == "GLOBAL"
+    assert st["global"]["lsn_watermark"] == hi
