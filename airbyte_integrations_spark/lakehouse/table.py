@@ -37,6 +37,14 @@ from pyspark.sql import types as T
 
 from airbyte_integrations_spark.schema import incompatible_widenings, merge_schemas
 
+
+class CommitConflictError(RuntimeError):
+    """Another writer committed between this writer's manifest read and
+    its commit attempt (Iceberg's optimistic-concurrency
+    CommitFailedException analogue). The loser's data files are
+    unreferenced orphans — safe, and swept by expire_snapshots. Retry
+    by re-reading the manifest and re-deriving the change."""
+
 META_DIR = "_meta"
 DATA_DIR = "data"
 
@@ -207,13 +215,49 @@ class LakeTable:
         return out
 
     def _commit(self, manifest: dict) -> int:
+        """Optimistic-concurrency commit (Iceberg's model): the
+        manifest's pinned `parent` must still be the table's current
+        version — a writer that read state at V and tries to commit
+        over W != V has derived its change from a stale snapshot and
+        would silently erase W's effects, so it fails with
+        CommitConflictError instead. The manifest file itself is
+        created exclusively (O_EXCL): even two writers racing the SAME
+        parent serialize — exactly one creates v{N}.json, the loser
+        conflicts. The VERSION swap stays the atomic visibility point.
+
+        Normal operation remains single-writer (module docstring) —
+        this guard turns an operator mistake at the 10^10 point (two
+        schedulers running the same sync) from silent data loss into a
+        clean retryable error."""
         meta = os.path.join(self.root, META_DIR)
         os.makedirs(meta, exist_ok=True)
         manifest["stats"] = self._file_stats(manifest)
-        version = (self.current_version() + 1) if self.exists() else 0
+        cur = self.current_version() if self.exists() else None
+        if "parent" in manifest and manifest["parent"] != cur:
+            raise CommitConflictError(
+                f"stale commit: derived from parent {manifest['parent']}, "
+                f"table is now at {cur} (concurrent writer)"
+            )
+        version = (cur + 1) if cur is not None else 0
         manifest["version"] = version
-        with open(os.path.join(meta, f"v{version}.json"), "w") as f:
-            json.dump(manifest, f)
+        mpath = os.path.join(meta, f"v{version}.json")
+        try:
+            with open(mpath, "x") as f:
+                json.dump(manifest, f)
+        except FileExistsError:
+            # an invisible v{N}.json (VERSION never swapped to N) is a
+            # crash orphan from a writer that died mid-commit — recovery
+            # must replace it, not poison the table. A visible one means
+            # a racer already swapped: conflict.
+            if (self.current_version() if self.exists() else -1) >= version:
+                raise CommitConflictError(
+                    f"lost the commit race for version {version} "
+                    "(concurrent writer committed it first)"
+                ) from None
+            tmp_m = mpath + f".tmp-{uuid.uuid4().hex}"
+            with open(tmp_m, "w") as f:
+                json.dump(manifest, f)
+            os.replace(tmp_m, mpath)
         tmp = self._version_path + f".tmp-{uuid.uuid4().hex}"
         with open(tmp, "w") as f:
             f.write(str(version))
