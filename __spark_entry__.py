@@ -5344,6 +5344,68 @@ def q_url_file_csv_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         srv.shutdown()
 
 
+def q_cdc_raw_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-tier raw->normalized lifecycle (normalization.py): the CDC
+    log lands in the `_airbyte_raw_*` tier as `(_airbyte_ab_id,
+    _airbyte_emitted_at, _airbyte_data JSON)` rows
+    (JavaBaseConstants.java:19-21) across two epoch commits, and
+    normalization builds the typed final table FROM raw — the second
+    run incrementally, reading ONLY the data files added between raw
+    snapshots (the stream_processor.py:848-898 `new_data` reduction as
+    an Iceberg-style file-level snapshot diff). Oracle = the plain
+    winner rule over the same events: equality proves the
+    to_json/from_json raw roundtrip, the typed projection, and the
+    file-diff increment all preserve exact values.
+
+    Scale shape: raw append is a narrow bucketed write; the typed
+    projection is ONE codegen'd from_json per row (the reference
+    re-parses the blob per column); the increment scans O(new files),
+    never the raw history; the apply is the same map-side-combining
+    winner MERGE as the direct CDC path."""
+    import tempfile
+
+    from airbyte_integrations_spark.config import SyncConfig
+    from airbyte_integrations_spark.lakehouse.table import LakeTable
+    from airbyte_integrations_spark.normalization import (
+        normalize_into,
+        write_raw,
+    )
+
+    tune_session(spark)
+    ce = change_events(spark, sf_dir)
+    hi = int(ce.agg(F.max("_ab_cdc_lsn")).collect()[0][0])
+    scratch = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    base = tempfile.mkdtemp(prefix="rawnorm_entry_", dir=scratch)
+    raw = LakeTable(spark, base + "/raw")
+    final = LakeTable(spark, base + "/final")
+    ddl = (
+        "url string, _ab_cdc_lsn bigint, _ab_cdc_updated_at timestamp_ntz, "
+        "_ab_cdc_deleted_at timestamp_ntz, event_type string, value_m bigint"
+    )
+    cfg = SyncConfig(stream="pages", n_buckets=8)
+    mid = hi // 2
+    write_raw(raw, ce.filter(F.col("_ab_cdc_lsn") <= mid), "pages", epoch=1)
+    normalize_into(raw, final, cfg, ddl)
+    write_raw(raw, ce.filter(F.col("_ab_cdc_lsn") > mid), "pages", epoch=2)
+    normalize_into(raw, final, cfg, ddl)  # file-diff increment
+    assert normalize_into(raw, final, cfg, ddl) is None  # converged
+    return final.read_live().select(
+        "url",
+        "_ab_cdc_lsn",
+        _us("_ab_cdc_updated_at").alias("updated_us"),
+        "event_type",
+        "value_m",
+    )
+
+
+O_CDC_RAW_NORMALIZE = f"""
+WITH {CE_SQL}, {WINNERS_SQL}
+SELECT url, _ab_cdc_lsn, epoch_us(_ab_cdc_updated_at) AS updated_us,
+       event_type, value_m
+FROM w WHERE rn = 1 AND _ab_cdc_deleted_at IS NULL
+"""
+
+
 O_URL_FILE_CSV_READ = """
 SELECT doc_id, lang, n_chars FROM documents
 """
@@ -5357,6 +5419,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_tombstone_stats": q_cdc_tombstone_stats,
         "cdc_idempotent_replay": q_cdc_idempotent_replay,
         "cdc_mor_replay": q_cdc_mor_replay,
+        "cdc_raw_normalize": q_cdc_raw_normalize,
         "cdc_maintenance_replay": q_cdc_maintenance_replay,
         "cdc_incremental_cursor": q_cdc_incremental_cursor,
         "cdc_epoch_plan": q_cdc_epoch_plan,
@@ -5467,6 +5530,7 @@ def oracle_sql() -> dict[str, str]:
         "cdc_tombstone_stats": O_CDC_TOMBSTONE_STATS,
         "cdc_idempotent_replay": O_CDC_IDEMPOTENT_REPLAY,
         "cdc_mor_replay": O_CDC_MOR_REPLAY,
+        "cdc_raw_normalize": O_CDC_RAW_NORMALIZE,
         "cdc_maintenance_replay": O_CDC_MAINTENANCE_REPLAY,
         "cdc_incremental_cursor": O_CDC_INCREMENTAL_CURSOR,
         "cdc_epoch_plan": O_CDC_EPOCH_PLAN,

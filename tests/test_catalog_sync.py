@@ -369,6 +369,9 @@ def test_pre_history_file_epochs_keep_strict_cursor(spark, tmp_path, derby_db):
     m = t.manifest()
     for meta in m["committed"]["drops"].values():
         meta.pop("file_history", None)
+    # commit protocol: pin parent to the version this rewrite derives
+    # from (the manifest copy inherits ITS parent, one version back)
+    m["parent"] = t.current_version()
     t._commit(m)
     st = file_mtime_cursor(t, "drops")
     assert isinstance(st, dt.datetime) and not isinstance(st, FileState)
