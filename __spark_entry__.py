@@ -5411,6 +5411,429 @@ SELECT doc_id, lang, n_chars FROM documents
 """
 
 
+def q_emb_index_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector-index destination lifecycle (destinations/vector_index.py
+    — the Airbyte vector-DB destination family shape): two CDC epochs
+    of embedding records (insert / reversed-embedding update /
+    tombstone delete) upserted through the engine's MERGE apply into
+    the IVF-bucketed index, codebook trained on the FIRST batch and
+    frozen, live state published as the cell-partitioned serving
+    snapshot, then a fixed 200-query probe (nprobe=2, top-3 cosine).
+
+    Oracled end to end: DuckDB recomputes the final vector set from
+    the update/delete rules, the frozen batch-1 codebook, the cell
+    assignment, and the probed top-k — so upsert semantics, codebook
+    freezing, publish, and the serve dataflow all sit under one value
+    hash. Scale shape: upserts are O(batch) MERGEs, cell assignment is
+    the zero-Exchange literal-codebook projection, serving scans prune
+    to probed cells, k and |Q| are constants."""
+    import tempfile
+
+    tune_session(spark)
+    from airbyte_integrations_spark.destinations.vector_index import VectorIndex
+
+    emb = load(spark, sf_dir, "embeddings")
+    nulls = [
+        F.lit(None).cast("timestamp").alias("_ab_cdc_updated_at"),
+        F.lit(None).cast("timestamp").alias("_airbyte_emitted_at"),
+    ]
+
+    def rec(df, lsn, deleted=False, flip=False):
+        e = F.reverse(F.col("embedding")) if flip else F.col("embedding")
+        d = (
+            F.to_timestamp(F.lit("2024-01-01 00:00:00"))
+            if deleted
+            else F.lit(None).cast("timestamp")
+        )
+        return df.select(
+            "vec_id",
+            e.alias("embedding"),
+            lsn.alias("_ab_cdc_lsn"),
+            *nulls,
+            F.md5(lsn.cast("string")).alias("_airbyte_ab_id"),
+            d.alias("_ab_cdc_deleted_at"),
+        )
+
+    batch1 = rec(emb.filter(F.col("vec_id") % 3 != 2), F.col("vec_id") + 1)
+    batch2 = (
+        rec(emb.filter(F.col("vec_id") % 3 == 2), F.col("vec_id") + 1)
+        .unionByName(
+            rec(
+                emb.filter(F.col("vec_id") % 5 == 0),
+                F.col("vec_id") + 1_000_000,
+                flip=True,
+            )
+        )
+        .unionByName(
+            rec(
+                emb.filter(F.col("vec_id") % 11 == 7),
+                F.col("vec_id") + 2_000_000,
+                deleted=True,
+            )
+        )
+    )
+    idx = VectorIndex(spark, tempfile.mkdtemp(prefix="vidx_q_"))
+    idx.upsert(batch1, epoch=0, k=16)
+    idx.upsert(batch2, epoch=1)
+    idx.publish()
+    queries = (
+        emb.withColumn(
+            "_qkey", F.md5(F.col("vec_id").cast("string").cast("binary"))
+        )
+        .orderBy(F.col("_qkey").asc(), F.col("vec_id").asc())
+        .limit(200)
+        .select(F.col("vec_id").alias("qid"), "embedding")
+    )
+    return idx.query(queries, k=3, nprobe=2)
+
+
+O_EMB_INDEX_LIFECYCLE = """
+WITH final AS (
+  SELECT vec_id,
+         CASE WHEN vec_id % 5 = 0
+              THEN list_reverse(list_transform(embedding, x -> CAST(x AS DOUBLE)))
+              ELSE list_transform(embedding, x -> CAST(x AS DOUBLE)) END AS v
+  FROM embeddings WHERE vec_id % 11 <> 7
+),
+fn AS (
+  SELECT vec_id, v,
+         sqrt(list_reduce(list_transform(v, x -> x * x), (a, b) -> a + b)) AS nrm
+  FROM final
+),
+b1 AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings WHERE vec_id % 3 <> 2
+),
+b1n AS (
+  SELECT vec_id, v,
+         sqrt(list_reduce(list_transform(v, x -> x * x), (a, b) -> a + b)) AS nrm
+  FROM b1
+),
+cents AS (
+  SELECT vec_id AS cent_id, v AS cv, nrm AS cn FROM b1n
+  ORDER BY md5(CAST(vec_id AS VARCHAR)) ASC, vec_id ASC LIMIT 16
+),
+scored AS (
+  SELECT f.vec_id, f.v, f.nrm, c.cent_id,
+         CAST(floor(list_reduce(list_transform(range(1, len(f.v) + 1),
+                  i -> f.v[i] * c.cv[i]), (a, b) -> a + b)
+               / (f.nrm * c.cn) * 1000) AS BIGINT) AS csim
+  FROM fn f CROSS JOIN cents c
+),
+assign AS (
+  SELECT vec_id, v, nrm, cent_id AS cell FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY csim DESC, cent_id ASC) AS r
+    FROM scored
+  ) WHERE r = 1
+),
+q AS (
+  SELECT vec_id AS qid, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+  FROM embeddings
+  ORDER BY md5(CAST(vec_id AS VARCHAR)) ASC, vec_id ASC LIMIT 200
+),
+qn AS (
+  SELECT qid, qv,
+         sqrt(list_reduce(list_transform(qv, x -> x * x), (a, b) -> a + b)) AS qnrm
+  FROM q
+),
+qscored AS (
+  SELECT qn.qid, qn.qv, qn.qnrm, c.cent_id,
+         CAST(floor(list_reduce(list_transform(range(1, len(qn.qv) + 1),
+                  i -> qn.qv[i] * c.cv[i]), (a, b) -> a + b)
+               / (qn.qnrm * c.cn) * 1000) AS BIGINT) AS csim
+  FROM qn CROSS JOIN cents c
+),
+probes AS (
+  SELECT qid, qv, qnrm, cent_id AS cell FROM (
+    SELECT *, row_number() OVER (PARTITION BY qid
+                                 ORDER BY csim DESC, cent_id ASC) AS r
+    FROM qscored
+  ) WHERE r <= 2
+),
+pairs AS (
+  SELECT DISTINCT p.qid, a.vec_id,
+         CAST(floor(list_reduce(list_transform(range(1, len(p.qv) + 1),
+                  i -> p.qv[i] * a.v[i]), (x, y) -> x + y)
+               / (p.qnrm * a.nrm) * 1000) AS BIGINT) AS sim
+  FROM probes p JOIN assign a USING (cell)
+),
+ranked AS (
+  SELECT qid, vec_id, sim,
+         row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id ASC) AS rank
+  FROM pairs
+)
+SELECT qid, vec_id, sim, rank FROM ranked WHERE rank <= 3
+"""
+
+
+def q_pipeline_crawl_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end crawl-refresh -> training-corpus composition — the
+    north-star sentence as ONE declarative plan: CDC change events over
+    web pages (html payload) -> per-url winner via the associative
+    max-struct aggregation (tombstones dropped) -> REAL html->text
+    extraction (functions/extract.py Arrow pandas UDF, run on winners
+    only — never on superseded versions) -> quality gates (token count
+    band) -> corpus-wide exact content dedup keyed on the text
+    fingerprint (min-url canonical, duplicate multiplicity kept for
+    mixing weights) -> deterministic md5-prefix shard assignment ->
+    per-shard accounting with a 60-bit xor content checksum.
+
+    The oracle cannot run the extraction UDF, so the html is
+    synthesized IN the query from change-event fields by a fixed
+    template (script+style blocks, tags, an &amp; entity) and the
+    oracle recomputes the expected extracted text directly from those
+    fields — any deviation in the UDF's strip/unescape/collapse rules
+    breaks the value hash, which makes this the driver-level pin of
+    the input_hint's byte-identical-extraction contract.
+
+    Scale shape: winner selection is one map-side-combining hash agg
+    (hot urls emit O(n_mappers) partial rows); extraction is Arrow-
+    batched over winners only; the dedup is a second hash agg on the
+    fingerprint (uniform md5 keys — no skew); shard stats fold with
+    commutative count/sum/xor. Two Exchanges end to end, no window, no
+    sort, nothing driver-side."""
+    tune_session(spark)
+    from airbyte_integrations_spark.functions.extract import extract_text
+
+    ev = load(spark, sf_dir, "events")
+    ce = ev.select(
+        F.concat(
+            F.lit("https://site-"),
+            (F.col("user_id") % 97).cast("string"),
+            F.lit(".example/page/"),
+            (F.col("user_id") * 13 + F.col("event_id") % 13).cast("string"),
+        ).alias("url"),
+        (F.col("event_id") + 1).alias("_ab_cdc_lsn"),
+        F.col("ts").alias("_ab_cdc_updated_at"),
+        F.when(F.col("event_id") % 17 == 3, F.col("ts")).alias("_ab_cdc_deleted_at"),
+        F.md5(F.col("event_id").cast("string")).alias("_airbyte_ab_id"),
+        (F.col("ts") + F.expr("INTERVAL 2 SECOND")).alias("_airbyte_emitted_at"),
+        F.encode(
+            F.concat(
+                F.lit(
+                    '<html><head><script type="text/javascript">var t = 1 < 2;'
+                    "</script><style>p { color: #333; }</style></head><body><h1>"
+                ),
+                F.col("event_type"),
+                F.lit("</h1><p>"),
+                F.col("props"),
+                F.lit("</p><p>"),
+                F.expr("repeat('lorem ', CAST(floor(value * 1000) AS BIGINT) % 7)"),
+                F.lit("</p><p>quality &amp; provenance</p></body></html>"),
+            ),
+            "utf-8",
+        ).alias("html"),
+    )
+    winners = winner_agg(ce, drop_tombstones=True)
+    pages = winners.withColumn("text", extract_text(F.col("html")))
+    n_tokens = F.size(F.split(F.col("text"), " "))
+    gated = pages.filter((n_tokens >= 8) & (n_tokens <= 64))
+    canon = (
+        gated.select(
+            "url",
+            F.md5(F.col("text")).alias("fingerprint"),
+            F.length(F.col("text")).alias("n_chars"),
+        )
+        .groupBy("fingerprint")
+        .agg(
+            F.min("url").alias("canonical_url"),
+            F.count(F.lit(1)).alias("n_dupes"),
+            F.max("n_chars").alias("n_chars"),
+        )
+    )
+    shard = (F.conv(F.substring(F.col("fingerprint"), 1, 4), 16, 10).cast("long") % 8).alias("shard")
+    rh = F.conv(
+        F.substring(
+            F.md5(F.concat_ws("~", F.col("fingerprint"), F.col("canonical_url"))), 1, 15
+        ),
+        16,
+        10,
+    ).cast("long")
+    return (
+        canon.select(shard, "n_dupes", "n_chars", rh.alias("rh"))
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_dupes").alias("n_pages"),
+            F.sum("n_chars").alias("sum_chars"),
+            F.bit_xor("rh").alias("xor_content"),
+        )
+    )
+
+
+O_PIPELINE_CRAWL_CORPUS = f"""
+WITH ce AS (
+  SELECT
+    'https://site-' || CAST(user_id % 97 AS VARCHAR) || '.example/page/'
+      || CAST(user_id * 13 + event_id % 13 AS VARCHAR) AS url,
+    event_id + 1 AS _ab_cdc_lsn,
+    ts AS _ab_cdc_updated_at,
+    CASE WHEN event_id % 17 = 3 THEN ts END AS _ab_cdc_deleted_at,
+    md5(CAST(event_id AS VARCHAR)) AS _airbyte_ab_id,
+    ts + INTERVAL 2 SECOND AS _airbyte_emitted_at,
+    trim(regexp_replace(
+      event_type || ' ' || props || ' '
+        || repeat('lorem ', CAST(floor(value * 1000) AS BIGINT) % 7)
+        || ' quality & provenance',
+      '\\s+', ' ', 'g')) AS text
+  FROM events
+), {WINNERS_SQL},
+pages AS (
+  SELECT url, text FROM w WHERE rn = 1 AND _ab_cdc_deleted_at IS NULL
+),
+gated AS (
+  SELECT url, md5(text) AS fingerprint, length(text) AS n_chars
+  FROM pages
+  WHERE len(string_split(text, ' ')) BETWEEN 8 AND 64
+),
+canon AS (
+  SELECT fingerprint, min(url) AS canonical_url, count(*) AS n_dupes,
+         max(n_chars) AS n_chars
+  FROM gated GROUP BY 1
+)
+SELECT ('0x' || substr(fingerprint, 1, 4))::BIGINT % 8 AS shard,
+       count(*) AS n_docs,
+       CAST(sum(n_dupes) AS BIGINT) AS n_pages,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+       bit_xor(('0x' || substr(md5(fingerprint || '~' || canonical_url), 1, 15))::BIGINT)
+         AS xor_content
+FROM canon GROUP BY 1
+"""
+
+
+def q_docs_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity bucketing (Wenzek et al. 2020 §3.3): score
+    every document with the corpus-trained char-trigram LM proxy
+    (docs_trigram_lm_score's exact-integer avg_bits_pm — higher = more
+    natural text), then split EACH LANGUAGE into head/middle/tail at
+    the exact tertile edges of the score distribution and report the
+    per-(lang, bucket) doc/char accounting a curation run keeps.
+
+    Exactness: tertile edges use the same rank-at-ceil(q*n) rule as
+    docs_length_quantiles (value at rank ceil(n/3) / ceil(2n/3) under
+    (score ASC, doc_id ASC)); binning compares VALUES against the two
+    edges, so rank ties cannot flip a bucket between engines.
+
+    Scale shape: trigram scoring = two map-side-combining hash aggs +
+    one trigram-keyed join (the LM table); edge computation is one
+    lang-keyed Exchange shared by both windows; the edges table is
+    n_langs rows -> broadcast back onto the scored corpus; final
+    rollup is one hash agg over (lang, bucket). The corpus is never
+    globally sorted."""
+    tune_session(spark)
+    docs = load(spark, sf_dir, "documents")
+    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+    base = docs.select("doc_id", "lang", "n_chars", norm.alias("nt")).filter(
+        F.length("nt") >= 3
+    )
+    tri = base.select(
+        "doc_id",
+        F.explode(
+            F.expr("transform(sequence(1, length(nt) - 2), i -> substring(nt, i, 3))")
+        ).alias("tg"),
+    )
+    model = tri.groupBy("tg").agg(F.count(F.lit(1)).alias("cnt"))
+    bits = (F.length(F.bin(F.col("cnt"))) - 1).cast("long")
+    scored = (
+        tri.join(model, "tg")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_trigrams"),
+            F.sum(bits).alias("sum_bits"),
+        )
+        .select(
+            "doc_id",
+            F.floor(F.col("sum_bits") * 1000 / F.col("n_trigrams"))
+            .cast("long")
+            .alias("score_pm"),
+        )
+        .join(base.select("doc_id", "lang", "n_chars"), "doc_id")
+    )
+    wo = Window.partitionBy("lang").orderBy(
+        F.col("score_pm").asc(), F.col("doc_id").asc()
+    )
+    wn = Window.partitionBy("lang")
+    r = scored.select(
+        "lang",
+        "score_pm",
+        F.row_number().over(wo).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+
+    def pick(q_num: int, q_den: int) -> F.Column:
+        target = F.ceil(F.col("n") * q_num / q_den)
+        return F.max(F.when(F.col("rn") == target, F.col("score_pm")))
+
+    edges = r.groupBy("lang").agg(
+        pick(1, 3).alias("e1"), pick(2, 3).alias("e2")
+    )
+    binned = scored.join(F.broadcast(edges), "lang").select(
+        "lang",
+        "n_chars",
+        "score_pm",
+        F.when(F.col("score_pm") <= F.col("e1"), F.lit("tail"))
+        .when(F.col("score_pm") <= F.col("e2"), F.lit("middle"))
+        .otherwise(F.lit("head"))
+        .alias("bucket"),
+    )
+    return binned.groupBy("lang", "bucket").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+        F.min("score_pm").alias("min_score_pm"),
+        F.max("score_pm").alias("max_score_pm"),
+    )
+
+
+O_DOCS_CCNET_BUCKETS = r"""
+WITH base AS (
+  SELECT doc_id, lang, n_chars,
+         trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS nt
+  FROM documents
+),
+b AS (SELECT * FROM base WHERE len(nt) >= 3),
+tri AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(nt) - 1), i -> substr(nt, i, 3))) AS tg
+  FROM b
+),
+model AS (SELECT tg, count(*) AS cnt FROM tri GROUP BY tg),
+scored AS (
+  SELECT t.doc_id,
+         CAST(floor(SUM(CAST(length(bin(m.cnt)) - 1 AS BIGINT)) * 1000
+                    / count(*)) AS BIGINT) AS score_pm
+  FROM tri t JOIN model m ON t.tg = m.tg
+  GROUP BY t.doc_id
+),
+sc AS (
+  SELECT s.doc_id, s.score_pm, b.lang, b.n_chars
+  FROM scored s JOIN b USING (doc_id)
+),
+r AS (
+  SELECT lang, score_pm,
+         row_number() OVER (PARTITION BY lang ORDER BY score_pm ASC, doc_id ASC) AS rn,
+         count(*) OVER (PARTITION BY lang) AS n
+  FROM sc
+),
+edges AS (
+  SELECT lang,
+         max(CASE WHEN rn = CAST(ceil(n * 1.0 / 3) AS BIGINT) THEN score_pm END) AS e1,
+         max(CASE WHEN rn = CAST(ceil(n * 2.0 / 3) AS BIGINT) THEN score_pm END) AS e2
+  FROM r GROUP BY 1
+)
+SELECT sc.lang,
+       CASE WHEN score_pm <= e1 THEN 'tail'
+            WHEN score_pm <= e2 THEN 'middle'
+            ELSE 'head' END AS bucket,
+       count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+       min(score_pm) AS min_score_pm,
+       max(score_pm) AS max_score_pm
+FROM sc JOIN edges USING (lang)
+GROUP BY 1, 2
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "cdc_latest_wins": q_cdc_latest_wins,
@@ -5433,6 +5856,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_composite_pk_dedup": q_cdc_composite_pk_dedup,
         "cdc_event_time_rates": q_cdc_event_time_rates,
         "cdc_catalog_sync": q_cdc_catalog_sync,
+        "pipeline_crawl_corpus": q_pipeline_crawl_corpus,
+        "docs_ccnet_buckets": q_docs_ccnet_buckets,
+        "emb_index_lifecycle": q_emb_index_lifecycle,
         "http_paged_read": q_http_paged_read,
         "http_declarative_substream": q_http_declarative_substream,
         "http_declarative_filter_transform": q_http_declarative_filter_transform,
@@ -5544,6 +5970,9 @@ def oracle_sql() -> dict[str, str]:
         "cdc_composite_pk_dedup": O_CDC_COMPOSITE_PK_DEDUP,
         "cdc_event_time_rates": O_CDC_EVENT_TIME_RATES,
         "cdc_catalog_sync": O_CDC_CATALOG_SYNC,
+        "pipeline_crawl_corpus": O_PIPELINE_CRAWL_CORPUS,
+        "docs_ccnet_buckets": O_DOCS_CCNET_BUCKETS,
+        "emb_index_lifecycle": O_EMB_INDEX_LIFECYCLE,
         "json_extract_cast": O_JSON_EXTRACT_CAST,
         "docs_exact_dedup": O_DOCS_EXACT_DEDUP,
         "docs_fingerprint": O_DOCS_FINGERPRINT,

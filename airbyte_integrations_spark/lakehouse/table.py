@@ -397,6 +397,10 @@ class LakeTable:
         if str(epoch) in committed.get(stream, {}):
             return None
         committed.setdefault(stream, {})[str(epoch)] = epoch_meta or {}
+        # want_props() promises "folds into the NEXT commit" — a marker
+        # commit is a commit (vector_index relies on this to make its
+        # codebook durable right after creation).
+        manifest["props"] = {**manifest.get("props", {}), **self._pending_props}
         manifest["parent"] = self.current_version()
         return self._commit(manifest)
 
