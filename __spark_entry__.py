@@ -5281,6 +5281,82 @@ SELECT doc_id, lang, n_chars FROM documents
 """
 
 
+def q_singer_tap_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Singer-tap adapter value-oracled against the table read whole
+    (sources/singer.py — reference: airbyte-cdk
+    sources/singer/singer_helpers.py:239-265 translates the tap's
+    SCHEMA/RECORD/STATE/ACTIVATE_VERSION lines to Airbyte messages one
+    record at a time in driver Python). The documents table is
+    serialized to Singer RECORD JSONL with to_json over structs
+    (distributed, codegen — no driver loop), framed by a SCHEMA line, an
+    ACTIVATE_VERSION line, and a trailing STATE bookmark — the three
+    non-record message kinds the adapter must drop/route. The read path
+    parses everything back with one get_json_object projection into the
+    wire landing shape and reuses the shared typed projection
+    (records_for_stream). Oracle = the parquet read whole: equality
+    proves the Singer framing loses nothing.
+
+    Scale shape: both directions are narrow JVM projections over the
+    input's existing partitioning — no shuffle, no per-record Python
+    (the reference's adapter is a single-process Python loop)."""
+    import json as _json
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from airbyte_integrations_spark.sources.airbyte_wire import (
+        records_for_stream,
+    )
+    from airbyte_integrations_spark.sources.singer import (
+        read_singer_messages,
+    )
+
+    tune_session(spark)
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).select(
+        "doc_id", "lang", "n_chars"
+    )
+    out = os.path.join(tempfile.mkdtemp(prefix="singer_tap_"), "msgs")
+    docs.select(
+        F.to_json(
+            F.struct(
+                F.lit("RECORD").alias("type"),
+                F.lit("documents").alias("stream"),
+                F.struct("doc_id", "lang", "n_chars").alias("record"),
+            )
+        ).alias("value")
+    ).write.text(out)
+    # the tap's framing messages (metadata-sized, appended driver-side:
+    # SCHEMA before records in spirit, STATE after — the adapter drops
+    # SCHEMA/ACTIVATE_VERSION and routes STATE regardless of position)
+    with open(os.path.join(out, "zz_framing.jsonl"), "w") as fh:
+        for m in (
+            {"type": "SCHEMA", "stream": "documents",
+             "schema": {"properties": {"doc_id": {"type": "integer"}}},
+             "key_properties": ["doc_id"]},
+            {"type": "ACTIVATE_VERSION", "stream": "documents", "version": 1},
+            {"type": "STATE",
+             "value": {"bookmarks": {"documents": {"doc_id": -1}}}},
+        ):
+            fh.write(_json.dumps(m) + "\n")
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("n_chars", T.LongType()),
+        ]
+    )
+    msgs = read_singer_messages(
+        spark, out, default_emitted_at_millis=1_600_000_000_000
+    )
+    back = records_for_stream(msgs, "documents", schema)
+    return back.select("doc_id", "lang", "n_chars").localCheckpoint(eager=True)
+
+
+O_SINGER_TAP_READ = """
+SELECT doc_id, lang, n_chars FROM documents
+"""
+
+
 def q_url_file_csv_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     """URL single-file source (source-file HTTPS provider,
     connectors/source-file/source_file/client.py:32-142) value-oracled
@@ -5865,6 +5941,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "http_search_post_read": q_http_search_post_read,
         "http_link_header_read": q_http_link_header_read,
         "wire_emit_roundtrip": q_wire_emit_roundtrip,
+        "singer_tap_read": q_singer_tap_read,
         "protocol_cli_read": q_protocol_cli_read,
         "url_file_csv_read": q_url_file_csv_read,
         "json_extract_cast": q_json_extract_cast,
@@ -5948,6 +6025,7 @@ def oracle_sql() -> dict[str, str]:
         "http_search_post_read": O_HTTP_SEARCH_POST_READ,
         "http_link_header_read": O_HTTP_LINK_HEADER_READ,
         "wire_emit_roundtrip": O_WIRE_EMIT_ROUNDTRIP,
+        "singer_tap_read": O_SINGER_TAP_READ,
         "protocol_cli_read": O_PROTOCOL_CLI_READ,
         "url_file_csv_read": O_URL_FILE_CSV_READ,
         "cdc_latest_wins": O_CDC_LATEST_WINS,

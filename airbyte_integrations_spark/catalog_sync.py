@@ -328,6 +328,37 @@ def _read_stream_events(
                 spark, msgs, wire_name, cs.source.get("sample", 10_000)
             )
         return records_for_stream(msgs, wire_name, schema), None, {}
+    if kind == "singer":
+        # a Singer tap's JSONL output as the source: the adapter
+        # (sources/singer.py) parses SCHEMA/RECORD/STATE/ACTIVATE_VERSION
+        # lines into the same landing shape the wire kind uses, so the
+        # typed projection and schema sampling below are shared with it
+        # (reference: singer_helpers.py:239-265 does this translation
+        # per record in Python).
+        from airbyte_integrations_spark.sources.airbyte_wire import (
+            infer_record_schema,
+            records_for_stream,
+        )
+        from airbyte_integrations_spark.sources.singer import (
+            read_singer_messages,
+        )
+
+        msgs = read_singer_messages(
+            spark,
+            cs.source["path"],
+            default_emitted_at_millis=cs.source.get("emitted_at_millis", 0),
+        )
+        singer_name = cs.source.get("stream", cfg.stream)
+        schema = cs.source.get("record_schema")
+        if isinstance(schema, str):
+            from pyspark.sql import types as T
+
+            schema = T.StructType.fromDDL(schema)
+        if schema is None:
+            schema = infer_record_schema(
+                spark, msgs, singer_name, cs.source.get("sample", 10_000)
+            )
+        return records_for_stream(msgs, singer_name, schema), None, {}
     if kind == "files":
         import hashlib
 

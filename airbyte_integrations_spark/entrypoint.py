@@ -50,7 +50,15 @@ from airbyte_integrations_spark.connector import check, discover, mask_secrets, 
 
 # source kinds a JSON catalog may carry (the DataFrame kind is
 # embedded-use only — not expressible as JSON)
-_JSON_KINDS = ("cdc_log", "files", "url_file", "http", "wire", "partitioned_log")
+_JSON_KINDS = (
+    "cdc_log",
+    "files",
+    "url_file",
+    "http",
+    "wire",
+    "singer",
+    "partitioned_log",
+)
 
 
 def configured_catalog_from_json(doc: dict) -> ConfiguredCatalog:
