@@ -262,6 +262,85 @@ FROM w WHERE rn = 1 AND _ab_cdc_deleted_at IS NULL
 """
 
 
+def q_cdc_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point lookups + GDPR hard delete over a MoR replay, value-oracled
+    (lakehouse/table.read_key + purge_key): the log is applied as 4 MoR
+    epochs (deltas kept so lookups must resolve base ∪ deltas), ONE
+    sampled key is physically purged (every version, history expired —
+    Iceberg's DELETE + rewrite_data_files + expire_snapshots erasure
+    recipe), then the serving path reads a CONSTANT budget of 8
+    deterministically-sampled urls (distinct urls ordered by md5 — the
+    fixed-budget trick, independent of corpus size) via read_key.
+    Oracle = the plain winner rule over the same 7 surviving keys; the
+    purged key must come back empty.
+
+    Scale shape: each lookup prunes to the key's hash bucket via the
+    manifest (no listing) and inside it to files whose key zone map
+    covers the value — with the writer's within-bucket key clustering a
+    lookup touches O(versions of this key) files on the 10^10-row
+    table, not O(bucket); the in-query assert pins that pruning
+    engaged. The purge rewrites only covering files of one bucket."""
+    import tempfile
+
+    from airbyte_integrations_spark.config import SyncConfig
+    from airbyte_integrations_spark.lakehouse.table import LakeTable
+    from airbyte_integrations_spark.streaming.microbatch import run_sync
+
+    tune_session(spark)
+    ce = change_events(spark, sf_dir)
+    hi = ce.agg(F.max("_ab_cdc_lsn")).collect()[0][0]
+    scratch = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    table = LakeTable(
+        spark, tempfile.mkdtemp(prefix="lookup_entry_", dir=scratch) + "/t"
+    )
+    run_sync(
+        spark, ce, table, SyncConfig(stream="pages", write_mode="mor"),
+        max_events_per_epoch=max(int(hi) // 4, 1),
+        extract_missing_text=False,
+        compact_threshold=None,  # keep deltas: lookups must resolve them
+    )
+    urls = [
+        r["url"]
+        for r in ce.select("url").distinct().orderBy(F.md5("url")).limit(8).collect()
+    ]
+    purged, served = urls[0], urls[1:]
+    table.purge_key(purged)
+    assert table.read_key(purged).count() == 0
+
+    # pruning sanity: a lookup's candidate file set is a strict subset
+    # of the table's files (manifest bucket pruning + key zone maps)
+    m = table.manifest()
+    total_files = sum(len(ps) for ps in m.get("files", {}).values()) + sum(
+        len(ps) for ps in m.get("deltas", {}).values()
+    )
+    probe = served[0]
+    bucket = str(table.key_bucket(probe))
+    in_bucket = len(m.get("files", {}).get(bucket, [])) + len(
+        m.get("deltas", {}).get(bucket, [])
+    )
+    assert in_bucket < total_files, (in_bucket, total_files)
+
+    out = None
+    for u in served:  # constant budget: 7 driver-side unions
+        rows = table.read_key(u).select(
+            "url", "_ab_cdc_lsn", "event_type", "value_m"
+        )
+        out = rows if out is None else out.unionByName(rows)
+    return out.localCheckpoint(eager=True)
+
+
+O_CDC_POINT_LOOKUP = f"""
+WITH {CE_SQL}, {WINNERS_SQL},
+keys AS (
+  SELECT url FROM (SELECT DISTINCT url, md5(url) AS h FROM ce)
+  ORDER BY h LIMIT 7 OFFSET 1
+)
+SELECT w.url, w._ab_cdc_lsn, w.event_type, w.value_m
+FROM w JOIN keys ON w.url = keys.url
+WHERE w.rn = 1 AND w._ab_cdc_deleted_at IS NULL
+"""
+
+
 def q_cdc_incremental_cursor(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cursor scan: strictly-greater filter + new max-cursor state
     (AbstractJdbcSource.java:261-286, StateDecoratingIterator.java:50-60).
@@ -5932,6 +6011,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_composite_pk_dedup": q_cdc_composite_pk_dedup,
         "cdc_event_time_rates": q_cdc_event_time_rates,
         "cdc_catalog_sync": q_cdc_catalog_sync,
+        "cdc_point_lookup": q_cdc_point_lookup,
         "pipeline_crawl_corpus": q_pipeline_crawl_corpus,
         "docs_ccnet_buckets": q_docs_ccnet_buckets,
         "emb_index_lifecycle": q_emb_index_lifecycle,
@@ -6036,6 +6116,7 @@ def oracle_sql() -> dict[str, str]:
         "cdc_mor_replay": O_CDC_MOR_REPLAY,
         "cdc_raw_normalize": O_CDC_RAW_NORMALIZE,
         "cdc_maintenance_replay": O_CDC_MAINTENANCE_REPLAY,
+        "cdc_point_lookup": O_CDC_POINT_LOOKUP,
         "cdc_incremental_cursor": O_CDC_INCREMENTAL_CURSOR,
         "cdc_epoch_plan": O_CDC_EPOCH_PLAN,
         "cdc_heartbeat_offsets": O_CDC_HEARTBEAT_OFFSETS,
