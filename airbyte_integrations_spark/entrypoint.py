@@ -137,6 +137,13 @@ def _emit(out, msg: dict) -> None:
     out.write(json.dumps(msg, sort_keys=True) + "\n")
 
 
+def _log(out, level: str, message: str) -> None:
+    """LOG message on the pipe (airbyte_protocol.yaml:116-135) — the
+    reference's per-sync progress logging (abstract_source.py:98,132,
+    135,170) rides the same single stdout channel as records."""
+    _emit(out, {"type": "LOG", "log": {"level": level, "message": message}})
+
+
 def _trace_status(out, stream: str, status: str) -> None:
     _emit(
         out,
@@ -169,8 +176,10 @@ def _read(
 
     scratch = tempfile.mkdtemp(prefix="entrypoint_read_")
     blobs: dict[str, dict] = {}
+    _log(out, "INFO", "Starting syncing")
     for cs in ordered_streams(catalog):
         name = cs.config.stream
+        _log(out, "INFO", f"Syncing stream: {name}")
         _trace_status(out, name, "STARTED")
         try:
             # throwaway sink table: a pure source read has no durable
@@ -203,11 +212,14 @@ def _read(
                 hi = ev.agg(F.max(cursor)).collect()[0][0]
                 if hasattr(hi, "isoformat"):
                     hi = hi.isoformat()
+            n_records = 0
             for row in ev.select(msg).toLocalIterator():
                 out.write(row["line"] + "\n")
+                n_records += 1
             blobs[name] = {"lsn_watermark": hi}
             _emit_state(out, blobs, state_type)
             _trace_status(out, name, "COMPLETE")
+            _log(out, "INFO", f"Read {n_records} records from {name} stream")
         except Exception as e:
             _trace_status(out, name, "INCOMPLETE")
             _emit(
@@ -225,6 +237,7 @@ def _read(
                 },
             )
             raise
+    _log(out, "INFO", "Finished syncing")
 
 
 def _emit_state(out, blobs: dict[str, dict], flavor: str = "PER_STREAM") -> None:

@@ -81,6 +81,18 @@ ENVELOPE = T.StructType(
                 ]
             ),
         ),
+        # LOG messages (airbyte_protocol.yaml:116-135 AirbyteLogMessage:
+        # level FATAL/ERROR/WARN/INFO/DEBUG/TRACE + message) — the
+        # reference's connector logging rides the same single pipe.
+        T.StructField(
+            "log",
+            T.StructType(
+                [
+                    T.StructField("level", T.StringType()),
+                    T.StructField("message", T.StringType()),
+                ]
+            ),
+        ),
     ]
 )
 
@@ -135,10 +147,26 @@ def read_messages(spark: SparkSession, path: str) -> DataFrame:
             "_trace_emitted_at"
         ),
         F.col("_state_blob"),
+        F.col("m.log.level").alias("_log_level"),
+        F.col("m.log.message").alias("_log_message"),
         F.col("_file_mtime"),
         F.col("_file"),
         F.col("_block_start"),
         F.col("_line_id"),
+    )
+
+
+def log_lines(messages: DataFrame) -> DataFrame:
+    """LOG messages (level, message) in file/line order — the
+    connector-logging half of the pipe (airbyte_protocol.yaml:116-135;
+    the platform relays these to the job log, log_by_prefix parity)."""
+    return (
+        messages.filter(F.col("type") == "LOG")
+        .orderBy("_file_mtime", "_file", "_block_start", "_line_id")
+        .select(
+            F.col("_log_level").alias("level"),
+            F.col("_log_message").alias("message"),
+        )
     )
 
 

@@ -95,9 +95,18 @@ def test_read_cli_emission_order(spark, tmp_path, log_dir):
     kinds = [m["type"] for m in msgs]
     n_events = spark.read.parquet(log_dir).count()
     assert kinds.count("RECORD") == n_events
+    # LOG framing (abstract_source.py:98/135 parity), then
     # STARTED ... records ... STATE, COMPLETE — state never precedes
     # the records it covers
-    assert kinds[0] == "TRACE" and kinds[-1] == "TRACE"
+    assert kinds[0] == "LOG" and kinds[-1] == "LOG"
+    logs = [m["log"]["message"] for m in msgs if m["type"] == "LOG"]
+    assert logs[0] == "Starting syncing"
+    assert logs[-1] == "Finished syncing"
+    assert "Syncing stream: pages" in logs
+    assert f"Read {n_events} records from pages stream" in logs
+    assert all(
+        m["log"]["level"] == "INFO" for m in msgs if m["type"] == "LOG"
+    )
     statuses = [
         m["trace"]["stream_status"]["status"]
         for m in msgs

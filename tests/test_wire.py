@@ -327,3 +327,30 @@ def test_infer_record_schema_by_sampling(spark, tmp_path):
     back = records_for_stream(msgs, "things", schema)
     assert back.count() == 3
     assert back.filter("id = 'three'").count() == 1
+
+
+def test_log_lines_in_order(spark, tmp_path):
+    """LOG messages (airbyte_protocol.yaml:116-135) ride the same pipe;
+    log_lines surfaces (level, message) in file/line order and records
+    parse unaffected."""
+    import json as _json
+
+    from airbyte_integrations_spark.sources.airbyte_wire import log_lines
+
+    lines = [
+        {"type": "LOG", "log": {"level": "INFO", "message": "Starting syncing"}},
+        {"type": "RECORD", "record": {"stream": "s",
+                                      "data": {"id": 1}, "emitted_at": 0}},
+        {"type": "LOG", "log": {"level": "WARN", "message": "slow page"}},
+        {"type": "LOG", "log": {"level": "INFO", "message": "Finished syncing"}},
+    ]
+    p = tmp_path / "logs.jsonl"
+    p.write_text("\n".join(_json.dumps(m) for m in lines) + "\n")
+    msgs = read_messages(spark, str(p))
+    got = [(r.level, r.message) for r in log_lines(msgs).collect()]
+    assert got == [
+        ("INFO", "Starting syncing"),
+        ("WARN", "slow page"),
+        ("INFO", "Finished syncing"),
+    ]
+    assert msgs.filter("type = 'RECORD'").count() == 1
