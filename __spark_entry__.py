@@ -5436,6 +5436,67 @@ SELECT doc_id, lang, n_chars FROM documents
 """
 
 
+def q_warc_read_responses(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC archive ingest (sources/warc.py — Common Crawl's container
+    format, ISO 28500) value-oracled against the documents table: every
+    document rendered as an HTTP response record across 4 multi-member
+    .warc.gz archives (per-record gzip members, Common Crawl's layout;
+    fixture built driver-side like the live HTTP fixtures — the
+    distributed surface under test is the READ), parsed back with one
+    binaryFile scan + Arrow mapInPandas task per archive. The oracle
+    pins url->doc_id linkage, byte-exact payloads (utf-8 text + octet
+    length), WARC-Date parsing to the second, and the HTTP status
+    split.
+
+    Scale shape: ONE task per archive — Common Crawl is ~10^5 archives
+    per monthly crawl, so file-level fan-out saturates a 1000-executor
+    cluster with zero shuffle; the record-type filter runs inside the
+    splitter so request/metadata records never materialize."""
+    import tempfile
+
+    from airbyte_integrations_spark.sources.warc import read_warc, write_warc
+
+    tune_session(spark)
+    docs = (
+        spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        .select("doc_id", "text")
+        .collect()
+    )
+    out = tempfile.mkdtemp(prefix="warc_entry_")
+    n_files = 4
+    shards: list[list[dict]] = [[] for _ in range(n_files)]
+    for r in docs:
+        shards[r["doc_id"] % n_files].append(
+            {
+                "url": f"https://example.org/doc/{r['doc_id']}",
+                "ts_iso": f"2024-01-01T00:00:{r['doc_id'] % 60:02d}Z",
+                "payload": (r["text"] or "").encode("utf-8"),
+            }
+        )
+    for i, recs in enumerate(shards):
+        write_warc(recs, os.path.join(out, f"crawl-{i}.warc.gz"))
+    pages = read_warc(spark, os.path.join(out, "*.warc.gz"))
+    return pages.select(
+        F.regexp_extract("url", r"/doc/(\d+)$", 1).cast("long").alias("doc_id"),
+        F.decode("payload", "UTF-8").alias("text"),
+        F.length("payload").alias("n_bytes"),
+        F.col("http_status"),
+        _us("warc_ts").alias("warc_us"),
+    ).localCheckpoint(eager=True)
+
+
+O_WARC_READ_RESPONSES = """
+SELECT
+  doc_id,
+  text,
+  octet_length(encode(text)) AS n_bytes,
+  200 AS http_status,
+  epoch_us(TIMESTAMP '2024-01-01 00:00:00'
+           + (doc_id % 60) * INTERVAL 1 SECOND) AS warc_us
+FROM documents
+"""
+
+
 def q_url_file_csv_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     """URL single-file source (source-file HTTPS provider,
     connectors/source-file/source_file/client.py:32-142) value-oracled
@@ -6022,6 +6083,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "http_link_header_read": q_http_link_header_read,
         "wire_emit_roundtrip": q_wire_emit_roundtrip,
         "singer_tap_read": q_singer_tap_read,
+        "warc_read_responses": q_warc_read_responses,
         "protocol_cli_read": q_protocol_cli_read,
         "url_file_csv_read": q_url_file_csv_read,
         "json_extract_cast": q_json_extract_cast,
@@ -6106,6 +6168,7 @@ def oracle_sql() -> dict[str, str]:
         "http_link_header_read": O_HTTP_LINK_HEADER_READ,
         "wire_emit_roundtrip": O_WIRE_EMIT_ROUNDTRIP,
         "singer_tap_read": O_SINGER_TAP_READ,
+        "warc_read_responses": O_WARC_READ_RESPONSES,
         "protocol_cli_read": O_PROTOCOL_CLI_READ,
         "url_file_csv_read": O_URL_FILE_CSV_READ,
         "cdc_latest_wins": O_CDC_LATEST_WINS,

@@ -136,7 +136,9 @@ def list_files(
     return sorted(out, key=lambda t: (t[1], t[0]))
 
 
-SUPPORTED_FORMATS = ("parquet", "csv", "json", "text", "avro", "orc", "feather", "html")
+SUPPORTED_FORMATS = (
+    "parquet", "csv", "json", "text", "avro", "orc", "feather", "html", "warc",
+)
 
 
 def read_files_incremental(
@@ -229,6 +231,23 @@ def read_files_incremental(
             )
             .withColumn("text", extract_text(F.col("html")))
         )
+    elif fmt == "warc":
+        # Common-Crawl container archives (sources/warc.py): one
+        # mapInPandas task per archive; response records become
+        # (url, warc_ts, payload, ...) rows. `record_types` is the one
+        # accepted option. Incremental file sync over a landing
+        # directory of crawl archives is exactly the Common-Crawl
+        # ingest loop: each new .warc.gz lands once, is parsed once.
+        from airbyte_integrations_spark.sources.warc import read_warc
+
+        bad = set(options) - {"record_types"}
+        if bad:
+            raise ValueError(f"warc reader accepts record_types; got {sorted(bad)}")
+        df = read_warc(
+            spark,
+            [p for p, _m in files],
+            record_types=tuple(options.get("record_types", ("response",))),
+        ).withColumnRenamed("warc_file", URL_COL)
     elif fmt == "feather":
         # Arrow IPC/Feather (the reference's source-file pandas engine,
         # client.py "feather" branch) — no Spark datasource exists, so
