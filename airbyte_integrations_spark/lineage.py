@@ -45,6 +45,91 @@ def compute_lineage(
     )
 
 
+def compute_lineage_bulk(
+    events: DataFrame,
+    stream: str,
+    epochs,
+    lsn_col: str = "_ab_cdc_lsn",
+):
+    """Every planned epoch's per-partition lineage in ONE scan.
+
+    plan_epochs emits contiguous uniform-width slices (the final slice
+    may be narrower), so an event's epoch id is pure arithmetic on its
+    lsn — no per-epoch scan job. At the 10^10 design point a sync has
+    ~10^4 epochs; one lineage job per epoch is a scheduler storm that
+    doubles the sync's job count, while this is a single
+    map-side-combining aggregation over the unread tail whose output
+    (epochs x partitions rows) is metadata-sized.
+
+    Returns (pandas body rows incl. `epoch`, pyarrow schema of the body
+    without `epoch`) for write_lineage_rows, or None when the plan is
+    not uniform-width contiguous (e.g. tx-aligned boundaries) — callers
+    fall back to per-epoch compute_lineage."""
+    if not epochs:
+        return None
+    width = epochs[0].to_lsn - epochs[0].from_lsn
+    prev_to = epochs[0].from_lsn
+    for ep in epochs[:-1]:
+        if ep.from_lsn != prev_to or ep.to_lsn - ep.from_lsn != width:
+            return None
+        prev_to = ep.to_lsn
+    last = epochs[-1]
+    if last.from_lsn != prev_to or last.to_lsn - last.from_lsn > width:
+        return None
+    start, last_from, last_to = epochs[0].from_lsn, last.from_lsn, last.to_lsn
+    # integer `div` (not `/` + floor): exact at full 64-bit lsn range
+    eid = F.least(
+        F.lit(start)
+        + F.expr(f"((`{lsn_col}` - {start}L - 1L) div {width}L)") * F.lit(width),
+        F.lit(last_from),
+    ).cast("long")
+    lin = (
+        events.filter(
+            (F.col(lsn_col) > F.lit(start)) & (F.col(lsn_col) <= F.lit(last_to))
+        )
+        .withColumn("_pid", F.spark_partition_id())
+        .groupBy(eid.alias("epoch"), "_pid")
+        .agg(
+            F.min(lsn_col).alias("from_lsn"),
+            F.max(lsn_col).alias("to_lsn"),
+            F.count("*").alias("n_events"),
+            F.sum(
+                F.col("_ab_cdc_deleted_at").isNotNull().cast("long")
+            ).alias("n_deletes"),
+        )
+        .select(
+            F.lit(stream).alias("stream"),
+            "epoch",
+            F.col("_pid").alias("partition_id"),
+            "from_lsn",
+            "to_lsn",
+            "n_events",
+            "n_deletes",
+        )
+    )
+    schema = _pa_body_schema(lin)
+    return lin.toPandas(), schema
+
+
+def _pa_body_schema(lineage: DataFrame):
+    import pyarrow as pa
+
+    pa_types = {
+        "string": pa.string(),
+        "int": pa.int32(),
+        "bigint": pa.int64(),
+        "double": pa.float64(),
+        "timestamp": pa.timestamp("us"),
+    }
+    return pa.schema(
+        [
+            pa.field(f.name, pa_types[f.dataType.simpleString()])
+            for f in lineage.schema.fields
+            if f.name != "epoch"
+        ]
+    )
+
+
 def write_lineage(lineage: DataFrame, table_root: str, epoch: int) -> None:
     """Persist one epoch's lineage under `<root>/_lineage/epoch=<id>/`.
 
@@ -54,23 +139,19 @@ def write_lineage(lineage: DataFrame, table_root: str, epoch: int) -> None:
     sync loop for metadata-sized output. Directory layout and schema
     are identical to a Spark `partitionBy(epoch)` write, so
     read_lineage is unchanged."""
+    schema = _pa_body_schema(lineage)
+    pdf = lineage.drop("epoch").toPandas()
+    write_lineage_rows(pdf, schema, table_root, epoch)
+
+
+def write_lineage_rows(pdf, schema, table_root: str, epoch: int) -> None:
+    """Driver-side single-file lineage write of already-computed rows
+    (pandas body WITHOUT the epoch column)."""
     import shutil
 
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    pa_types = {
-        "string": pa.string(),
-        "int": pa.int32(),
-        "bigint": pa.int64(),
-        "double": pa.float64(),
-        "timestamp": pa.timestamp("us"),
-    }
-    body = lineage.drop("epoch")
-    schema = pa.schema(
-        [pa.field(f.name, pa_types[f.dataType.simpleString()]) for f in body.schema.fields]
-    )
-    pdf = body.toPandas()
     out = os.path.join(table_root, LINEAGE_DIR, f"epoch={epoch}")
     shutil.rmtree(out, ignore_errors=True)  # overwrite semantics on re-run
     os.makedirs(out, exist_ok=True)

@@ -29,7 +29,12 @@ from airbyte_integrations_spark.config import SyncConfig
 from airbyte_integrations_spark.functions.extract import with_extracted_text
 from airbyte_integrations_spark.lakehouse.merge import merge_into
 from airbyte_integrations_spark.lakehouse.table import LakeTable
-from airbyte_integrations_spark.lineage import compute_lineage, write_lineage
+from airbyte_integrations_spark.lineage import (
+    compute_lineage,
+    compute_lineage_bulk,
+    write_lineage,
+    write_lineage_rows,
+)
 
 
 @dataclass(frozen=True)
@@ -260,6 +265,19 @@ def run_sync(
         epochs = plan_epochs(events, wm, max_events_per_epoch, lsn_col)
     if max_epochs is not None:
         epochs = epochs[:max_epochs]
+    # All epochs' lineage in ONE tail scan when the plan is
+    # uniform-width (plan_epochs always is): per-epoch lineage jobs
+    # would double the sync's job count — a scheduler storm at the
+    # 10^4-epoch design point. Tx-aligned plans (non-uniform) fall back
+    # to per-epoch scans.
+    bulk = (
+        compute_lineage_bulk(events, config.stream, epochs, lsn_col)
+        if any(
+            not table.is_epoch_committed(config.stream, ep.epoch_id)
+            for ep in epochs
+        )
+        else None
+    )
     for ep in epochs:
         if table.is_epoch_committed(config.stream, ep.epoch_id):
             continue
@@ -274,8 +292,13 @@ def run_sync(
             if extract_missing_text and "html" in batch.columns
             else None
         )
-        lineage = compute_lineage(batch, config.stream, ep.epoch_id, lsn_col)
-        write_lineage(lineage, table.root, ep.epoch_id)
+        if bulk is not None:
+            pdf, pa_schema = bulk
+            rows = pdf[pdf["epoch"] == ep.epoch_id].drop(columns=["epoch"])
+            write_lineage_rows(rows, pa_schema, table.root, ep.epoch_id)
+        else:
+            lineage = compute_lineage(batch, config.stream, ep.epoch_id, lsn_col)
+            write_lineage(lineage, table.root, ep.epoch_id)
         merge_into(
             table,
             batch,
