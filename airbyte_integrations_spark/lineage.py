@@ -65,6 +65,22 @@ def compute_lineage_bulk(
     without `epoch`) for write_lineage_rows, or None when the plan is
     not uniform-width contiguous (e.g. tx-aligned boundaries) — callers
     fall back to per-epoch compute_lineage."""
+    lin = lineage_bulk_frame(events, stream, epochs, lsn_col)
+    if lin is None:
+        return None
+    schema = _pa_body_schema(lin)
+    return lin.toPandas(), schema
+
+
+def lineage_bulk_frame(
+    events: DataFrame,
+    stream: str,
+    epochs,
+    lsn_col: str = "_ab_cdc_lsn",
+):
+    """The (lazy) one-scan lineage frame behind compute_lineage_bulk;
+    separate so the plan audit (tools/capture_plans.py) can inspect the
+    physical plan without collecting."""
     if not epochs:
         return None
     width = epochs[0].to_lsn - epochs[0].from_lsn
@@ -107,8 +123,7 @@ def compute_lineage_bulk(
             "n_deletes",
         )
     )
-    schema = _pa_body_schema(lin)
-    return lin.toPandas(), schema
+    return lin
 
 
 def _pa_body_schema(lineage: DataFrame):

@@ -83,9 +83,10 @@ def main() -> None:
     finally:
         shutil.rmtree(root, ignore_errors=True)
     out["protocol"] = (
-        f"tools/bench_scale_point.py {n_events} {n_epochs} mor,cow; local[32], "
-        "128 buckets, 2.5M urls skew 2.5, tmpfs, single cold run each; both "
-        "layouts must converge to the identical final row count"
+        f"tools/bench_scale_point.py {n_events} {n_epochs} {','.join(modes)}; "
+        f"local[{cpus}], 128 buckets, {max(n_events // 20, 1000):,} urls "
+        "skew 2.5, tmpfs, single cold run each; both layouts must converge "
+        "to the identical final row count"
     )
     here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     os.makedirs(os.path.join(here, "bench_out"), exist_ok=True)

@@ -77,6 +77,20 @@ def main() -> None:
         f"ReadSchema: {schema_read}",
     )
 
+    from airbyte_integrations_spark.lineage import lineage_bulk_frame
+    from airbyte_integrations_spark.streaming.microbatch import plan_epochs
+
+    bulk_epochs = plan_epochs(ev, None, 10_000)
+    blin = lineage_bulk_frame(ev, "s", bulk_epochs)._jdf.queryExecution().executedPlan().toString()
+    bschema = blin.split("ReadSchema: ", 1)[1].split("\n", 1)[0]
+    check(
+        "bulk lineage: ONE scan for all epochs, column-pruned, partial agg",
+        "html" not in bschema and "text" not in bschema
+        and blin.count("FileScan") + blin.count("Scan parquet") >= 1
+        and "partial_min" in blin,
+        f"ReadSchema: {bschema}; single scan with HashAggregate(partial_...)",
+    )
+
     agg_plan = winner_agg(batch)._jdf.queryExecution().executedPlan().toString()
     check(
         "winner_agg partial aggregation before exchange (skew-safe fallback)",
