@@ -203,11 +203,11 @@ def main() -> None:
     timings["merge_apply_replay"] = round(merge["sec"], 3)
 
     # merge-on-read layout (O(batch) writes + one timed delta fold);
-    # best-of-2 like the cow path — single runs swing several-x with
-    # neighbor load on this shared box (BASELINE.md).
+    # best-of-3 — this arm IS the headline, and single runs swing
+    # several-x with neighbor load on this shared box (BASELINE.md).
     merge_mor = bench_merge_apply(
         spark, n_events, n_epochs, n_urls=max(n_events // 20, 1000),
-        repeats=2, write_mode="mor",
+        repeats=3, write_mode="mor",
     )
     timings["merge_apply_replay_mor"] = round(merge_mor["sec"], 3)
 
