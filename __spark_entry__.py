@@ -4511,47 +4511,19 @@ def q_emb_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     k-means assignment pattern). Exactness: vectors are integer-scaled
     (floor(x*1000)) BEFORE distances, so argmin compares exact longs —
     no float summation order ever reaches a comparison; ties break to
-    the lowest centroid index in both engines."""
+    the lowest centroid index in both engines. (Implementation lives
+    in functions/pq.py, shared with the ADC search query.)"""
+    from airbyte_integrations_spark.functions.pq import (
+        int_vectors,
+        pq_code_columns,
+        seed_codebook,
+    )
+
     tune_session(spark)
     emb = load(spark, sf_dir, "embeddings")
-    iv = F.transform(
-        F.col("embedding"), lambda x: F.floor(x.cast("double") * 1000).cast("long")
-    )
-    base = emb.select("vec_id", iv.alias("v"))
-    cents = [r["v"] for r in base.orderBy("vec_id").limit(4).collect()]
-    m, width = 4, 16
-    out = base
-    for s in range(m):
-        dists = F.array(
-            *[
-                F.aggregate(
-                    F.zip_with(
-                        F.slice("v", s * width + 1, width),
-                        F.array(
-                            *[F.lit(int(c[s * width + j])) for j in range(width)]
-                        ),
-                        lambda a, b: (a - b) * (a - b),
-                    ),
-                    F.lit(0).cast("long"),
-                    lambda acc, x: acc + x,
-                )
-                for c in cents
-            ]
-        )
-        out = out.withColumn(f"_d{s}", dists)
-    code = lambda s: (
-        F.array_position(F.col(f"_d{s}"), F.array_min(F.col(f"_d{s}"))) - 1
-    ).cast("long")
-    return out.select(
-        "vec_id",
-        code(0).alias("code0"),
-        code(1).alias("code1"),
-        code(2).alias("code2"),
-        code(3).alias("code3"),
-        sum(
-            [F.array_min(F.col(f"_d{s}")) for s in range(m)], F.lit(0).cast("long")
-        ).alias("err_q"),
-    )
+    base = int_vectors(emb)
+    cents = seed_codebook(base, k=4)
+    return pq_code_columns(base, cents, m=4, width=16, with_err=True)
 
 
 O_EMB_PQ_CODES = """
@@ -4584,6 +4556,89 @@ SELECT vec_id,
        max(CASE WHEN sub = 3 THEN cidx END) AS code3,
        CAST(sum(dist) AS BIGINT) AS err_q
 FROM best WHERE rn = 1 GROUP BY vec_id
+"""
+
+
+def q_emb_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ asymmetric-distance (ADC) top-k search — the search half of
+    IVF-PQ (emb_pq_codes is the storage half): a constant 8-query md5
+    budget keeps its vectors uncompressed, per-query LUTs (m*k longs,
+    metadata) are broadcast, and the approximate distance to every
+    database vector is m code-indexed LUT lookups summed — the scan
+    touches only the narrow code table, never the float vectors.
+    Top-5 per query is exact under (adist ASC, cid ASC); the rank
+    window compiles to WindowGroupLimit with a map-side Partial pass
+    (plan-pinned), so no per-query single-reducer partition exists at
+    any corpus size. All distances are exact longs over int-scaled
+    vectors; Jégou et al. TPAMI 2011 §III."""
+    from airbyte_integrations_spark.functions.pq import (
+        adc_luts,
+        adc_topk,
+        int_vectors,
+        pq_code_columns,
+        seed_codebook,
+    )
+
+    tune_session(spark)
+    emb = load(spark, sf_dir, "embeddings")
+    base = int_vectors(emb)
+    cents = seed_codebook(base, k=4)
+    codes = pq_code_columns(base, cents, m=4, width=16, with_err=False)
+    q = (
+        base.withColumn(
+            "_qkey", F.md5(F.col("vec_id").cast("string").cast("binary"))
+        )
+        .orderBy(F.col("_qkey").asc(), F.col("vec_id").asc())
+        .limit(8)
+        .select("vec_id", "v")
+    )
+    luts = adc_luts(q, cents, m=4, width=16)
+    return adc_topk(codes, luts, k=5, m=4)
+
+
+O_EMB_PQ_ADC_TOPK = """
+WITH iv AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
+  FROM embeddings
+),
+cent AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cidx, v AS cv
+  FROM iv ORDER BY vec_id LIMIT 4
+),
+pos AS (SELECT unnest(generate_series(1, 64)) AS p),
+d AS (
+  SELECT i.vec_id, c.cidx, (pos.p - 1) // 16 AS sub,
+         sum((i.v[pos.p] - c.cv[pos.p]) * (i.v[pos.p] - c.cv[pos.p])) AS dist
+  FROM iv i, cent c, pos
+  GROUP BY 1, 2, 3
+),
+codes AS (
+  SELECT vec_id, sub, cidx FROM (
+    SELECT vec_id, sub, cidx,
+           row_number() OVER (PARTITION BY vec_id, sub
+                              ORDER BY dist ASC, cidx ASC) AS rn
+    FROM d
+  ) WHERE rn = 1
+),
+q AS (SELECT vec_id AS qid, v AS qv FROM iv
+      ORDER BY md5(CAST(vec_id AS VARCHAR)) ASC, vec_id ASC LIMIT 8),
+lut AS (
+  SELECT q.qid, (pos.p - 1) // 16 AS sub, c.cidx,
+         sum((q.qv[pos.p] - c.cv[pos.p]) * (q.qv[pos.p] - c.cv[pos.p])) AS dist
+  FROM q, cent c, pos
+  GROUP BY 1, 2, 3
+),
+adist AS (
+  SELECT l.qid, x.vec_id AS cid, CAST(sum(l.dist) AS BIGINT) AS adist
+  FROM codes x JOIN lut l ON l.sub = x.sub AND l.cidx = x.cidx
+  WHERE l.qid != x.vec_id
+  GROUP BY 1, 2
+)
+SELECT qid, cid, adist, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY adist ASC, cid ASC) AS rank
+  FROM adist
+) WHERE rank <= 5
 """
 
 
@@ -6108,6 +6163,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_minhash_incremental": q_docs_minhash_incremental,
         "emb_ann_recall": q_emb_ann_recall,
         "emb_pq_codes": q_emb_pq_codes,
+        "emb_pq_adc_topk": q_emb_pq_adc_topk,
         "events_funnel": q_events_funnel,
         "events_retention": q_events_retention,
         "cdc_incremental_snapshot": q_cdc_incremental_snapshot,
@@ -6217,6 +6273,7 @@ def oracle_sql() -> dict[str, str]:
         "docs_minhash_incremental": O_DOCS_MINHASH_INCREMENTAL,
         "emb_ann_recall": O_EMB_ANN_RECALL,
         "emb_pq_codes": O_EMB_PQ_CODES,
+        "emb_pq_adc_topk": O_EMB_PQ_ADC_TOPK,
         "events_funnel": O_EVENTS_FUNNEL,
         "events_retention": O_EVENTS_RETENTION,
         "cdc_incremental_snapshot": O_CDC_INCREMENTAL_SNAPSHOT,

@@ -588,6 +588,44 @@ def main() -> None:
         "becomes a join side",
     )
 
+    from airbyte_integrations_spark.functions.pq import (
+        adc_luts,
+        adc_topk,
+        int_vectors,
+        pq_code_columns,
+        seed_codebook,
+    )
+
+    pq_vecs = int_vectors(
+        spark.range(500).select(
+            F.col("id").alias("vec_id"),
+            F.transform(
+                F.sequence(F.lit(0), F.lit(63)),
+                lambda d: F.sin(F.col("id") * 7 + d * 13).cast("float"),
+            ).alias("embedding"),
+        )
+    )
+    pq_cents = seed_codebook(pq_vecs, k=4)
+    pq_codes = pq_code_columns(pq_vecs, pq_cents, with_err=False)
+    pq_q = pq_vecs.filter(F.col("vec_id") < 4).select("vec_id", "v")
+    pq_plan = (
+        adc_topk(pq_codes, adc_luts(pq_q, pq_cents), k=5)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    check(
+        "PQ ADC search: codes are a join-free projection; the LUT join is "
+        "BroadcastNestedLoop (corpus never shuffles for it); the rank<=k "
+        "window has a map-side Partial WindowGroupLimit (no per-query "
+        "single-reducer partition)",
+        "BroadcastNestedLoopJoin" in pq_plan
+        and "SortMergeJoin" not in pq_plan
+        and "row_number(), 5, Partial" in pq_plan,
+        "one BNLJ against the |Q|-row LUT table; each scan task forwards "
+        "at most k rows per qid before the per-qid Exchange",
+    )
+
     out = ["# PLANS — physical-plan evidence (generated by tools/capture_plans.py)", ""]
     ok_all = True
     for name, ok, ev in CHECKS:
