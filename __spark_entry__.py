@@ -524,6 +524,65 @@ WHERE old.url IS NULL OR new.url IS NULL
 """
 
 
+def q_cdc_ivm_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view maintenance (lakehouse/ivm.py):
+    a per-event_type (count, sum(value_m)) view is materialized after
+    syncing the first half of the CDC log, then maintained — NOT
+    recomputed — through the second half by folding the signed
+    Delta-CDF-style change feed (update pre/post images, deletes,
+    inserts) from table.changes(include_update_preimage=True), which
+    is bucket-pruned via the manifests' file-list diff. The in-query
+    asserts pin that the incremental path actually ran (two view
+    versions; the second records the final table version as its
+    base). Oracle: the same aggregate computed directly over the
+    winner-resolved final state — exact because measures are longs."""
+    import tempfile
+
+    from airbyte_integrations_spark.config import SyncConfig
+    from airbyte_integrations_spark.lakehouse.ivm import MaterializedAggView
+    from airbyte_integrations_spark.lakehouse.table import LakeTable
+    from airbyte_integrations_spark.streaming.microbatch import run_sync
+
+    tune_session(spark)
+    ce = change_events(spark, sf_dir)
+    hi = int(ce.agg(F.max("_ab_cdc_lsn")).collect()[0][0])
+    mid = hi // 2
+    scratch = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    base = tempfile.mkdtemp(prefix="ivm_entry_", dir=scratch)
+    table = LakeTable(spark, base + "/t")
+    cfg = SyncConfig(stream="pages")
+    run_sync(
+        spark, ce.filter(F.col("_ab_cdc_lsn") <= mid), table, cfg,
+        extract_missing_text=False, compact_threshold=None,
+    )
+    view = MaterializedAggView(
+        spark, base + "/view", dims=("event_type",), sums=("value_m",)
+    )
+    view.refresh(table)  # full materialization at v_mid
+    v_mid_view = view.current_version()
+    run_sync(
+        spark, ce, table, cfg,
+        extract_missing_text=False, compact_threshold=None,
+    )
+    view.refresh(table)  # incremental fold of the change feed
+    assert view.current_version() == v_mid_view + 1, "incremental path skipped"
+    assert view.base_version() == table.current_version()
+    return view.read().select("event_type", "n_rows", "sum_value_m")
+
+
+O_CDC_IVM_REFRESH = f"""
+WITH {CE_SQL},
+w AS (
+  SELECT *, row_number() OVER (PARTITION BY url ORDER BY {ORDER_SQL}) AS rn
+  FROM ce
+)
+SELECT event_type, count(*) AS n_rows,
+       CAST(sum(value_m) AS BIGINT) AS sum_value_m
+FROM w WHERE rn = 1 AND _ab_cdc_deleted_at IS NULL
+GROUP BY event_type
+"""
+
+
 def q_cdc_partitioned_offsets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Kafka-shaped partitioned-log consume (source-kafka's
     {partition: offset} vector state): the log is key-hash split into 4
@@ -6119,6 +6178,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_epoch_plan": q_cdc_epoch_plan,
         "cdc_heartbeat_offsets": q_cdc_heartbeat_offsets,
         "cdc_changelog_diff": q_cdc_changelog_diff,
+        "cdc_ivm_refresh": q_cdc_ivm_refresh,
         "cdc_partitioned_offsets": q_cdc_partitioned_offsets,
         "cdc_unnest_children": q_cdc_unnest_children,
         "cdc_lineage_offsets": q_cdc_lineage_offsets,
@@ -6240,6 +6300,7 @@ def oracle_sql() -> dict[str, str]:
         "cdc_epoch_plan": O_CDC_EPOCH_PLAN,
         "cdc_heartbeat_offsets": O_CDC_HEARTBEAT_OFFSETS,
         "cdc_changelog_diff": O_CDC_CHANGELOG_DIFF,
+        "cdc_ivm_refresh": O_CDC_IVM_REFRESH,
         "cdc_partitioned_offsets": O_CDC_PARTITIONED_OFFSETS,
         "cdc_unnest_children": O_CDC_UNNEST_CHILDREN,
         "cdc_lineage_offsets": O_CDC_LINEAGE_OFFSETS,

@@ -709,25 +709,58 @@ class LakeTable:
         )
         return out.filter(F.col(cursor) > F.lit(cursor_gt))
 
+    def changed_buckets(self, from_version: int, to_version: int) -> list[int] | None:
+        """Buckets whose physical file set (base or delta) differs
+        between two manifests — a metadata-only computation. Data and
+        delta files are immutable once committed (rewrites always
+        create new paths; carried buckets reference the SAME paths),
+        so an identical per-bucket path list implies identical live
+        rows in that bucket; a key's bucket never changes while
+        n_buckets is fixed, so every changed key lives in a changed
+        bucket. Returns None (meaning "all") when the bucket layouts
+        are incomparable (rebucketed between the versions)."""
+        m_from, m_to = self.manifest(from_version), self.manifest(to_version)
+        if int(m_from["n_buckets"]) != int(m_to["n_buckets"]):
+            return None
+        names = (
+            set(m_from["files"]) | set(m_to["files"])
+            | set(m_from.get("deltas", {})) | set(m_to.get("deltas", {}))
+        )
+        return sorted(
+            int(b)
+            for b in names
+            if m_from["files"].get(b) != m_to["files"].get(b)
+            or m_from.get("deltas", {}).get(b) != m_to.get("deltas", {}).get(b)
+        )
+
     def changes(
-        self, from_version: int, to_version: int | None = None
+        self,
+        from_version: int,
+        to_version: int | None = None,
+        include_update_preimage: bool = False,
     ) -> DataFrame:
         """Row-level diff between two snapshots — the Delta CDF /
         Iceberg ``create_changelog_view`` consumer surface: every key
         whose LIVE image differs between the versions, as the to-side
         row for `insert` / `update_postimage` and the BEFORE image for
-        `delete`, tagged in `_change_type`. Works on any layout (COW,
-        MoR, keep_tombstones) because it diffs the resolved live views
+        `delete`, tagged in `_change_type`. With
+        ``include_update_preimage`` each update additionally emits the
+        BEFORE image as `update_preimage` (Delta CDF's four-row-kind
+        contract) — the signed feed incremental view maintenance
+        (lakehouse/ivm.py) consumes. Works on any layout (COW, MoR,
+        keep_tombstones) because it diffs the resolved live views
         rather than trusting physical change files.
 
-        Scale shape: one key-hash full-outer join of the two winner-
-        resolved snapshots — the same shuffle a MERGE epoch pays, O(n)
-        once per call. Consumers that only need the monotone "changed
+        Scale shape: both sides are pruned to `changed_buckets` —
+        the buckets whose file lists differ between the manifests, a
+        metadata-only test — before one key-hash full-outer join. A
+        CDC sync touching k of N buckets therefore diffs O(k/N of the
+        table), not O(n); the worst case (every bucket touched, or a
+        rebucket between the versions) is the same shuffle one MERGE
+        epoch pays. Consumers that only need the monotone "changed
         since cursor X" feed should use read_since(), which zone-map
         prunes to O(changed files); changes() is the general diff
-        (deletes and arbitrary version pairs included), and deriving
-        it costs a snapshot join exactly as Iceberg's changelog does
-        for rewritten files.
+        (deletes and arbitrary version pairs included).
 
         The old side is conformed onto the to-version schema (additive
         evolution: dropped-in columns null-backfill in before images)."""
@@ -736,8 +769,11 @@ class LakeTable:
         key = list(self.key_cols())
         cursor = self._order(to_version)["cursor"]
         schema_to = T.StructType.fromJson(self.manifest(to_version)["schema"])
-        old = conform(self.read_live(version=from_version), schema_to)
-        new = self.read_live(version=to_version)
+        buckets = self.changed_buckets(from_version, to_version)
+        old = conform(
+            self.read_live(version=from_version, buckets=buckets), schema_to
+        )
+        new = self.read_live(version=to_version, buckets=buckets)
         o = old.select(
             *[F.col(k).alias(f"_ck_{k}") for k in key],
             F.struct(*[F.col(c) for c in new.columns]).alias("_old"),
@@ -758,12 +794,36 @@ class LakeTable:
         img = F.when(F.col("_new").isNull(), F.col("_old")).otherwise(
             F.col("_new")
         )
+        if not include_update_preimage:
+            return (
+                j.select(change.alias("_change_type"), img.alias("_img"))
+                .filter(F.col("_change_type").isNotNull())
+                .select(
+                    *[F.col(f"_img.{c}").alias(c) for c in new.columns],
+                    "_change_type",
+                )
+            )
+        # Delta-CDF four-kind feed: updates expand to (preimage, postimage).
+        pair = F.when(
+            change == "update_postimage",
+            F.array(
+                F.struct(
+                    F.lit("update_preimage").alias("_ct"), F.col("_old").alias("_i")
+                ),
+                F.struct(
+                    F.lit("update_postimage").alias("_ct"), F.col("_new").alias("_i")
+                ),
+            ),
+        ).otherwise(
+            F.array(F.struct(change.alias("_ct"), img.alias("_i")))
+        )
         return (
-            j.select(change.alias("_change_type"), img.alias("_img"))
+            j.select(change.alias("_change_type"), pair.alias("_pair"))
             .filter(F.col("_change_type").isNotNull())
+            .select(F.explode("_pair").alias("_e"))
             .select(
-                *[F.col(f"_img.{c}").alias(c) for c in new.columns],
-                "_change_type",
+                *[F.col(f"_e._i.{c}").alias(c) for c in new.columns],
+                F.col("_e._ct").alias("_change_type"),
             )
         )
 

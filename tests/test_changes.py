@@ -98,3 +98,58 @@ def test_changes_schema_evolution_before_image(spark, tmp_path):
     dels = ch.filter(F.col("_change_type") == "delete")
     if dels.count():
         assert dels.filter(F.col("lang").isNotNull()).count() == 0
+
+
+def test_changes_update_preimage_pairs(spark, tmp_path):
+    """include_update_preimage: each update expands to a (preimage,
+    postimage) pair — the preimage carries the OLD winner's values —
+    and insert/delete rows are unchanged (Delta CDF four-kind feed)."""
+    ev, mid, t, v_mid = _split_sync(spark, tmp_path, "cow")
+    ins, upd, dels, o, n_ = _expected(spark, ev, mid)
+    ch = t.changes(v_mid, include_update_preimage=True)
+    got = {(r.url, r._change_type): r._ab_cdc_lsn for r in
+           ch.select("url", "_change_type", "_ab_cdc_lsn").collect()}
+    assert {u for (u, c) in got if c == "update_preimage"} == upd
+    assert {u for (u, c) in got if c == "update_postimage"} == upd
+    for (u, c), lsn in got.items():
+        want = o[u] if c in ("delete", "update_preimage") else n_[u]
+        assert lsn == want, (u, c)
+    assert len(got) == len(ins) + 2 * len(upd) + len(dels)
+    # plain mode is untouched by the flag's existence
+    assert t.changes(v_mid).count() == len(ins) + len(upd) + len(dels)
+
+
+def test_changed_buckets_prunes_and_preserves_diff(spark, tmp_path):
+    """changed_buckets is metadata-only and sound: a second sync that
+    touches a few keys yields a strict subset of buckets, and the
+    pruned diff equals the full-scan diff row for row."""
+    ev = gen_change_events(spark, 2000, n_urls=400).select(*COLS)
+    hi = int(ev.agg(F.max("_ab_cdc_lsn")).collect()[0][0])
+    cfg = SyncConfig(stream="pages", n_buckets=16)
+    t = LakeTable(spark, str(tmp_path / "t"))
+    run_sync(spark, ev.filter(F.col("_ab_cdc_lsn") <= hi - 20), t, cfg,
+             extract_missing_text=False, compact_threshold=None)
+    v0 = t.current_version()
+    run_sync(spark, ev, t, cfg, extract_missing_text=False,
+             compact_threshold=None)
+    v1 = t.current_version()
+    cb = t.changed_buckets(v0, v1)
+    assert cb is not None and 0 < len(cb) < 16, cb
+    # soundness: every changed key's bucket is in the pruned set
+    from airbyte_integrations_spark.lakehouse.table import bucket_expr
+    ch = t.changes(v0, v1)
+    key_buckets = {
+        r.b
+        for r in ch.select(bucket_expr(("url",), 16).alias("b")).collect()
+    }
+    assert key_buckets <= set(cb)
+    # equivalence vs an unpruned diff (monkeypatch pruning off)
+    import airbyte_integrations_spark.lakehouse.table as tbl
+    orig = tbl.LakeTable.changed_buckets
+    try:
+        tbl.LakeTable.changed_buckets = lambda self, a, b: None
+        full = {tuple(r) for r in t.changes(v0, v1).collect()}
+    finally:
+        tbl.LakeTable.changed_buckets = orig
+    pruned = {tuple(r) for r in ch.collect()}
+    assert pruned == full
