@@ -583,6 +583,60 @@ GROUP BY event_type
 """
 
 
+def q_cdc_rollback_resync(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot rollback lifecycle (Iceberg rollback_to_snapshot):
+    sync half the log, sync the rest, ROLL BACK to the half-way
+    snapshot (metadata-only commit restoring files + schema + the
+    committed-epoch log, so the stream watermark rolls back too —
+    asserted in-query), then re-sync. The undone epochs re-commit
+    (their keys left the log with the rollback; a naive epoch-skip
+    would silently drop the range) and the final live state must equal
+    the plain full winner replay — which is the oracle."""
+    import tempfile
+
+    from airbyte_integrations_spark.config import SyncConfig
+    from airbyte_integrations_spark.lakehouse.table import LakeTable
+    from airbyte_integrations_spark.streaming.microbatch import run_sync
+
+    tune_session(spark)
+    ce = change_events(spark, sf_dir)
+    hi = int(ce.agg(F.max("_ab_cdc_lsn")).collect()[0][0])
+    mid = hi // 2
+    scratch = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    table = LakeTable(
+        spark, tempfile.mkdtemp(prefix="rb_entry_", dir=scratch) + "/t"
+    )
+    cfg = SyncConfig(stream="pages")
+    run_sync(
+        spark, ce.filter(F.col("_ab_cdc_lsn") <= mid), table, cfg,
+        extract_missing_text=False, compact_threshold=None,
+    )
+    v_mid = table.current_version()
+    wm_mid = table.watermark("pages")
+    run_sync(
+        spark, ce, table, cfg,
+        extract_missing_text=False, compact_threshold=None,
+    )
+    table.rollback(v_mid)
+    assert table.watermark("pages") == wm_mid, "watermark did not roll back"
+    eps = run_sync(
+        spark, ce, table, cfg,
+        extract_missing_text=False, compact_threshold=None,
+    )
+    assert eps, "resync after rollback applied nothing (false epoch-skip)"
+    return table.read_live().select(
+        "url", "_ab_cdc_lsn", _us("_ab_cdc_updated_at").alias("updated_us")
+    )
+
+
+O_CDC_ROLLBACK_RESYNC = f"""
+WITH {CE_SQL},
+{WINNERS_SQL}
+SELECT url, _ab_cdc_lsn, epoch_us(_ab_cdc_updated_at) AS updated_us
+FROM w WHERE rn = 1 AND _ab_cdc_deleted_at IS NULL
+"""
+
+
 def q_cdc_partitioned_offsets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Kafka-shaped partitioned-log consume (source-kafka's
     {partition: offset} vector state): the log is key-hash split into 4
@@ -6179,6 +6233,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_heartbeat_offsets": q_cdc_heartbeat_offsets,
         "cdc_changelog_diff": q_cdc_changelog_diff,
         "cdc_ivm_refresh": q_cdc_ivm_refresh,
+        "cdc_rollback_resync": q_cdc_rollback_resync,
         "cdc_partitioned_offsets": q_cdc_partitioned_offsets,
         "cdc_unnest_children": q_cdc_unnest_children,
         "cdc_lineage_offsets": q_cdc_lineage_offsets,
@@ -6301,6 +6356,7 @@ def oracle_sql() -> dict[str, str]:
         "cdc_heartbeat_offsets": O_CDC_HEARTBEAT_OFFSETS,
         "cdc_changelog_diff": O_CDC_CHANGELOG_DIFF,
         "cdc_ivm_refresh": O_CDC_IVM_REFRESH,
+        "cdc_rollback_resync": O_CDC_ROLLBACK_RESYNC,
         "cdc_partitioned_offsets": O_CDC_PARTITIONED_OFFSETS,
         "cdc_unnest_children": O_CDC_UNNEST_CHILDREN,
         "cdc_lineage_offsets": O_CDC_LINEAGE_OFFSETS,

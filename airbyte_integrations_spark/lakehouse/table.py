@@ -404,6 +404,40 @@ class LakeTable:
         manifest["parent"] = self.current_version()
         return self._commit(manifest)
 
+    def rollback(self, version: int) -> int:
+        """Iceberg ``rollback_to_snapshot`` analogue: commit a NEW
+        snapshot whose entire logical state — files, deltas, schema,
+        props, and the committed-epoch log — is the target version's.
+        Bad-sync recovery at the 10^10 point without rewriting a byte:
+        the commit is metadata-only and atomic (same optimistic
+        `_commit` as every write).
+
+        Because the committed-epoch log is part of the manifest, the
+        stream WATERMARK rolls back with the data: the next run_sync
+        re-plans strictly above the restored watermark and re-applies
+        the undone range; the undone epochs' keys are no longer in the
+        log, so they re-commit instead of being skipped (pinned in
+        tests/test_rollback.py — the epoch-skip / rollback interplay
+        is the part naive implementations get wrong).
+
+        History stays monotone: the undone versions remain time-
+        travelable until expire_snapshots reclaims them, and the new
+        manifest records `rollback_of` for provenance. Rolling back to
+        an EXPIRED snapshot raises FileNotFoundError (its files may be
+        gone); rolling back to the current version is a no-op."""
+        cur = self.current_version()
+        if version == cur:
+            return cur
+        target = self.manifest(version)  # FileNotFoundError if expired
+        manifest = {
+            k: target[k]
+            for k in target
+            if k not in ("version", "stats", "parent", "rollback_of")
+        }
+        manifest["parent"] = cur
+        manifest["rollback_of"] = int(version)
+        return self._commit(manifest)
+
     def overwrite(self, df: DataFrame, **kw) -> int:
         """Full-refresh + overwrite (truncate-then-copy semantics of
         JdbcBufferedConsumerFactory.java:173, as one atomic commit)."""
