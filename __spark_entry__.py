@@ -637,6 +637,63 @@ FROM w WHERE rn = 1 AND _ab_cdc_deleted_at IS NULL
 """
 
 
+def q_cdc_wap_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write-audit-publish lifecycle (Iceberg branch + fast-forward):
+    half the log syncs to main; the rest syncs into a metadata BRANCH
+    (sharing main's immutable data files, resuming from main's
+    watermark via the forked epoch log); main is asserted untouched
+    while the branch holds the full state (isolation); an audit
+    invariant (one live row per key) is checked on the branch; then
+    publish_branch fast-forwards main in ONE O(1) metadata commit.
+    Final main live state must equal the plain full winner replay —
+    the oracle — and the published epochs must epoch-skip a re-sync
+    (asserted in-query)."""
+    import tempfile
+
+    from airbyte_integrations_spark.config import SyncConfig
+    from airbyte_integrations_spark.lakehouse.table import LakeTable
+    from airbyte_integrations_spark.streaming.microbatch import run_sync
+
+    tune_session(spark)
+    ce = change_events(spark, sf_dir)
+    hi = int(ce.agg(F.max("_ab_cdc_lsn")).collect()[0][0])
+    mid = hi // 2
+    scratch = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    table = LakeTable(
+        spark, tempfile.mkdtemp(prefix="wap_entry_", dir=scratch) + "/t"
+    )
+    cfg = SyncConfig(stream="pages")
+    run_sync(
+        spark, ce.filter(F.col("_ab_cdc_lsn") <= mid), table, cfg,
+        extract_missing_text=False, compact_threshold=None,
+    )
+    v_main = table.current_version()
+    audit = table.create_branch("audit")
+    run_sync(
+        spark, ce, audit, cfg,
+        extract_missing_text=False, compact_threshold=None,
+    )
+    assert table.current_version() == v_main, "branch write leaked to main"
+    live = audit.read_live()
+    assert live.count() == live.select("url").distinct().count(), "audit failed"
+    table.publish_branch(audit)
+    assert (
+        run_sync(spark, ce, table, cfg, extract_missing_text=False,
+                 compact_threshold=None) == []
+    ), "published epochs must epoch-skip a re-sync"
+    return table.read_live().select(
+        "url", "_ab_cdc_lsn", _us("_ab_cdc_updated_at").alias("updated_us")
+    )
+
+
+O_CDC_WAP_PUBLISH = f"""
+WITH {CE_SQL},
+{WINNERS_SQL}
+SELECT url, _ab_cdc_lsn, epoch_us(_ab_cdc_updated_at) AS updated_us
+FROM w WHERE rn = 1 AND _ab_cdc_deleted_at IS NULL
+"""
+
+
 def q_cdc_partitioned_offsets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Kafka-shaped partitioned-log consume (source-kafka's
     {partition: offset} vector state): the log is key-hash split into 4
@@ -6234,6 +6291,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_changelog_diff": q_cdc_changelog_diff,
         "cdc_ivm_refresh": q_cdc_ivm_refresh,
         "cdc_rollback_resync": q_cdc_rollback_resync,
+        "cdc_wap_publish": q_cdc_wap_publish,
         "cdc_partitioned_offsets": q_cdc_partitioned_offsets,
         "cdc_unnest_children": q_cdc_unnest_children,
         "cdc_lineage_offsets": q_cdc_lineage_offsets,
@@ -6357,6 +6415,7 @@ def oracle_sql() -> dict[str, str]:
         "cdc_changelog_diff": O_CDC_CHANGELOG_DIFF,
         "cdc_ivm_refresh": O_CDC_IVM_REFRESH,
         "cdc_rollback_resync": O_CDC_ROLLBACK_RESYNC,
+        "cdc_wap_publish": O_CDC_WAP_PUBLISH,
         "cdc_partitioned_offsets": O_CDC_PARTITIONED_OFFSETS,
         "cdc_unnest_children": O_CDC_UNNEST_CHILDREN,
         "cdc_lineage_offsets": O_CDC_LINEAGE_OFFSETS,

@@ -29,6 +29,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import uuid
 
 from pyspark.sql import Column, DataFrame, SparkSession
@@ -55,10 +56,16 @@ def bucket_expr(key_cols: tuple[str, ...], n_buckets: int) -> Column:
     return F.pmod(F.xxhash64(*[F.col(c) for c in key_cols]), F.lit(n_buckets)).cast("int")
 
 
+BRANCHES_DIR = "_meta_branches"
+
+
 class LakeTable:
-    def __init__(self, spark: SparkSession, root: str):
+    def __init__(self, spark: SparkSession, root: str, branch: str = "main"):
         self.spark = spark
         self.root = root
+        if branch != "main" and not re.fullmatch(r"[A-Za-z0-9_\-]+", branch):
+            raise ValueError(f"invalid branch name {branch!r}")
+        self.branch = branch
         # Props to fold into the NEXT commit's manifest (props otherwise
         # carry forward unchanged). Used e.g. when a writer that needs
         # tombstone retention (stream_sync) attaches to a table created
@@ -73,8 +80,18 @@ class LakeTable:
     # ---------- manifest plumbing ----------
 
     @property
+    def _meta_dir(self) -> str:
+        """Manifest directory for this branch. `main` keeps the
+        historical `_meta` layout; named branches live under
+        `_meta_branches/<name>` — data files are shared by reference
+        (immutable), only metadata forks."""
+        if self.branch == "main":
+            return os.path.join(self.root, META_DIR)
+        return os.path.join(self.root, BRANCHES_DIR, self.branch)
+
+    @property
     def _version_path(self) -> str:
-        return os.path.join(self.root, META_DIR, "VERSION")
+        return os.path.join(self._meta_dir, "VERSION")
 
     def exists(self) -> bool:
         return os.path.exists(self._version_path)
@@ -85,7 +102,7 @@ class LakeTable:
 
     def manifest(self, version: int | None = None) -> dict:
         v = self.current_version() if version is None else version
-        with open(os.path.join(self.root, META_DIR, f"v{v}.json")) as f:
+        with open(os.path.join(self._meta_dir, f"v{v}.json")) as f:
             return json.load(f)
 
     @property
@@ -229,9 +246,10 @@ class LakeTable:
         this guard turns an operator mistake at the 10^10 point (two
         schedulers running the same sync) from silent data loss into a
         clean retryable error."""
-        meta = os.path.join(self.root, META_DIR)
+        meta = self._meta_dir
         os.makedirs(meta, exist_ok=True)
-        manifest["stats"] = self._file_stats(manifest)
+        if "stats" not in manifest:
+            manifest["stats"] = self._file_stats(manifest)
         cur = self.current_version() if self.exists() else None
         if "parent" in manifest and manifest["parent"] != cur:
             raise CommitConflictError(
@@ -432,11 +450,136 @@ class LakeTable:
         manifest = {
             k: target[k]
             for k in target
-            if k not in ("version", "stats", "parent", "rollback_of")
+            if k not in ("version", "parent", "rollback_of")
         }
+        # stats carried verbatim (immutable files, immutable stats):
+        # the whole rollback is O(1) metadata, zero footer reads.
         manifest["parent"] = cur
         manifest["rollback_of"] = int(version)
         return self._commit(manifest)
+
+    # ---------- branches (write-audit-publish) ----------
+
+    def create_branch(self, name: str) -> "LakeTable":
+        """Fork a metadata branch at the current snapshot — the
+        Iceberg branch half of WRITE-AUDIT-PUBLISH, the production CDC
+        validation pattern: sync the next batch into a branch, audit
+        it (row counts, invariants, IVM reconciliation), and only then
+        `publish_branch` it to main. Data files are shared by
+        reference (immutable); the branch gets its own manifest chain
+        under `_meta_branches/<name>`, seeded with a verbatim copy of
+        the current manifest — including the committed-epoch log, so
+        run_sync on the branch resumes exactly where main's watermark
+        stands. O(1) metadata (stats carried, zero footer reads)."""
+        br = LakeTable(self.spark, self.root, branch=name)
+        if br.branch == self.branch:
+            raise ValueError("cannot branch onto itself")
+        if br.exists():
+            raise ValueError(f"branch {name!r} already exists")
+        m = self.manifest()
+        seed = {k: m[k] for k in m if k not in ("version", "parent")}
+        br._commit(seed)
+        # Fork provenance lives in a branch-level sidecar (manifests
+        # are rebuilt by every commit and would drop a custom key).
+        with open(os.path.join(br._meta_dir, "BRANCH.json"), "w") as f:
+            json.dump(
+                {"branch": name, "from_branch": self.branch,
+                 "from_version": self.current_version()},
+                f,
+            )
+        return br
+
+    def branch_info(self) -> dict | None:
+        """Fork provenance recorded at create_branch (None on main)."""
+        p = os.path.join(self._meta_dir, "BRANCH.json")
+        if not os.path.exists(p):
+            return None
+        with open(p) as f:
+            return json.load(f)
+
+    def branches(self) -> list[str]:
+        bdir = os.path.join(self.root, BRANCHES_DIR)
+        if not os.path.isdir(bdir):
+            return []
+        return sorted(
+            d for d in os.listdir(bdir)
+            if os.path.exists(os.path.join(bdir, d, "VERSION"))
+        )
+
+    def publish_branch(self, branch: "LakeTable") -> int:
+        """Fast-forward this branch to a child branch's head — the
+        PUBLISH half of write-audit-publish (Iceberg
+        `manageSnapshots().fastForwardBranch`). Precondition: this
+        branch has not advanced past the fork point (fast-forward
+        only, exactly Iceberg's ancestor rule for linear histories) —
+        a concurrent commit here means the audit ran against a stale
+        base, so publishing raises CommitConflictError instead of
+        silently merging. The publish itself is one O(1) atomic
+        metadata commit; the audited data files become visible without
+        being rewritten or recopied."""
+        bm = branch.manifest()
+        fork = branch.branch_info()
+        if not fork or fork.get("from_branch") != self.branch:
+            raise ValueError(
+                f"branch {branch.branch!r} was not forked from "
+                f"{self.branch!r}"
+            )
+        if int(fork["from_version"]) != self.current_version():
+            raise CommitConflictError(
+                f"fast-forward refused: {self.branch!r} advanced from "
+                f"{fork['from_version']} to {self.current_version()} since "
+                f"the branch forked — re-branch and re-audit"
+            )
+        manifest = {k: bm[k] for k in bm if k not in ("version", "parent")}
+        manifest["parent"] = self.current_version()
+        manifest["published_from"] = {
+            "branch": branch.branch,
+            "version": branch.current_version(),
+        }
+        return self._commit(manifest)
+
+    def drop_branch(self, name: str) -> None:
+        """Delete a branch's metadata (its data files are reclaimed by
+        the next expire_snapshots once unreferenced)."""
+        br = LakeTable(self.spark, self.root, branch=name)
+        if br.branch == "main":
+            raise ValueError("cannot drop main")
+        import shutil
+
+        shutil.rmtree(br._meta_dir, ignore_errors=True)
+
+    def _foreign_referenced_files(self) -> set[str]:
+        """Every data/delta path referenced by ANY manifest of ANY
+        OTHER branch — expire_snapshots must treat these as live no
+        matter what this branch retains (Iceberg's branch-aware
+        reachability)."""
+        dirs: list[str] = []
+        if self.branch != "main":
+            dirs.append(os.path.join(self.root, META_DIR))
+        bdir = os.path.join(self.root, BRANCHES_DIR)
+        if os.path.isdir(bdir):
+            dirs += [
+                os.path.join(bdir, d)
+                for d in os.listdir(bdir)
+                if d != self.branch
+            ]
+        out: set[str] = set()
+        for md in dirs:
+            if not os.path.isdir(md):
+                continue
+            for fn in os.listdir(md):
+                if not (fn.startswith("v") and fn.endswith(".json")):
+                    continue
+                try:
+                    with open(os.path.join(md, fn)) as f:
+                        m = json.load(f)
+                except (OSError, json.JSONDecodeError):
+                    continue
+                for ps in m.get("files", {}).values():
+                    out.update(ps)
+                for ps in m.get("deltas", {}).values():
+                    out.update(ps)
+        return out
 
     def overwrite(self, df: DataFrame, **kw) -> int:
         """Full-refresh + overwrite (truncate-then-copy semantics of
@@ -1135,6 +1278,9 @@ class LakeTable:
                 referenced.update(ps)
             for ps in m.get("deltas", {}).values():
                 referenced.update(ps)
+        # Branch-aware reachability: files any OTHER branch references
+        # are live regardless of what this branch retains.
+        referenced |= self._foreign_referenced_files()
         stats = {
             "data_files_removed": 0,
             "bytes_removed": 0,
@@ -1149,7 +1295,7 @@ class LakeTable:
         for v in range(cur):
             if v in keep:
                 continue
-            mp = os.path.join(self.root, META_DIR, f"v{v}.json")
+            mp = os.path.join(self._meta_dir, f"v{v}.json")
             if os.path.exists(mp):
                 os.remove(mp)
                 stats["manifests_removed"] += 1
