@@ -238,6 +238,7 @@ def run_sync(
     compact_threshold: int | None = 8,
     tx_col: str | None = None,
     heartbeat_position: int | None = None,
+    refresh_views: list | None = None,
 ) -> list[Epoch]:
     """One bounded sync: plan epochs past the committed watermark and
     apply each as dedup -> MERGE -> atomic commit (+ lineage).
@@ -332,4 +333,12 @@ def run_sync(
     # this is the rewrite_data_files compaction an operator would cron).
     if compact_threshold is not None and table.exists():
         table.compact(max_files_per_bucket=compact_threshold)
+    # Downstream marts: one incremental refresh per SYNC (not per
+    # epoch) — the IVM cadence; each view folds the bucket-pruned
+    # change feed from its recorded base version to the new head
+    # (lakehouse/ivm.py). Versioned and idempotent, so a crash here
+    # self-heals on the next sync's refresh.
+    if refresh_views and table.exists():
+        for view in refresh_views:
+            view.refresh(table)
     return epochs

@@ -62,8 +62,16 @@ def stream_sync(
     processing_time: str = "10 seconds",
     extract_missing_text: bool = False,
     compact_threshold: int | None = None,
+    refresh_views: list | None = None,
 ):
     """Start a continuous ingest query; returns the StreamingQuery.
+
+    `refresh_views`: MaterializedAggViews (lakehouse/ivm.py) to fold
+    the batch's change feed into after each commit — continuously-
+    maintained marts as part of ingest. View refresh is versioned and
+    idempotent, so it is re-attempted on checkpoint-replayed batches
+    (a crash between table commit and view refresh self-heals on the
+    next trigger rather than leaving the mart stale).
 
     With available_now=True the query drains the current log and stops
     (the bounded test/replay mode); otherwise it tails the directory at
@@ -78,10 +86,18 @@ def stream_sync(
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
     events = reader.parquet(log_dir)
 
+    def _refresh_views() -> None:
+        if refresh_views:
+            for view in refresh_views:
+                view.refresh(table)
+
     def apply_batch(batch, batch_id: int) -> None:
         epoch = stream_epoch_key(batch_id)
         if table.is_epoch_committed(config.stream, epoch):
-            return  # checkpoint replay of an already-durable batch
+            # checkpoint replay of an already-durable batch; views may
+            # still lag it if the previous run died mid-refresh
+            _refresh_views()
+            return
         if batch.isEmpty():
             return
         transform = (
@@ -109,6 +125,7 @@ def stream_sync(
         )
         if compact_threshold is not None:
             table.compact(max_files_per_bucket=compact_threshold)
+        _refresh_views()
 
     writer = events.writeStream.foreachBatch(apply_batch).option(
         "checkpointLocation", checkpoint_dir

@@ -159,3 +159,57 @@ def test_ivm_schema_evolution_adds_group(spark, tmp_path):
              compact_threshold=None)
     view.refresh(t)
     _assert_view_equals_recompute(view, t, ("lang",), ())
+
+
+def test_ivm_wired_into_run_sync(spark, tmp_path):
+    """run_sync(refresh_views=[...]) keeps marts fresh per SYNC: after
+    each bounded sync the view equals the recompute without any manual
+    refresh call."""
+    ev = gen_change_events(spark, 1200, n_urls=80).select(*COLS)
+    hi = int(ev.agg(F.max("_ab_cdc_lsn")).collect()[0][0])
+    cfg = SyncConfig(stream="pages")
+    t = LakeTable(spark, str(tmp_path / "t"))
+    view = MaterializedAggView(spark, str(tmp_path / "v"), dims=("lang",))
+    for cut in [hi // 2, hi]:
+        run_sync(spark, ev.filter(F.col("_ab_cdc_lsn") <= cut), t, cfg,
+                 extract_missing_text=False, compact_threshold=None,
+                 refresh_views=[view])
+        assert view.base_version() == t.current_version()
+        _assert_view_equals_recompute(view, t, ("lang",), ())
+    # an idle sync (nothing to apply) leaves the view version alone
+    v = view.current_version()
+    run_sync(spark, ev, t, cfg, extract_missing_text=False,
+             compact_threshold=None, refresh_views=[view])
+    assert view.current_version() == v
+
+
+def test_ivm_wired_into_stream_sync(spark, tmp_path):
+    """stream_sync(refresh_views=[...]): the mart is fresh after the
+    availableNow drain, and a restart over the same checkpoint
+    (replayed batches) leaves it exact and idempotent."""
+    import os
+    import time
+
+    from airbyte_integrations_spark.streaming.stream_sync import stream_sync
+
+    ev = gen_change_events(spark, 600, n_urls=40).select(*COLS)
+    log = str(tmp_path / "log")
+    ev.coalesce(2).write.parquet(log)
+    for n in os.listdir(log):
+        if n.endswith(".parquet"):
+            os.utime(os.path.join(log, n), (time.time() - 30,) * 2)
+    t = LakeTable(spark, str(tmp_path / "t"))
+    cfg = SyncConfig(stream="pages", n_buckets=4)
+    view = MaterializedAggView(spark, str(tmp_path / "v"), dims=("lang",))
+    q = stream_sync(spark, log, t, cfg, str(tmp_path / "ck"),
+                    refresh_views=[view])
+    q.awaitTermination()
+    _assert_view_equals_recompute(view, t, ("lang",), ())
+    v_view, v_tbl = view.current_version(), t.current_version()
+    # restart over the same checkpoint: batches replay as no-ops and
+    # the view stays exact with no new version
+    q2 = stream_sync(spark, log, t, cfg, str(tmp_path / "ck"),
+                     refresh_views=[view])
+    q2.awaitTermination()
+    assert (view.current_version(), t.current_version()) == (v_view, v_tbl)
+    _assert_view_equals_recompute(view, t, ("lang",), ())
