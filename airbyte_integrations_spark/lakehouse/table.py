@@ -470,7 +470,12 @@ class LakeTable:
         under `_meta_branches/<name>`, seeded with a verbatim copy of
         the current manifest — including the committed-epoch log, so
         run_sync on the branch resumes exactly where main's watermark
-        stands. O(1) metadata (stats carried, zero footer reads)."""
+        stands. O(1) metadata (stats carried, zero footer reads).
+
+        The audit diff is `branch.changes(0)`: branch version 0 IS the
+        fork state, so the standard changelog read classifies exactly
+        what the branch's syncs would publish (bucket-pruned as
+        always)."""
         br = LakeTable(self.spark, self.root, branch=name)
         if br.branch == self.branch:
             raise ValueError("cannot branch onto itself")

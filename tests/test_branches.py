@@ -60,9 +60,16 @@ def test_write_audit_publish_happy_path(spark, tmp_path, mode):
     assert t.current_version() == v_main
     assert _rows(t.read_live()) == half_state
 
-    # AUDIT: invariants hold on the branch (one live row per key)
+    # AUDIT: invariants hold on the branch (one live row per key), and
+    # the audit diff — what publishing would change on main — is the
+    # standard changelog read from the fork state (branch version 0)
     live = audit.read_live()
     assert live.count() == live.select("url").distinct().count()
+    diff = audit.changes(0)
+    assert diff.count() > 0
+    assert set(
+        r._change_type for r in diff.select("_change_type").distinct().collect()
+    ) <= {"insert", "update_postimage", "delete"}
 
     # PUBLISH: one metadata commit; main == branch head, watermark moved
     t.publish_branch(audit)
