@@ -694,6 +694,66 @@ FROM w WHERE rn = 1 AND _ab_cdc_deleted_at IS NULL
 """
 
 
+def q_cdc_clustered_range_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sort-order clustering + zone-map file skipping (Iceberg
+    rewrite-with-sort-order): after the CDC replay the table is
+    re-clustered by value_m (compact(sort_by=...) — per-bucket
+    sortWithinPartitions, range-disjoint files via target_file_rows,
+    value_m joins the per-file zone maps), then a range read over the
+    [max/4, max/2] window is served by read_range, which PRUNES files
+    on the manifest stats before any scan — asserted in-query
+    (kept < total). Oracle: winners filtered to the same range.
+    Winner-soundness of pruning is guaranteed by the compacted
+    one-version-per-key base (uncompacted MoR is rejected by
+    read_range; pinned in tests/test_sort_order.py)."""
+    import tempfile
+
+    from airbyte_integrations_spark.config import SyncConfig
+    from airbyte_integrations_spark.lakehouse.table import LakeTable
+    from airbyte_integrations_spark.streaming.microbatch import run_sync
+
+    tune_session(spark)
+    ce = change_events(spark, sf_dir)
+    scratch = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    table = LakeTable(
+        spark, tempfile.mkdtemp(prefix="cluster_entry_", dir=scratch) + "/t"
+    )
+    cfg = SyncConfig(stream="pages")
+    run_sync(
+        spark, ce, table, cfg,
+        extract_missing_text=False, compact_threshold=None,
+    )
+    # sandbox file-size knob: ~8 range-disjoint files per bucket at
+    # sf0.01 (production would use Iceberg-style byte targets)
+    n_live = table.read_live().count()
+    table.compact(
+        sort_by="value_m",
+        target_file_rows=max(n_live // (32 * 8), 8),
+    )
+    vmax = int(
+        table.read_live().agg(F.max("value_m")).collect()[0][0]
+    )
+    lo, hi = vmax // 4, vmax // 2
+    kept, total = table.range_prune_counts("value_m", lo, hi)
+    assert kept < total, f"clustered range read did not prune ({kept}/{total})"
+    return table.read_range("value_m", lo, hi).select(
+        "url", "_ab_cdc_lsn", "value_m"
+    )
+
+
+O_CDC_CLUSTERED_RANGE_READ = f"""
+WITH {CE_SQL},
+{WINNERS_SQL},
+live AS (
+  SELECT url, _ab_cdc_lsn, value_m FROM w
+  WHERE rn = 1 AND _ab_cdc_deleted_at IS NULL
+),
+b AS (SELECT max(value_m) // 4 AS lo, max(value_m) // 2 AS hi FROM live)
+SELECT url, _ab_cdc_lsn, value_m
+FROM live, b WHERE value_m >= b.lo AND value_m <= b.hi
+"""
+
+
 def q_cdc_partitioned_offsets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Kafka-shaped partitioned-log consume (source-kafka's
     {partition: offset} vector state): the log is key-hash split into 4
@@ -6292,6 +6352,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_ivm_refresh": q_cdc_ivm_refresh,
         "cdc_rollback_resync": q_cdc_rollback_resync,
         "cdc_wap_publish": q_cdc_wap_publish,
+        "cdc_clustered_range_read": q_cdc_clustered_range_read,
         "cdc_partitioned_offsets": q_cdc_partitioned_offsets,
         "cdc_unnest_children": q_cdc_unnest_children,
         "cdc_lineage_offsets": q_cdc_lineage_offsets,
@@ -6416,6 +6477,7 @@ def oracle_sql() -> dict[str, str]:
         "cdc_ivm_refresh": O_CDC_IVM_REFRESH,
         "cdc_rollback_resync": O_CDC_ROLLBACK_RESYNC,
         "cdc_wap_publish": O_CDC_WAP_PUBLISH,
+        "cdc_clustered_range_read": O_CDC_CLUSTERED_RANGE_READ,
         "cdc_partitioned_offsets": O_CDC_PARTITIONED_OFFSETS,
         "cdc_unnest_children": O_CDC_UNNEST_CHILDREN,
         "cdc_lineage_offsets": O_CDC_LINEAGE_OFFSETS,

@@ -154,11 +154,13 @@ class LakeTable:
         # dates would need an epoch encoding and no key/cursor needs
         # them here (timestamp cursors map via unix_micros upstream).
         ok = {"string", "long", "integer", "short", "byte"}
-        return [
-            c
-            for c in [*manifest["key"], cursor]
-            if fields.get(c) in ok
-        ]
+        sort_order = (manifest.get("props") or {}).get("sort_order") or []
+        cand = [*manifest["key"], cursor, *sort_order]
+        seen: list[str] = []
+        for c in cand:
+            if fields.get(c) in ok and c not in seen:
+                seen.append(c)
+        return seen
 
     @staticmethod
     def _truncate_upper(s: str, limit: int) -> str | None:
@@ -290,6 +292,8 @@ class LakeTable:
         n_buckets: int,
         key: tuple[str, ...],
         aligned: bool = False,
+        sort_cols: tuple[str, ...] | None = None,
+        max_records_per_file: int | None = None,
     ) -> dict[str, list[str]]:
         """Write df as one parquet dir per bucket; returns
         {bucket: [file paths relative to root]}. Uses hash
@@ -310,16 +314,20 @@ class LakeTable:
         if not aligned:
             bucketed = (
                 bucketed.repartition(n_buckets, F.col("_bucket"))
-                # Iceberg sort-order analogue: cluster rows by key within
-                # each bucket file — better parquet RLE/stats and locality
-                # for the MERGE's key joins.
-                .sortWithinPartitions("_bucket", *key)
+                # Iceberg sort-order analogue: cluster rows within each
+                # bucket file — by key for MERGE locality, or by an
+                # explicit sort order (compact(sort_by=...)) so the
+                # column's per-file zone maps become disjoint and
+                # read_range prunes to O(matching files).
+                .sortWithinPartitions("_bucket", *(sort_cols or key))
             )
-        (
-            bucketed.write.partitionBy("_bucket")
-            .mode("overwrite")
-            .parquet(out_dir)
-        )
+        writer = bucketed.write.partitionBy("_bucket").mode("overwrite")
+        if max_records_per_file:
+            # sorted buckets split into range-disjoint files, so the
+            # per-file zone maps actually prune (a single file per
+            # bucket would span the bucket's whole value range)
+            writer = writer.option("maxRecordsPerFile", str(int(max_records_per_file)))
+        writer.parquet(out_dir)
         files: dict[str, list[str]] = {}
         for dirpath, _dirnames, filenames in os.walk(out_dir):
             for fn in filenames:
@@ -648,6 +656,8 @@ class LakeTable:
         stream: str | None = None,
         epoch: int | None = None,
         epoch_meta: dict | None = None,
+        sort_cols: tuple[str, ...] | None = None,
+        max_records_per_file: int | None = None,
     ) -> int:
         """Copy-on-write commit: new files for `touched` buckets,
         untouched buckets carried forward by reference.
@@ -662,7 +672,8 @@ class LakeTable:
         files: dict[str, list[str]] = {}
         for df, aligned in parts:
             for b, ps in self._write_files(
-                df, int(m["n_buckets"]), tuple(m["key"]), aligned=aligned
+                df, int(m["n_buckets"]), tuple(m["key"]), aligned=aligned,
+                sort_cols=sort_cols, max_records_per_file=max_records_per_file,
             ).items():
                 files.setdefault(b, []).extend(ps)
         new_files = {b: ps for b, ps in m["files"].items() if int(b) not in set(touched)}
@@ -891,6 +902,87 @@ class LakeTable:
         )
         return out.filter(F.col(cursor) > F.lit(cursor_gt))
 
+    def read_range(
+        self,
+        col: str,
+        lo=None,
+        hi=None,
+        version: int | None = None,
+    ) -> DataFrame:
+        """Zone-map-pruned range scan on any stats column (the payoff
+        of `compact(sort_by=col)`: per-file [min, max] become disjoint
+        after clustering, so a range touches O(matching files), not the
+        table — Iceberg's sort-order + file-skipping read). Bounds are
+        inclusive; either may be None (half-open).
+
+        Winner-soundness requires ONE physical version per key, which
+        the COW base guarantees but merge-on-read deltas break: a key
+        whose winner lies outside the range but an older delta version
+        inside it would resurrect the old image. A table with
+        uncompacted deltas therefore REJECTS read_range (compact()
+        first, or use read_live().filter(...) — unpruned but always
+        correct). read_since remains the pruned feed that IS sound
+        under deltas (max-cursor argument).
+
+        Equality with the unpruned read_live().filter is pinned in
+        tests/test_sort_order.py."""
+        m = self.manifest(version)
+        if any(ps for ps in m.get("deltas", {}).values()):
+            raise ValueError(
+                "read_range needs a compacted table (merge-on-read deltas "
+                "can hold older versions of a key than the base, which "
+                "breaks range pruning) — run compact() first or use "
+                "read_live().filter(...)"
+            )
+
+        def keep(entry: dict) -> bool:
+            rng = entry.get(col)
+            if rng is None:
+                return True  # unknown stats: never prune
+            f_lo, f_hi = rng
+            if hi is not None and (f_lo is not None and f_lo > hi):
+                return False
+            if lo is not None and (f_hi is not None and f_hi < lo):
+                return False
+            return True
+
+        base_p, _dp, _n = self._pruned_paths(version, keep)
+        schema = T.StructType.fromJson(m["schema"])
+        out = self._read_paths(base_p, schema)
+        if (
+            self.props(version).get("keep_tombstones")
+            and "_ab_cdc_deleted_at" in out.columns
+        ):
+            out = out.filter(F.col("_ab_cdc_deleted_at").isNull())
+        if lo is not None:
+            out = out.filter(F.col(col) >= F.lit(lo))
+        if hi is not None:
+            out = out.filter(F.col(col) <= F.lit(hi))
+        return out
+
+    def range_prune_counts(
+        self, col: str, lo=None, hi=None, version: int | None = None
+    ) -> tuple[int, int]:
+        """(kept_files, total_files) the read_range pruning decides —
+        metadata-only; used by tests and in-query scale asserts."""
+        m = self.manifest(version)
+        stats = m.get("stats", {})
+        kept = total = 0
+        for ps in m["files"].values():
+            for p in ps:
+                total += 1
+                rng = stats.get(p, {}).get(col)
+                if rng is None:
+                    kept += 1
+                    continue
+                f_lo, f_hi = rng
+                if hi is not None and f_lo is not None and f_lo > hi:
+                    continue
+                if lo is not None and f_hi is not None and f_hi < lo:
+                    continue
+                kept += 1
+        return kept, total
+
     def changed_buckets(self, from_version: int, to_version: int) -> list[int] | None:
         """Buckets whose physical file set (base or delta) differs
         between two manifests — a metadata-only computation. Data and
@@ -1062,24 +1154,52 @@ class LakeTable:
             out = out.filter(F.col(c) == F.lit(v))
         return out
 
-    def compact(self, max_files_per_bucket: int = 1) -> int:
+    def compact(
+        self,
+        max_files_per_bucket: int = 1,
+        sort_by: tuple[str, ...] | str | None = None,
+        target_file_rows: int | None = None,
+    ) -> int:
         """Maintenance: rewrite buckets whose file count (base + delta)
         exceeds the threshold (Iceberg rewrite_data_files analogue).
         For buckets with deltas this folds them into the base via the
         winner rule (delete markers drop out — safe under the planner's
         monotone-epoch guarantee, retained under keep_tombstones);
         pure-base fragmentation is rewritten data-identically.
-        Committed as a new snapshot."""
+        Committed as a new snapshot.
+
+        `sort_by` is Iceberg's rewrite-with-SORT-ORDER strategy: EVERY
+        bucket is rewritten with rows clustered by the given column(s)
+        inside each bucket's files, the order is recorded in table
+        props (`sort_order`), and the columns join the per-file zone
+        maps — after which `read_range` on a sort column prunes to
+        O(matching files) instead of scanning the bucket. The sort is
+        per-bucket (sortWithinPartitions): no global Exchange is added
+        at any table size. `target_file_rows` splits each sorted
+        bucket into range-disjoint files (Iceberg target-file-size):
+        without it a bucket is one file spanning the whole value range
+        and file-level pruning has nothing to skip (row-group skipping
+        inside the file still applies)."""
         m = self.manifest()
         dmap = m.get("deltas", {})
-        fragmented = sorted(
-            {
-                int(b)
-                for b, ps in m["files"].items()
-                if len(ps) + len(dmap.get(b, [])) > max_files_per_bucket
-            }
-            | {int(b) for b, ps in dmap.items() if ps and len(ps) + len(m["files"].get(b, [])) > max_files_per_bucket}
-        )
+        if sort_by is not None:
+            sort_by = (sort_by,) if isinstance(sort_by, str) else tuple(sort_by)
+            fields = {f["name"] for f in m["schema"]["fields"]}
+            missing = [c for c in sort_by if c not in fields]
+            if missing:
+                raise ValueError(f"sort_by column(s) {missing} not in schema")
+            # re-clustering is a full rewrite by definition
+            fragmented = sorted({int(b) for b in m["files"]} | {int(b) for b in dmap})
+            self.want_props(sort_order=list(sort_by))
+        else:
+            fragmented = sorted(
+                {
+                    int(b)
+                    for b, ps in m["files"].items()
+                    if len(ps) + len(dmap.get(b, [])) > max_files_per_bucket
+                }
+                | {int(b) for b, ps in dmap.items() if ps and len(ps) + len(m["files"].get(b, [])) > max_files_per_bucket}
+            )
         if not fragmented:
             return m["version"]
         has_deltas = any(dmap.get(str(b)) for b in fragmented)
@@ -1096,7 +1216,11 @@ class LakeTable:
         else:
             data = self.read(fragmented)
         return self.replace_buckets(
-            data, fragmented, T.StructType.fromJson(m["schema"])
+            data, fragmented, T.StructType.fromJson(m["schema"]),
+            sort_cols=sort_by,
+            max_records_per_file=(
+                target_file_rows if sort_by is not None else None
+            ),
         )
 
     def rebucket(self, n_buckets: int) -> int:
