@@ -1837,6 +1837,109 @@ GROUP BY doc_id
 """
 
 
+def q_docs_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring dedup with EXCISION (Lee et al. 2022 ExactSubstr):
+    unlike docs_span_dedup (stats only), this REWRITES the corpus —
+    every 10-word span keeps only its corpus-wide first occurrence
+    (ordered by (doc_id, position)); later occurrences are cut out of
+    the document text. Output pins the cleaned text byte-exactly via
+    md5 so the oracle verifies the rewrite, not just the counts.
+
+    Scale shape (functions/neardup.remove_duplicate_spans): flatMap
+    chunking, ONE map-side-combining hash agg for first occurrence,
+    span-keyed verdict join, bounded per-document regroup. No
+    all-pairs, no global sort."""
+    tune_session(spark)
+    from airbyte_integrations_spark.functions.neardup import (
+        remove_duplicate_spans,
+    )
+
+    docs = load(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    out = remove_duplicate_spans(docs, "doc_id", "text", span_words=10)
+    return out.select(
+        "doc_id", "n_spans", "n_kept", F.md5("clean_text").alias("clean_sig")
+    )
+
+
+O_DOCS_SPAN_REMOVAL = """
+WITH d AS (
+  SELECT doc_id, str_split(text, ' ') AS ws FROM documents WHERE n_chars > 0
+),
+e AS (
+  SELECT doc_id, ws,
+         unnest(range(0, CAST(ceil(len(ws) / 10.0) AS BIGINT))) AS i
+  FROM d
+),
+sp AS (
+  SELECT doc_id, i, doc_id * 1000000 + i AS k,
+         array_to_string(list_slice(ws, i * 10 + 1, i * 10 + 10), ' ') AS span
+  FROM e
+),
+f AS (SELECT span, min(k) AS first_k FROM sp GROUP BY span)
+SELECT sp.doc_id AS doc_id,
+       count(*) AS n_spans,
+       CAST(sum(CASE WHEN sp.k = f.first_k THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_kept,
+       md5(coalesce(string_agg(CASE WHEN sp.k = f.first_k THEN sp.span END,
+                               ' ' ORDER BY sp.i), '')) AS clean_sig
+FROM sp JOIN f USING (span)
+GROUP BY sp.doc_id
+"""
+
+
+def q_docs_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fastText-style hashed-linear quality classifier (the CCNet /
+    GPT-3 keep-vs-drop page filter): word bigrams -> hashing-trick
+    weight buckets (dim=1024) -> summed linear score -> keep verdict.
+    Weights are a deterministic Knuth-hash stand-in for trained
+    parameters (integer-exact, oracle-checkable); swapping in real
+    weights is a one-line broadcast-literal lookup with the same plan.
+
+    Scale shape (functions/curation.hashed_linear_score): the bigram
+    expansion, bucketing, and weighted sum run inside ONE higher-order
+    `aggregate` fold — zero explode, zero Exchange, zero Python; the
+    whole classifier is a narrow codegen projection at scan speed."""
+    tune_session(spark)
+    from airbyte_integrations_spark.functions.curation import (
+        hashed_linear_score,
+    )
+
+    docs = load(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    s = hashed_linear_score("text", dim=1024)
+    return docs.select(
+        "doc_id",
+        s["n_bigrams"].alias("n_bigrams"),
+        s["score"].alias("score"),
+        (s["score"] > 0).alias("keep"),
+    )
+
+
+O_DOCS_QUALITY_CLASSIFIER = """
+WITH d AS (
+  SELECT doc_id, str_split(text, ' ') AS ws FROM documents WHERE n_chars > 0
+),
+b AS (
+  SELECT doc_id,
+         CASE WHEN len(ws) >= 2
+              THEN list_transform(range(1, len(ws)),
+                                  i -> ws[i] || ' ' || ws[i + 1])
+              ELSE CAST([] AS VARCHAR[]) END AS bigrams
+  FROM d
+)
+SELECT doc_id,
+       CAST(len(bigrams) AS BIGINT) AS n_bigrams,
+       CAST(coalesce(list_sum(list_transform(bigrams,
+            bg -> ((('0x' || substr(md5(bg), 1, 6))::BIGINT % 1024)
+                   * 2654435761) % 2147483648 % 2001 - 1000)), 0) AS BIGINT)
+         AS score,
+       CAST(coalesce(list_sum(list_transform(bigrams,
+            bg -> ((('0x' || substr(md5(bg), 1, 6))::BIGINT % 1024)
+                   * 2654435761) % 2147483648 % 2001 - 1000)), 0) AS BIGINT)
+         > 0 AS keep
+FROM b
+"""
+
+
 def q_docs_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic stratified downsampling — the training-mix
     rebalancer: per-language keep rates applied via a content-stable
@@ -6433,6 +6536,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_neardup_pairs": q_docs_neardup_pairs,
         "docs_dup_clusters": q_docs_dup_clusters,
         "docs_span_dedup": q_docs_span_dedup,
+        "docs_span_removal": q_docs_span_removal,
+        "docs_quality_classifier": q_docs_quality_classifier,
         "docs_sample_stratified": q_docs_sample_stratified,
         "docs_incremental_dedup": q_docs_incremental_dedup,
         "docs_trigram_lm_score": q_docs_trigram_lm_score,
@@ -6547,6 +6652,8 @@ def oracle_sql() -> dict[str, str]:
         "docs_neardup_pairs": O_DOCS_NEARDUP_PAIRS,
         "docs_dup_clusters": O_DOCS_DUP_CLUSTERS,
         "docs_span_dedup": O_DOCS_SPAN_DEDUP,
+        "docs_span_removal": O_DOCS_SPAN_REMOVAL,
+        "docs_quality_classifier": O_DOCS_QUALITY_CLASSIFIER,
         "docs_sample_stratified": O_DOCS_SAMPLE_STRATIFIED,
         "docs_dsir_weights": O_DOCS_DSIR_WEIGHTS,
         "docs_incremental_dedup": O_DOCS_INCREMENTAL_DEDUP,

@@ -200,3 +200,59 @@ def c4_line_filter(
         .withColumn("clean_text", F.array_join(kept, "\n"))
     )
     return out
+
+
+# ------------------------------------------------- hashed linear classifier
+
+def hashed_linear_score(
+    text_col: str | Column, dim: int = 1024
+) -> Column:
+    """fastText-style quality-classifier scoring as a pure projection:
+    the hashing trick (Weinberger et al. 2009; fastText's ngram
+    buckets) maps each word BIGRAM to one of `dim` weight buckets, and
+    the document score is the sum of bucket weights — exactly the
+    linear-model inference CCNet/GPT-3-style pipelines run over every
+    crawled page to keep/drop it.
+
+    The weight vector here is a deterministic stand-in for trained
+    parameters — an integer in [-1000, 1000] derived from the bucket
+    id by a Knuth multiplicative hash — so results are engine- and
+    run-independent (DuckDB-oracle-checkable). Swapping in real
+    trained weights changes ONE line: make `weight` an
+    `element_at(lit(weights_array), bucket + 1)` lookup over the
+    broadcast literal vector; the plan shape is identical.
+
+    Shape at scale: the bigram expansion, bucketing, and weighted sum
+    all happen INSIDE one higher-order-function fold (`aggregate`)
+    over the split array — zero explode, zero shuffle, zero Python; a
+    narrow codegen projection that classifies 10^10 pages at scan
+    speed. Returns a struct column (n_bigrams, score); keep/drop is
+    `score > 0` (threshold 0 for the synthetic weights).
+    """
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    w = F.split(c, " ")
+    # sequence(0, -1) would DESCEND — guard docs with < 2 words
+    idx = F.when(
+        F.size(w) >= 2, F.sequence(F.lit(0), F.size(w) - F.lit(2))
+    ).otherwise(F.array().cast("array<int>"))
+    bigrams = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", F.element_at(w, i + 1), F.element_at(w, i + 2)
+        ),
+    )
+    bucket = lambda bg: (  # noqa: E731
+        F.conv(F.substring(F.md5(bg), 1, 6), 16, 10).cast("long") % dim
+    )
+    weight = lambda b: (b * F.lit(2654435761)) % F.lit(  # noqa: E731
+        2147483648
+    ) % F.lit(2001) - F.lit(1000)
+    score = F.aggregate(
+        bigrams,
+        F.lit(0).cast("long"),
+        lambda acc, bg: acc + weight(bucket(bg)),
+    )
+    return F.struct(
+        F.size(bigrams).cast("long").alias("n_bigrams"),
+        score.alias("score"),
+    )

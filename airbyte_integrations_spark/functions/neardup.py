@@ -340,3 +340,63 @@ def repetition_stats(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> D
             "top_ngram_pm"
         ),
     )
+
+
+def remove_duplicate_spans(
+    df: DataFrame, id_col: str, text_col: str, span_words: int = 10
+) -> DataFrame:
+    """Exact-substring deduplication with EXCISION (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better",
+    arXiv:2107.06499, the ExactSubstr variant): a span of text that
+    already occurred earlier in the corpus is CUT OUT of the document,
+    not just counted — only the corpus-wide first occurrence (ordered
+    by (doc, position)) survives. `exact_dedup` drops whole documents;
+    this rewrites their text.
+
+    Suffix arrays (the paper's single-node index) don't distribute;
+    the industrial equivalent keeps the paper's semantics over fixed
+    `span_words`-word chunks with pure dataflow: chunking is a flatMap
+    (rows = tokens/span_words, no driver state), first occurrence is
+    ONE hash aggregation with map-side combine on the span text, the
+    verdict is a span-keyed join, and reassembly is a bounded
+    per-document regroup (group size = one doc's span count). No
+    all-pairs, no global sort, no skew hazard — the same plan at
+    10^10 documents.
+
+    Returns one row per input document: id_col, n_spans, n_kept, and
+    clean_text (surviving spans joined by ' ' in original order; ''
+    when every span duplicated an earlier document).
+    """
+    w = F.split(F.col(text_col), " ")
+    n_spans = F.ceil(F.size(w) / F.lit(float(span_words))).cast("int")
+    spans = F.transform(
+        F.sequence(F.lit(0), n_spans - F.lit(1)),
+        lambda i: F.concat_ws(" ", F.slice(w, i * span_words + 1, span_words)),
+    )
+    sp = df.select(
+        F.col(id_col), F.posexplode(spans).alias("span_idx", "span")
+    ).withColumn("k", F.col(id_col) * 1_000_000 + F.col("span_idx"))
+    first = sp.groupBy("span").agg(F.min("k").alias("first_k"))
+    keep = F.col("k") == F.col("first_k")
+    return (
+        sp.join(first, "span")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_spans"),
+            F.sum(keep.cast("long")).alias("n_kept"),
+            F.array_join(
+                F.transform(
+                    # collect_list skips nulls => only kept spans are
+                    # gathered; array_sort on (span_idx, span) structs
+                    # restores original order (span_idx is unique per doc)
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(keep, F.struct(F.col("span_idx"), F.col("span")))
+                        )
+                    ),
+                    lambda s: s["span"],
+                ),
+                " ",
+            ).alias("clean_text"),
+        )
+    )

@@ -351,3 +351,50 @@ def test_c4_line_filter_narrow_plan(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "Generate" not in plan
     assert plan.count("Exchange") == 0
+
+
+def test_hashed_linear_score_matches_python_reference(spark):
+    """Integer-exact score: bigram -> md5-prefix bucket (mod 1024) ->
+    Knuth-hash weight in [-1000, 1000] -> sum, reproduced in pure
+    Python."""
+    import hashlib
+
+    from airbyte_integrations_spark.functions.curation import (
+        hashed_linear_score,
+    )
+
+    text = "the quick brown fox jumps"
+
+    def w(bg: str) -> int:
+        b = int(hashlib.md5(bg.encode()).hexdigest()[:6], 16) % 1024
+        return (b * 2654435761) % 2147483648 % 2001 - 1000
+
+    words = text.split(" ")
+    expected = sum(w(f"{a} {b}") for a, b in zip(words, words[1:]))
+    row = (
+        spark.createDataFrame([(1, text)], "doc_id long, text string")
+        .select(hashed_linear_score("text").alias("s"))
+        .collect()[0]["s"]
+    )
+    assert row["n_bigrams"] == len(words) - 1
+    assert row["score"] == expected
+
+
+def test_hashed_linear_score_short_doc_and_narrow_plan(spark):
+    """A <2-word doc scores (0, 0) instead of tripping the descending
+    sequence() edge; the whole classifier is one narrow projection —
+    no Exchange, no Python, no Generate."""
+    from pyspark.sql import Row
+
+    from airbyte_integrations_spark.functions.curation import (
+        hashed_linear_score,
+    )
+
+    df = spark.createDataFrame([Row(doc_id=1, text="solo")])
+    out = df.select(hashed_linear_score("text").alias("s"))
+    row = out.collect()[0]["s"]
+    assert (row["n_bigrams"], row["score"]) == (0, 0)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "Generate" not in plan
+    assert plan.count("Exchange") == 0

@@ -137,3 +137,61 @@ def test_connected_components_empty_edges(spark):
 
     edges = spark.createDataFrame([], "id_a long, id_b long")
     assert connected_components(edges).count() == 0
+
+
+def test_remove_duplicate_spans_excises_later_occurrences(spark):
+    """Lee et al. ExactSubstr semantics: a 10-word span that occurred
+    earlier in the corpus (by (doc_id, position)) is cut out of the
+    text; first occurrences survive; a fully-duplicated document is
+    rewritten to ''."""
+    from airbyte_integrations_spark.functions.neardup import (
+        remove_duplicate_spans,
+    )
+
+    span_a = " ".join(f"a{i}" for i in range(10))
+    span_b = " ".join(f"b{i}" for i in range(10))
+    span_c = " ".join(f"c{i}" for i in range(10))
+    rows = [
+        (1, f"{span_a} {span_b}"),        # both first occurrences
+        (2, f"{span_a} {span_c}"),        # A duplicates doc 1
+        (3, f"{span_b} {span_a}"),        # fully duplicated => ''
+    ]
+    out = {
+        r["doc_id"]: r
+        for r in remove_duplicate_spans(
+            spark.createDataFrame(rows, "doc_id long, text string"),
+            "doc_id",
+            "text",
+        ).collect()
+    }
+    assert out[1]["clean_text"] == f"{span_a} {span_b}"
+    assert (out[1]["n_spans"], out[1]["n_kept"]) == (2, 2)
+    assert out[2]["clean_text"] == span_c
+    assert (out[2]["n_spans"], out[2]["n_kept"]) == (2, 1)
+    assert out[3]["clean_text"] == ""
+    assert (out[3]["n_spans"], out[3]["n_kept"]) == (2, 0)
+
+
+def test_remove_duplicate_spans_preserves_order_on_middle_cut(spark):
+    """Excision keeps the surviving spans in original position order
+    (the regroup sorts on span_idx, not on span text)."""
+    from airbyte_integrations_spark.functions.neardup import (
+        remove_duplicate_spans,
+    )
+
+    span_z = " ".join(f"z{i}" for i in range(10))  # sorts after everything
+    span_dup = " ".join(f"m{i}" for i in range(10))
+    span_a = " ".join(f"aa{i}" for i in range(10))
+    rows = [
+        (1, span_dup),
+        (2, f"{span_z} {span_dup} {span_a}"),
+    ]
+    out = {
+        r["doc_id"]: r["clean_text"]
+        for r in remove_duplicate_spans(
+            spark.createDataFrame(rows, "doc_id long, text string"),
+            "doc_id",
+            "text",
+        ).collect()
+    }
+    assert out[2] == f"{span_z} {span_a}"
