@@ -626,6 +626,33 @@ def main() -> None:
         "at most k rows per qid before the per-qid Exchange",
     )
 
+    if os.path.isdir(sf_small):
+        qc_plan = (
+            ent.q_docs_quality_classifier(spark, sf_small)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        check(
+            "hashed linear quality classifier: bigrams+bucketing+weighted sum "
+            "inside ONE higher-order aggregate fold — zero Exchange, zero "
+            "Generate, zero Python",
+            "Exchange" not in qc_plan and "Generate" not in qc_plan
+            and "EvalPython" not in qc_plan,
+            "the whole fastText-style keep/drop verdict is a narrow codegen "
+            "projection; classifies at scan speed at any corpus size",
+        )
+        sr_plan = (
+            ent.q_docs_span_removal(spark, sf_small)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        check(
+            "exact-substring excision: first-occurrence agg is map-side "
+            "partial; no SortMergeJoin, no global (unpartitioned) Sort",
+            "partial_min" in sr_plan and "SortMergeJoin" not in sr_plan
+            and "Exchange SinglePartition" not in sr_plan,
+            "span-keyed min(k) combines on the mappers; verdict join is "
+            "span-hash-keyed; regroup bounded by one doc's span count",
+        )
+
     out = ["# PLANS — physical-plan evidence (generated by tools/capture_plans.py)", ""]
     ok_all = True
     for name, ok, ev in CHECKS:
