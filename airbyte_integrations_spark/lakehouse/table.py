@@ -466,6 +466,37 @@ class LakeTable:
         manifest["rollback_of"] = int(version)
         return self._commit(manifest)
 
+    def reset(self) -> int:
+        """The platform's RESET_CONNECTION job (DefaultJobCreator.java:
+        93-118: every stream forced to FULL_REFRESH + OVERWRITE with an
+        empty source, wiping destination data AND connection state so
+        the next scheduled sync re-syncs from scratch), expressed as
+        ONE metadata-only commit: files, merge-on-read deltas, and the
+        whole committed-epoch log are cleared while schema, key,
+        bucket layout, and props survive.
+
+        Because the epoch log is cleared, every stream's watermark()
+        returns None and the next run_sync re-plans from the beginning
+        of the log — the undone epochs' keys are gone so they
+        re-commit instead of being skipped (the same epoch-skip
+        interplay rollback() handles). The pre-reset snapshots stay
+        time-travel readable until expire_snapshots reclaims their
+        (now unreferenced-at-head) data files; the reset itself
+        rewrites zero bytes. Raises on a non-existent table."""
+        m = self.manifest()
+        manifest = {
+            "parent": self.current_version(),
+            "schema": m["schema"],
+            "key": m["key"],
+            "n_buckets": m["n_buckets"],
+            "files": {},
+            "deltas": {},
+            "committed": {},
+            "props": m.get("props", {}),
+            "reset_of": self.current_version(),
+        }
+        return self._commit(manifest)
+
     # ---------- branches (write-audit-publish) ----------
 
     def create_branch(self, name: str) -> "LakeTable":
