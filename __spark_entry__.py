@@ -637,6 +637,59 @@ FROM w WHERE rn = 1 AND _ab_cdc_deleted_at IS NULL
 """
 
 
+def q_cdc_reset_resync(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reset-connection lifecycle (the platform RESET_CONNECTION job,
+    DefaultJobCreator.java:93-118: wipe destination data AND
+    connection state, then the next scheduled sync re-syncs from
+    scratch): full sync, reset() as ONE metadata-only commit (zero-row
+    live view and a cleared watermark asserted in-query, pre-reset
+    snapshot still time-travel readable), then resync. Every epoch
+    must RE-commit (the log was cleared — a false epoch-skip here
+    silently leaves the table empty) and the final live state must
+    equal the plain full winner replay — the oracle."""
+    import tempfile
+
+    from airbyte_integrations_spark.config import SyncConfig
+    from airbyte_integrations_spark.lakehouse.table import LakeTable
+    from airbyte_integrations_spark.streaming.microbatch import run_sync
+
+    tune_session(spark)
+    ce = change_events(spark, sf_dir)
+    scratch = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    table = LakeTable(
+        spark, tempfile.mkdtemp(prefix="reset_entry_", dir=scratch) + "/t"
+    )
+    cfg = SyncConfig(stream="pages")
+    eps1 = run_sync(
+        spark, ce, table, cfg,
+        extract_missing_text=False, compact_threshold=None,
+    )
+    v_pre = table.current_version()
+    n_pre = table.read_live().count()
+    table.reset()
+    assert table.read_live().count() == 0, "reset left live rows"
+    assert table.watermark("pages") is None, "reset kept the watermark"
+    assert table.read_live(version=v_pre).count() == n_pre, (
+        "pre-reset snapshot no longer time-travel readable"
+    )
+    eps2 = run_sync(
+        spark, ce, table, cfg,
+        extract_missing_text=False, compact_threshold=None,
+    )
+    assert len(eps2) == len(eps1), "resync after reset must re-apply all epochs"
+    return table.read_live().select(
+        "url", "_ab_cdc_lsn", _us("_ab_cdc_updated_at").alias("updated_us")
+    )
+
+
+O_CDC_RESET_RESYNC = f"""
+WITH {CE_SQL},
+{WINNERS_SQL}
+SELECT url, _ab_cdc_lsn, epoch_us(_ab_cdc_updated_at) AS updated_us
+FROM w WHERE rn = 1 AND _ab_cdc_deleted_at IS NULL
+"""
+
+
 def q_cdc_wap_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Write-audit-publish lifecycle (Iceberg branch + fast-forward):
     half the log syncs to main; the rest syncs into a metadata BRANCH
@@ -6454,6 +6507,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_changelog_diff": q_cdc_changelog_diff,
         "cdc_ivm_refresh": q_cdc_ivm_refresh,
         "cdc_rollback_resync": q_cdc_rollback_resync,
+        "cdc_reset_resync": q_cdc_reset_resync,
         "cdc_wap_publish": q_cdc_wap_publish,
         "cdc_clustered_range_read": q_cdc_clustered_range_read,
         "cdc_partitioned_offsets": q_cdc_partitioned_offsets,
@@ -6581,6 +6635,7 @@ def oracle_sql() -> dict[str, str]:
         "cdc_changelog_diff": O_CDC_CHANGELOG_DIFF,
         "cdc_ivm_refresh": O_CDC_IVM_REFRESH,
         "cdc_rollback_resync": O_CDC_ROLLBACK_RESYNC,
+        "cdc_reset_resync": O_CDC_RESET_RESYNC,
         "cdc_wap_publish": O_CDC_WAP_PUBLISH,
         "cdc_clustered_range_read": O_CDC_CLUSTERED_RANGE_READ,
         "cdc_partitioned_offsets": O_CDC_PARTITIONED_OFFSETS,
