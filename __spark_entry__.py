@@ -1993,6 +1993,94 @@ FROM b
 """
 
 
+def q_tpch_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: the distribution of customers by order count,
+    INCLUDING zero-order customers (the left-join histogram no inner
+    join can produce). The classic formulation joins the full customer
+    table to orders then double-aggregates; here orders pre-aggregate
+    to (custkey, n) FIRST — a map-side-combining count on the fact —
+    so the join carries one row per customer key instead of one per
+    order, and the second aggregate is over the tiny count domain.
+
+    Scale shape: one Exchange on o_custkey for the pre-agg, one
+    key-aligned left join (AQE picks the strategy; both sides are
+    already custkey-reduced), and a final histogram agg whose key
+    cardinality is O(max orders per customer). No row explosion at any
+    corpus size."""
+    tune_session(spark)
+    c = load(spark, sf_dir, "customer").select("c_custkey")
+    o = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    )
+    oc = o.groupBy("o_custkey").agg(F.count("*").alias("n"))
+    per = c.join(oc, c["c_custkey"] == oc["o_custkey"], "left").select(
+        F.coalesce(F.col("n"), F.lit(0)).alias("c_count")
+    )
+    return per.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+O_TPCH_CUSTOMER_DISTRIBUTION = """
+WITH oc AS (
+  SELECT o_custkey, count(*) AS n
+  FROM orders WHERE o_orderpriority <> '1-URGENT'
+  GROUP BY o_custkey
+)
+SELECT coalesce(n, 0) AS c_count, count(*) AS custdist
+FROM customer LEFT JOIN oc ON c_custkey = o_custkey
+GROUP BY 1
+"""
+
+
+def q_events_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative-frame window (ROWS UNBOUNDED PRECEDING — the running
+    total / burn-up shape): per event type, daily event counts and
+    exact integer cents folded into running totals ordered by day.
+
+    Scale shape: the raw events collapse to (type, day) with ONE
+    map-side-combining agg before any window — the window then runs
+    over O(types × days) rows, partitioned by type, so the ordered
+    frame never sees raw-event cardinality. One Exchange total (the
+    day agg's, reused by the window via the type-keyed repartition
+    Catalyst aligns)."""
+    tune_session(spark)
+    ev = load(spark, sf_dir, "events")
+    day = F.date_trunc("day", F.col("ts"))
+    daily = ev.groupBy(
+        F.col("event_type"),
+        F.unix_micros(day.cast("timestamp")).alias("day_us"),
+    ).agg(
+        F.count("*").alias("n"),
+        F.sum(F.floor(F.col("value") * 100).cast("long")).alias("cents"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day_us")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return daily.select(
+        "event_type",
+        "day_us",
+        F.sum("n").over(w).alias("cum_events"),
+        F.sum("cents").over(w).alias("cum_cents"),
+    )
+
+
+O_EVENTS_RUNNING_TOTAL = """
+WITH d AS (
+  SELECT event_type, epoch_us(date_trunc('day', ts)) AS day_us,
+         count(*) AS n,
+         CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM events GROUP BY 1, 2
+)
+SELECT event_type, day_us,
+       CAST(sum(n) OVER (PARTITION BY event_type ORDER BY day_us
+                         ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_events,
+       CAST(sum(cents) OVER (PARTITION BY event_type ORDER BY day_us
+                             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_cents
+FROM d
+"""
+
+
 def q_docs_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic stratified downsampling — the training-mix
     rebalancer: per-language keep rates applied via a content-stable
@@ -6570,6 +6658,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_order_priority": q_tpch_order_priority,
         "tpch_inactive_customers": q_tpch_inactive_customers,
         "tpch_above_avg_orders": q_tpch_above_avg_orders,
+        "tpch_customer_distribution": q_tpch_customer_distribution,
+        "events_running_total": q_events_running_total,
         "events_anomaly_days": q_events_anomaly_days,
         "docs_blocklist_filter": q_docs_blocklist_filter,
         "docs_length_deciles": q_docs_length_deciles,
@@ -6687,6 +6777,8 @@ def oracle_sql() -> dict[str, str]:
         "tpch_order_priority": O_TPCH_ORDER_PRIORITY,
         "tpch_inactive_customers": O_TPCH_INACTIVE_CUSTOMERS,
         "tpch_above_avg_orders": O_TPCH_ABOVE_AVG_ORDERS,
+        "tpch_customer_distribution": O_TPCH_CUSTOMER_DISTRIBUTION,
+        "events_running_total": O_EVENTS_RUNNING_TOTAL,
         "events_anomaly_days": O_EVENTS_ANOMALY_DAYS,
         "docs_blocklist_filter": O_DOCS_BLOCKLIST_FILTER,
         "docs_length_deciles": O_DOCS_LENGTH_DECILES,
