@@ -30,6 +30,7 @@ from __future__ import annotations
 import json
 import os
 import re
+import time
 import uuid
 
 from pyspark.sql import Column, DataFrame, SparkSession
@@ -252,6 +253,11 @@ class LakeTable:
         os.makedirs(meta, exist_ok=True)
         if "stats" not in manifest:
             manifest["stats"] = self._file_stats(manifest)
+        # Wall-clock commit stamp (Iceberg snapshot timestamp-ms): the
+        # basis for AS-OF-TIMESTAMP time travel and retention policy.
+        # Always re-stamped — rollback/reset/publish manifests derived
+        # from older snapshots are NEW commits with their own time.
+        manifest["committed_at_us"] = time.time_ns() // 1000
         cur = self.current_version() if self.exists() else None
         if "parent" in manifest and manifest["parent"] != cur:
             raise CommitConflictError(
@@ -1530,6 +1536,83 @@ class LakeTable:
             if bounds and max(bounds) <= lsn:
                 return v
         return None
+
+    def version_asof_ts(self, ts_us: int) -> int | None:
+        """Largest retained snapshot committed at or before the given
+        wall-clock microsecond timestamp — Iceberg's AS OF TIMESTAMP /
+        Delta timestampAsOf addressing. Pre-stamp snapshots (tables
+        written before commit stamping) match any timestamp, the same
+        leniency Iceberg applies to imported snapshots. Metadata-only:
+        walks manifests newest-first."""
+        for v in range(self.current_version(), -1, -1):
+            try:
+                m = self.manifest(v)
+            except FileNotFoundError:
+                continue
+            if int(m.get("committed_at_us", 0)) <= ts_us:
+                return v
+        return None
+
+    def meta_files(self, version: int | None = None) -> DataFrame:
+        """Iceberg `files` metadata-table analogue: one row per data /
+        delta file of the pinned snapshot, with its bucket, role, and
+        zone-map stats (stringified [min, max] per tracked column) —
+        the operator surface for answering "what would this predicate
+        prune" and "how fragmented is bucket 17" WITHOUT touching a
+        data file. Driver-side metadata only; the DataFrame is
+        manifest-sized (one row per file, not per data row)."""
+        m = self.manifest(version)
+        stats = m.get("stats", {})
+        rows = []
+        for kind, key in (("base", "files"), ("delta", "deltas")):
+            for b, ps in m.get(key, {}).items():
+                for p in ps:
+                    rows.append(
+                        (
+                            m["version"],
+                            int(b),
+                            p,
+                            kind,
+                            {
+                                c: [str(v[0]), str(v[1])]
+                                for c, v in stats.get(p, {}).items()
+                            },
+                        )
+                    )
+        return self.spark.createDataFrame(
+            rows,
+            "version long, bucket int, path string, kind string, "
+            "stats map<string, array<string>>",
+        )
+
+    def meta_history(self) -> DataFrame:
+        """Iceberg `history`/`snapshots` metadata-table analogue: one
+        row per retained snapshot — version, parent, commit timestamp,
+        file count, and per-stream committed-epoch count. The ops
+        dashboard feed at the 10^10 point (commit cadence, snapshot
+        growth, reset/rollback provenance) as a queryable DataFrame;
+        expired snapshots are skipped."""
+        rows = []
+        for v in range(self.current_version() + 1):
+            try:
+                m = self.manifest(v)
+            except FileNotFoundError:
+                continue
+            rows.append(
+                (
+                    v,
+                    m.get("parent"),
+                    int(m.get("committed_at_us", 0)),
+                    sum(len(ps) for ps in m["files"].values()),
+                    sum(len(ps) for ps in m.get("deltas", {}).values()),
+                    {s: len(eps) for s, eps in m.get("committed", {}).items()},
+                )
+            )
+        return self.spark.createDataFrame(
+            rows,
+            "version long, parent long, committed_at_us long, "
+            "n_files long, n_delta_files long, epochs_per_stream map<string, int>",
+        )
 
 
 def conform(df: DataFrame, target: T.StructType) -> DataFrame:

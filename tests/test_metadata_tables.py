@@ -1,0 +1,51 @@
+"""Metadata tables + AS-OF-TIMESTAMP travel (Iceberg `files` /
+`history` metadata tables, snapshot timestamp-ms addressing)."""
+
+import time
+
+from airbyte_integrations_spark.config import SyncConfig
+from airbyte_integrations_spark.lakehouse.table import LakeTable
+from airbyte_integrations_spark.streaming.microbatch import run_sync
+from tests.test_reset import _events
+
+
+def test_meta_files_lists_base_and_delta(spark, tmp_path):
+    ev = _events(spark)
+    cfg = SyncConfig(stream="pages", n_buckets=4, write_mode="mor")
+    table = LakeTable(spark, str(tmp_path / "lake"))
+    run_sync(spark, ev, table, cfg, max_events_per_epoch=15,
+             compact_threshold=None)
+    mf = table.meta_files().collect()
+    kinds = {r["kind"] for r in mf}
+    assert kinds == {"base", "delta"}
+    assert all(0 <= r["bucket"] < 4 for r in mf)
+    # zone-map stats ride along for the cursor column
+    assert any("_ab_cdc_lsn" in r["stats"] for r in mf)
+    # pinned snapshot: version 0 has no deltas yet
+    v0 = table.meta_files(version=0).collect()
+    assert {r["kind"] for r in v0} == {"base"}
+
+
+def test_meta_history_and_asof_ts(spark, tmp_path):
+    ev = _events(spark)
+    cfg = SyncConfig(stream="pages", n_buckets=4)
+    table = LakeTable(spark, str(tmp_path / "lake"))
+    run_sync(spark, ev.filter("_ab_cdc_lsn <= 20"), table, cfg,
+             compact_threshold=None)
+    v_mid = table.current_version()
+    t_mid = time.time_ns() // 1000
+    time.sleep(0.01)
+    run_sync(spark, ev, table, cfg, compact_threshold=None)
+
+    hist = {r["version"]: r for r in table.meta_history().collect()}
+    assert set(hist) == set(range(table.current_version() + 1))
+    stamps = [hist[v]["committed_at_us"] for v in sorted(hist)]
+    assert stamps == sorted(stamps) and stamps[0] > 0
+    assert hist[table.current_version()]["epochs_per_stream"]["pages"] >= 1
+
+    # timestamp between the two syncs resolves to the mid snapshot
+    assert table.version_asof_ts(t_mid) == v_mid
+    assert table.version_asof_ts(time.time_ns() // 1000) == table.current_version()
+    assert table.read_live(version=table.version_asof_ts(t_mid)).count() > 0
+    # a timestamp before the table existed matches nothing
+    assert table.version_asof_ts(stamps[0] - 1) is None
