@@ -1415,7 +1415,9 @@ class LakeTable:
             out["expired"] = self.expire_snapshots(keep_last=1)
         return out
 
-    def expire_snapshots(self, keep_last: int = 1) -> dict:
+    def expire_snapshots(
+        self, keep_last: int = 1, older_than_us: int | None = None
+    ) -> dict:
         """Maintenance: Iceberg `expire_snapshots` + `remove_orphan_files`
         analogue. At the 10^10-event point a sync commits one snapshot
         per epoch — manifests and superseded/crash-orphaned data files
@@ -1431,9 +1433,26 @@ class LakeTable:
         Single-writer discipline (module docstring) applies: call this
         from the writer between commits, never concurrently with an
         in-flight write job — exactly Iceberg's remove_orphan_files
-        caveat, which uses an age cutoff for the same reason."""
+        caveat, which uses an age cutoff for the same reason.
+
+        `older_than_us` is Iceberg's expireSnapshots(olderThan) rule:
+        snapshots committed AT OR AFTER the cutoff are retained even
+        beyond `keep_last`, so a retention policy like "keep 7 days"
+        composes with "keep at least N" exactly as upstream — the two
+        retention knobs can only widen, never narrow, each other (the
+        current snapshot is always kept either way)."""
         cur = self.current_version()
         keep = set(range(max(cur - keep_last + 1, 0), cur + 1))
+        if older_than_us is not None:
+            for v in range(cur):
+                if v in keep:
+                    continue
+                try:
+                    m = self.manifest(v)
+                except FileNotFoundError:
+                    continue
+                if int(m.get("committed_at_us", 0)) >= older_than_us:
+                    keep.add(v)
         referenced: set[str] = set()
         for v in keep:
             try:

@@ -49,3 +49,31 @@ def test_meta_history_and_asof_ts(spark, tmp_path):
     assert table.read_live(version=table.version_asof_ts(t_mid)).count() > 0
     # a timestamp before the table existed matches nothing
     assert table.version_asof_ts(stamps[0] - 1) is None
+
+
+def test_expire_age_cutoff_widens_retention(spark, tmp_path):
+    """older_than_us retains young snapshots beyond keep_last (Iceberg
+    expireSnapshots(olderThan) composition: knobs only widen)."""
+    ev = _events(spark)
+    cfg = SyncConfig(stream="pages", n_buckets=4)
+    table = LakeTable(spark, str(tmp_path / "lake"))
+    run_sync(spark, ev.filter("_ab_cdc_lsn <= 15"), table, cfg,
+             compact_threshold=None)
+    t_cut = time.time_ns() // 1000
+    time.sleep(0.01)
+    run_sync(spark, ev.filter("_ab_cdc_lsn <= 30"), table, cfg,
+             compact_threshold=None)
+    run_sync(spark, ev, table, cfg, compact_threshold=None)
+    cur = table.current_version()
+    # keep_last=1 alone would expire everything below cur; the age
+    # cutoff keeps every snapshot committed after t_cut
+    table.expire_snapshots(keep_last=1, older_than_us=t_cut)
+    retained = {r["version"] for r in table.meta_history().collect()}
+    assert cur in retained
+    assert all(
+        table.manifest(v)["committed_at_us"] >= t_cut
+        for v in retained if v != cur
+    )
+    assert len(retained) >= 2, "young snapshots must survive keep_last=1"
+    # pre-cutoff snapshots are gone
+    assert 0 not in retained
