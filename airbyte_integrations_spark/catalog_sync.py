@@ -726,6 +726,53 @@ def emit_catalog(
     return state
 
 
+def register_sql_views(
+    spark: SparkSession,
+    catalog: ConfiguredCatalog,
+    lake_root: str,
+    prefix: str = "",
+    metadata: bool = False,
+    asof_lsn: int | None = None,
+) -> list[str]:
+    """Serve the lake through plain ``spark.sql``: one temp view per
+    existing catalog stream, backed by ``read_live()`` — merge-on-read
+    deltas resolve and tombstones filter exactly as the DataFrame
+    surface, and every Catalyst optimization (pushdown, pruning, AQE)
+    applies to queries over the views unchanged.
+
+    Views are SNAPSHOT-PINNED at registration (read_live lists files
+    from the manifest eagerly), so concurrent syncs never make a
+    half-applied epoch visible mid-query; re-register after a sync for
+    fresh data — the same cadence the run_sync/stream_sync
+    refresh_views hooks already model for marts. With `asof_lsn`, each
+    view pins the stream's floor snapshot at that WAL position
+    (version_asof), giving a transactionally CONSISTENT cross-view
+    state for multi-table SQL. `metadata=True` additionally registers
+    `<name>__files` / `<name>__history` (Iceberg metadata-table
+    naming) for ops queries. Returns the registered view names."""
+    names: list[str] = []
+    for cs in catalog.streams:
+        stream = cs.config.stream
+        table = stream_table(spark, lake_root, stream)
+        if not table.exists():
+            continue
+        version = None
+        if asof_lsn is not None:
+            version = table.version_asof(stream, asof_lsn)
+            if version is None:
+                continue  # no snapshot at or below the position yet
+        name = f"{prefix}{stream}"
+        table.read_live(version=version).createOrReplaceTempView(name)
+        names.append(name)
+        if metadata:
+            table.meta_files(version=version).createOrReplaceTempView(
+                f"{name}__files"
+            )
+            table.meta_history().createOrReplaceTempView(f"{name}__history")
+            names += [f"{name}__files", f"{name}__history"]
+    return names
+
+
 def read_catalog_asof(
     spark: SparkSession,
     lake_root: str,
