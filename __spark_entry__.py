@@ -262,6 +262,51 @@ FROM w WHERE rn = 1 AND _ab_cdc_deleted_at IS NULL
 """
 
 
+def q_cdc_field_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Catalog field selection through the real catalog loop
+    (AbstractDbSource.java:229-233: only the configured catalog's
+    fields are queried): the stream deselects `event_type`, so it must
+    never land, while the key/cursor/system columns and the selected
+    payload ride. The projection is applied to the declarative frame
+    BEFORE epoch planning (catalog_sync.select_fields), so Catalyst
+    prunes the scan — deselected columns are never read. Final state
+    must equal the plain winner-rule oracle over the kept columns."""
+    import tempfile
+
+    from airbyte_integrations_spark.catalog_sync import (
+        ConfiguredCatalog,
+        ConfiguredStream,
+        read_catalog,
+        stream_table,
+    )
+    from airbyte_integrations_spark.config import SyncConfig
+
+    tune_session(spark)
+    ce = change_events(spark, sf_dir)
+    hi = ce.agg(F.max("_ab_cdc_lsn")).collect()[0][0]
+    scratch = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    lake = tempfile.mkdtemp(prefix="fsel_entry_", dir=scratch)
+    cfg = SyncConfig(stream="pages", selected_fields=("value_m",), n_buckets=16)
+    cat = ConfiguredCatalog(
+        streams=(
+            ConfiguredStream(config=cfg, source={"kind": "dataframe", "df": ce}),
+        )
+    )
+    read_catalog(
+        spark, cat, lake, max_events_per_epoch=max(int(hi) // 4, 1)
+    )
+    live = stream_table(spark, lake, "pages").read_live()
+    assert "event_type" not in live.columns, live.columns  # deselected
+    return live.select("url", "_ab_cdc_lsn", "value_m")
+
+
+O_CDC_FIELD_SELECTION = f"""
+WITH {CE_SQL}, {WINNERS_SQL}
+SELECT url, _ab_cdc_lsn, value_m
+FROM w WHERE rn = 1 AND _ab_cdc_deleted_at IS NULL
+"""
+
+
 def q_cdc_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Point lookups + GDPR hard delete over a MoR replay, value-oracled
     (lakehouse/table.read_key + purge_key): the log is applied as 4 MoR
@@ -6606,6 +6651,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_composite_pk_dedup": q_cdc_composite_pk_dedup,
         "cdc_event_time_rates": q_cdc_event_time_rates,
         "cdc_catalog_sync": q_cdc_catalog_sync,
+        "cdc_field_selection": q_cdc_field_selection,
         "cdc_point_lookup": q_cdc_point_lookup,
         "pipeline_crawl_corpus": q_pipeline_crawl_corpus,
         "docs_ccnet_buckets": q_docs_ccnet_buckets,
@@ -6736,6 +6782,7 @@ def oracle_sql() -> dict[str, str]:
         "cdc_composite_pk_dedup": O_CDC_COMPOSITE_PK_DEDUP,
         "cdc_event_time_rates": O_CDC_EVENT_TIME_RATES,
         "cdc_catalog_sync": O_CDC_CATALOG_SYNC,
+        "cdc_field_selection": O_CDC_FIELD_SELECTION,
         "pipeline_crawl_corpus": O_PIPELINE_CRAWL_CORPUS,
         "docs_ccnet_buckets": O_DOCS_CCNET_BUCKETS,
         "emb_index_lifecycle": O_EMB_INDEX_LIFECYCLE,

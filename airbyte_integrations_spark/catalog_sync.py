@@ -178,6 +178,74 @@ def file_mtime_cursor(table: LakeTable, stream: str):
     )
 
 
+# Protocol/system columns that always ride with a record when present:
+# the envelope ids (_airbyte_*) and the CDC metadata the winner rule and
+# tombstone semantics depend on (DebeziumEventUtils.java:19-20 injects
+# them regardless of the catalog's field list; the metadata injectors
+# add _ab_cdc_lsn / _ab_cdc_log_file+pos per connector).
+SYSTEM_FIELDS = (
+    "_airbyte_ab_id",
+    "_airbyte_emitted_at",
+    "_airbyte_data",
+    "_ab_cdc_lsn",
+    "_ab_cdc_updated_at",
+    "_ab_cdc_deleted_at",
+    "_ab_cdc_log_file",
+    "_ab_cdc_log_pos",
+)
+
+
+def select_fields(events: DataFrame, cfg: SyncConfig) -> DataFrame:
+    """Catalog-driven field selection (AbstractDbSource.java:229-233):
+    restrict the source frame to ``cfg.selected_fields`` plus the
+    columns the sync itself needs — primary key, cursor, secondary
+    ordering, and the protocol system columns above (whichever exist).
+
+    Spark-first: this is ONE ``select`` on the declarative frame before
+    epoch planning, so column pruning reaches the scan (parquet
+    ReadSchema shrinks; the JDBC relation SELECTs the pruned list) —
+    unlike the reference, which builds the narrowed SQL by hand per
+    table, Catalyst derives it from the projection.
+
+    A selected field missing from the source is an error (the
+    reference silently intersects, AbstractDbSource.java:233 — but a
+    typo silently dropping a column is exactly the failure mode field
+    selection exists to prevent, so the engine rejects it); a missing
+    primary-key or cursor column is always an error."""
+    if not cfg.selected_fields:
+        return events
+    have = set(events.columns)
+    unknown = [c for c in cfg.selected_fields if c not in have]
+    if unknown:
+        raise ValueError(
+            f"stream {cfg.stream!r}: selected_fields not in source: "
+            f"{unknown}; available: {sorted(have)}"
+        )
+    required = set(cfg.primary_key)
+    if (
+        cfg.sync_mode == SyncMode.INCREMENTAL
+        or cfg.destination_sync_mode == DestinationSyncMode.APPEND_DEDUP
+    ):
+        # the cursor drives epoch planning / winner ordering in these
+        # modes; a plain full-refresh overwrite/append needs no cursor
+        required |= set(cfg.cursor_field)
+    missing = sorted(required - have)
+    if missing:
+        raise ValueError(
+            f"stream {cfg.stream!r}: primary key / cursor columns "
+            f"missing from source: {missing}"
+        )
+    keep = (
+        set(cfg.selected_fields)
+        | required
+        | {c for c in cfg.cursor_field if c in have}
+        | {c for c in cfg.secondary_order if c in have}
+        | {c for c in SYSTEM_FIELDS if c in have}
+    )
+    # preserve source column order for a deterministic landing schema
+    return events.select(*[c for c in events.columns if c in keep])
+
+
 def _seed_state(state: dict | None, stream: str):
     """Parse the incoming state document for a stream's seed values
     (used only when the destination table has no commits yet)."""
@@ -425,7 +493,7 @@ def _sync_stream(
             else spark.read.parquet(cs.source["path"])
         )
         sync_partitioned_log(
-            spark, ev, table, cfg,
+            spark, select_fields(ev, cfg), table, cfg,
             extract_missing_text=extract_missing_text,
         )
         return
@@ -481,6 +549,11 @@ def _sync_stream(
         return
     events, epoch_key, epoch_meta = _read_stream_events(spark, cs, table, state)
     if events is not None:
+        # catalog field selection: projection first, so epoch planning,
+        # dedup and MERGE all run over the pruned scan. (The http /
+        # declarative incremental paths above declare their record
+        # schema explicitly — their schema IS the field list.)
+        events = select_fields(events, cfg)
         if (
             cfg.sync_mode == SyncMode.INCREMENTAL
             and cfg.destination_sync_mode == DestinationSyncMode.APPEND_DEDUP

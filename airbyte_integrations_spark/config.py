@@ -72,4 +72,16 @@ class SyncConfig:
     # "join" (max-cursor semi-join reduction), "salted" (explicit
     # two-phase), "window" (literal reference window).
     dedup_impl: str = "agg"
+    # Field selection: when non-empty, only these payload columns (plus
+    # the primary key, cursor, secondary-order and protocol system
+    # columns, which always ride) reach the destination. Mirrors the
+    # reference's catalog-driven column restriction — AbstractDbSource
+    # queries only the fields named in the configured catalog's schema
+    # (source-relational-db/.../AbstractDbSource.java:229-233,
+    # selectedFieldsInCatalog via CatalogHelpers.getTopLevelFieldNames).
+    # Spark-first: the projection is applied to the declarative source
+    # frame before any epoch planning, so Catalyst pushes it into the
+    # scan (parquet ReadSchema / JDBC column list) — deselected columns
+    # are never read, not read-then-dropped. Empty tuple = all fields.
+    selected_fields: tuple[str, ...] = ()
     properties: dict = field(default_factory=dict)
