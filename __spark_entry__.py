@@ -386,6 +386,65 @@ WHERE w.rn = 1 AND w._ab_cdc_deleted_at IS NULL
 """
 
 
+def q_cdc_balanced_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-balanced epoch planning on a BURSTY log (first half of the
+    lsn space dense, second half stretched 997x): boundaries are exact
+    order statistics at ranks i*target (streaming/microbatch.
+    plan_epochs_balanced — coarse arithmetic histogram + per-bucket
+    rank pick, no global sort), so every epoch except the last carries
+    exactly `target` events no matter how skewed the lsn density. The
+    oracle recomputes the same partition INDEPENDENTLY via SQL
+    row_number ranks — the per-epoch (to_lsn, n_events) must agree,
+    cross-validating the distributed order-statistics planner against
+    a rank-based reference."""
+    from airbyte_integrations_spark.streaming.microbatch import (
+        plan_epochs_balanced,
+    )
+
+    tune_session(spark)
+    ce = change_events(spark, sf_dir)
+    n = ce.count()
+    h, target = n // 2, max(n // 8, 1)
+    bursty = ce.withColumn(
+        "_ab_cdc_lsn",
+        F.when(F.col("_ab_cdc_lsn") <= h, F.col("_ab_cdc_lsn")).otherwise(
+            (F.col("_ab_cdc_lsn") - h) * 997 + h
+        ),
+    )
+    eps = plan_epochs_balanced(bursty, None, target)
+    # assign every event to its planned epoch and MEASURE the balance
+    # (the boundary array is metadata-sized: k-1 literals)
+    barr = F.array(*[F.lit(int(e.to_lsn)) for e in eps[:-1]])
+    idx = F.size(F.filter(barr, lambda x: x < F.col("_ab_cdc_lsn")))
+    return (
+        bursty.groupBy(idx.alias("epoch_idx"))
+        .agg(
+            F.max("_ab_cdc_lsn").alias("to_lsn"),
+            F.count("*").alias("n_events"),
+        )
+        .select(F.col("epoch_idx").cast("long"), "to_lsn", "n_events")
+    )
+
+
+O_CDC_BALANCED_EPOCHS = f"""
+WITH {CE_SQL},
+p AS (SELECT count(*) AS n FROM ce),
+b AS (
+  SELECT CASE WHEN _ab_cdc_lsn <= n // 2 THEN _ab_cdc_lsn
+              ELSE (_ab_cdc_lsn - n // 2) * 997 + n // 2 END AS lsn,
+         greatest(n // 8, 1) AS target
+  FROM ce, p
+),
+r AS (
+  SELECT lsn, target, row_number() OVER (ORDER BY lsn) AS rn FROM b
+)
+SELECT (rn - 1) // target AS epoch_idx,
+       max(lsn) AS to_lsn,
+       count(*) AS n_events
+FROM r GROUP BY 1
+"""
+
+
 def q_cdc_incremental_cursor(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cursor scan: strictly-greater filter + new max-cursor state
     (AbstractJdbcSource.java:261-286, StateDecoratingIterator.java:50-60).
@@ -6636,6 +6695,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_maintenance_replay": q_cdc_maintenance_replay,
         "cdc_incremental_cursor": q_cdc_incremental_cursor,
         "cdc_epoch_plan": q_cdc_epoch_plan,
+        "cdc_balanced_epochs": q_cdc_balanced_epochs,
         "cdc_heartbeat_offsets": q_cdc_heartbeat_offsets,
         "cdc_changelog_diff": q_cdc_changelog_diff,
         "cdc_ivm_refresh": q_cdc_ivm_refresh,
@@ -6767,6 +6827,7 @@ def oracle_sql() -> dict[str, str]:
         "cdc_point_lookup": O_CDC_POINT_LOOKUP,
         "cdc_incremental_cursor": O_CDC_INCREMENTAL_CURSOR,
         "cdc_epoch_plan": O_CDC_EPOCH_PLAN,
+        "cdc_balanced_epochs": O_CDC_BALANCED_EPOCHS,
         "cdc_heartbeat_offsets": O_CDC_HEARTBEAT_OFFSETS,
         "cdc_changelog_diff": O_CDC_CHANGELOG_DIFF,
         "cdc_ivm_refresh": O_CDC_IVM_REFRESH,

@@ -88,6 +88,111 @@ def plan_epochs(
     return epochs
 
 
+def plan_epochs_balanced(
+    events: DataFrame,
+    from_lsn: int | None,
+    max_events_per_epoch: int,
+    lsn_col: str = "_ab_cdc_lsn",
+) -> list[Epoch]:
+    """Row-balanced epoch slicing: every epoch carries ~exactly
+    `max_events_per_epoch` events regardless of lsn density.
+
+    plan_epochs slices the lsn AXIS uniformly (density-scaled width),
+    which keeps the epoch COUNT right but not the epoch SIZES: a real
+    WAL is bursty — a hot hour can hold 100x the events of a quiet one,
+    so uniform-width slices give some epochs 100x the target (executor
+    memory pressure at apply) and others near zero (pure commit
+    overhead). This planner places boundaries at exact ORDER STATISTICS
+    of the unread tail instead: boundary i = the lsn at rank
+    i * max_events_per_epoch (ordered by lsn), so every epoch except
+    the last holds exactly the target count (lsns are unique in a
+    change log — each event is one WAL position).
+
+    Scale shape — no global sort anywhere:
+      1. one map-side-combining agg: (min, max, count) of the tail
+      2. one arithmetic histogram: lsns bucketed into G >= 8k uniform
+         range buckets (G is metadata-sized, <= 65536), counts to the
+         driver — the coarse pass of distributed order statistics
+      3. the driver walks the cumulative histogram to find, for each
+         boundary rank, its bucket + residual rank within that bucket
+      4. one filtered per-bucket window (partitionBy bucket — parallel
+         across the few boundary buckets, each ~target/8 rows) picks
+         the exact lsn at each residual rank
+    Cost: two scans + one small shuffle of only the boundary buckets.
+
+    Determinism & resume: boundary ranks are fixed multiples of
+    `max_events_per_epoch`, so after J epochs commit (J * target rows
+    consumed) a re-plan over the remaining tail puts boundaries at the
+    SAME lsns — crash/re-run replans the identical epochs and the
+    commit log skips them (epoch_id = from_lsn, as everywhere).
+
+    Lineage: balanced plans are not uniform-width in lsn, so
+    compute_lineage_bulk declines them and run_sync falls back to
+    per-epoch lineage — use the default planner when a sync plans
+    >> 10^2 epochs and lineage cost dominates.
+    """
+    lo = from_lsn if from_lsn is not None else -(2**62)
+    tail = events.filter(F.col(lsn_col) > F.lit(lo)).select(lsn_col)
+    row = tail.agg(
+        F.min(lsn_col).alias("lo"), F.max(lsn_col).alias("hi"), F.count("*").alias("n")
+    ).collect()[0]
+    if row["n"] == 0:
+        return []
+    lo_seen, hi, n = int(row["lo"]), int(row["hi"]), int(row["n"])
+    start = from_lsn if from_lsn is not None else lo_seen - 1
+    target = max(max_events_per_epoch, 1)
+    k = (n + target - 1) // target
+    if k <= 1:
+        return [Epoch(epoch_id=start, from_lsn=start, to_lsn=hi)]
+    span = hi - start
+    g = int(min(max(k * 8, 64), 65_536))
+    bwidth = max((span + g - 1) // g, 1)
+    # bucket of an lsn in (start, hi]: arithmetic, no shuffle of events
+    bucket = ((F.col(lsn_col) - F.lit(start) - 1) / F.lit(bwidth)).cast("long")
+    hist = {
+        int(r["b"]): int(r["cnt"])
+        for r in tail.groupBy(bucket.alias("b")).agg(F.count("*").alias("cnt")).collect()
+    }
+    # driver walk: rank -> (bucket, residual rank inside bucket)
+    ranks = [i * target for i in range(1, k)]  # k-1 interior boundaries
+    need: dict[int, list[int]] = {}
+    cum = 0
+    it = iter(sorted(hist.items()))
+    b, cnt = next(it)
+    for r in ranks:
+        while cum + cnt < r:
+            cum += cnt
+            b, cnt = next(it)
+        need.setdefault(b, []).append(r - cum)
+    from pyspark.sql import Window
+
+    sub = tail.filter(bucket.isin(list(need))).select(
+        bucket.alias("b"), F.col(lsn_col).alias("v")
+    )
+    wn = Window.partitionBy("b").orderBy(F.col("v").asc())
+    # the boundary (bucket, residual-rank) pairs are metadata-sized
+    # (k-1 rows): broadcast-join them against the ranked buckets
+    pairs = events.sparkSession.createDataFrame(
+        [(bb, rr) for bb, rrs in need.items() for rr in rrs], "b long, rn long"
+    )
+    picked = (
+        sub.withColumn("rn", F.row_number().over(wn))
+        .join(F.broadcast(pairs), ["b", "rn"], "semi")
+        .select("v")
+        .collect()
+    )
+    boundaries = sorted(int(r["v"]) for r in picked)
+    epochs: list[Epoch] = []
+    prev = start
+    for bnd in boundaries:
+        if bnd > prev:
+            epochs.append(Epoch(epoch_id=prev, from_lsn=prev, to_lsn=bnd))
+            prev = bnd
+    if prev < hi:
+        epochs.append(Epoch(epoch_id=prev, from_lsn=prev, to_lsn=hi))
+    return epochs
+
+
 def plan_epochs_tx(
     events: DataFrame,
     from_lsn: int | None,
@@ -237,6 +342,7 @@ def run_sync(
     max_epochs: int | None = None,
     compact_threshold: int | None = 8,
     tx_col: str | None = None,
+    balanced: bool = False,
     heartbeat_position: int | None = None,
     refresh_views: list | None = None,
 ) -> list[Epoch]:
@@ -260,8 +366,14 @@ def run_sync(
     per epoch); safe to kill at any point (snapshot isolation)."""
     lsn_col = config.cursor_field[0]
     wm = table.watermark(config.stream)
+    if tx_col is not None and balanced:
+        raise ValueError("tx_col and balanced are mutually exclusive epoch planners")
     if tx_col is not None:
         epochs = plan_epochs_tx(events, wm, max_events_per_epoch, tx_col, lsn_col)
+    elif balanced:
+        # row-balanced boundaries for bursty logs (order-statistics
+        # planner); lineage falls back to per-epoch automatically
+        epochs = plan_epochs_balanced(events, wm, max_events_per_epoch, lsn_col)
     else:
         epochs = plan_epochs(events, wm, max_events_per_epoch, lsn_col)
     if max_epochs is not None:
