@@ -567,6 +567,9 @@ def _sync_stream(
                 cfg,
                 max_events_per_epoch=max_events_per_epoch,
                 extract_missing_text=extract_missing_text,
+                # row-balanced epoch planning for bursty logs, opt-in
+                # per stream (SyncConfig.properties)
+                balanced=bool(cfg.properties.get("balanced_epochs")),
                 # source's current WAL position (Debezium heartbeat):
                 # advances the offset past quiet streams so re-reads
                 # skip consumed history even when this table saw no

@@ -50,6 +50,7 @@ def compute_lineage_bulk(
     stream: str,
     epochs,
     lsn_col: str = "_ab_cdc_lsn",
+    balanced_target: int | None = None,
 ):
     """Every planned epoch's per-partition lineage in ONE scan.
 
@@ -64,8 +65,15 @@ def compute_lineage_bulk(
     Returns (pandas body rows incl. `epoch`, pyarrow schema of the body
     without `epoch`) for write_lineage_rows, or None when the plan is
     not uniform-width contiguous (e.g. tx-aligned boundaries) — callers
-    fall back to per-epoch compute_lineage."""
+    fall back to per-epoch compute_lineage. Row-balanced plans are not
+    uniform in lsn width but ARE bulk-computable from their rank
+    structure: pass `balanced_target` (the planner's
+    max_events_per_epoch) to route them to lineage_balanced_frame."""
     lin = lineage_bulk_frame(events, stream, epochs, lsn_col)
+    if lin is None and balanced_target is not None:
+        lin = lineage_balanced_frame(
+            events, stream, epochs, lsn_col, balanced_target
+        )
     if lin is None:
         return None
     schema = _pa_body_schema(lin)
@@ -124,6 +132,98 @@ def lineage_bulk_frame(
         )
     )
     return lin
+
+
+def lineage_balanced_frame(
+    events: DataFrame,
+    stream: str,
+    epochs,
+    lsn_col: str = "_ab_cdc_lsn",
+    target: int | None = None,
+):
+    """Bulk lineage for ROW-BALANCED plans (plan_epochs_balanced):
+    boundaries are order statistics at ranks i*target, so an event's
+    epoch INDEX is pure rank arithmetic — (rank-1) div target — and the
+    global rank is computed without a global sort by the same two-phase
+    scheme the planner used: an arithmetic coarse-bucket histogram
+    (metadata-sized, collected once) plus one rank window PARTITIONED
+    BY bucket (parallel across buckets; the only event-sized Exchange,
+    and it carries just (lsn, deleted_at, pid)). The alternative —
+    per-epoch lineage scans — is a scheduler storm at large epoch
+    counts, the exact problem compute_lineage_bulk solved for uniform
+    plans.
+
+    Preconditions (both are the balanced planner's own): the plan is
+    contiguous, and lsns are unique within the tail. Returns None when
+    the plan is not contiguous or `target` is missing."""
+    if not epochs or not target or target < 1:
+        return None
+    prev = epochs[0].from_lsn
+    for ep in epochs:
+        if ep.from_lsn != prev or ep.to_lsn <= ep.from_lsn:
+            return None
+        prev = ep.to_lsn
+    start, last_to = epochs[0].from_lsn, epochs[-1].to_lsn
+    spark = events.sparkSession
+    tail = (
+        events.filter(
+            (F.col(lsn_col) > F.lit(start)) & (F.col(lsn_col) <= F.lit(last_to))
+        )
+        # source partition id captured BEFORE the rank Exchange
+        .withColumn("_pid", F.spark_partition_id())
+        .select(lsn_col, "_ab_cdc_deleted_at", "_pid")
+    )
+    k = len(epochs)
+    span = last_to - start
+    g = int(min(max(k * 8, 64), 65_536))
+    bwidth = max((span + g - 1) // g, 1)
+    bucket = F.expr(f"((`{lsn_col}` - {start}L - 1L) div {bwidth}L)")
+    hist = sorted(
+        (int(r["b"]), int(r["cnt"]))
+        for r in tail.groupBy(bucket.alias("b"))
+        .agg(F.count("*").alias("cnt"))
+        .collect()
+    )
+    if not hist:
+        return None
+    cum_rows, c = [], 0
+    for b, cnt in hist:
+        cum_rows.append((b, c))
+        c += cnt
+    cumdf = spark.createDataFrame(cum_rows, "b long, cum long")
+    emap = spark.createDataFrame(
+        [(i, int(ep.from_lsn)) for i, ep in enumerate(epochs)], "idx long, epoch long"
+    )
+    from pyspark.sql import Window
+
+    wn = Window.partitionBy("b").orderBy(F.col(lsn_col).asc())
+    ranked = (
+        tail.withColumn("b", bucket)
+        .withColumn("rb", F.row_number().over(wn))
+        .join(F.broadcast(cumdf), "b")
+        .withColumn("idx", F.expr(f"((cum + rb - 1) div {int(target)}L)"))
+        .join(F.broadcast(emap), "idx")
+    )
+    return (
+        ranked.groupBy("epoch", "_pid")
+        .agg(
+            F.min(lsn_col).alias("from_lsn"),
+            F.max(lsn_col).alias("to_lsn"),
+            F.count("*").alias("n_events"),
+            F.sum(
+                F.col("_ab_cdc_deleted_at").isNotNull().cast("long")
+            ).alias("n_deletes"),
+        )
+        .select(
+            F.lit(stream).alias("stream"),
+            "epoch",
+            F.col("_pid").alias("partition_id"),
+            "from_lsn",
+            "to_lsn",
+            "n_events",
+            "n_deletes",
+        )
+    )
 
 
 def _pa_body_schema(lineage: DataFrame):

@@ -148,7 +148,8 @@ def plan_epochs_balanced(
     g = int(min(max(k * 8, 64), 65_536))
     bwidth = max((span + g - 1) // g, 1)
     # bucket of an lsn in (start, hi]: arithmetic, no shuffle of events
-    bucket = ((F.col(lsn_col) - F.lit(start) - 1) / F.lit(bwidth)).cast("long")
+    # (integer `div`, not float division — exact at full 64-bit lsn range)
+    bucket = F.expr(f"((`{lsn_col}` - {start}L - 1L) div {bwidth}L)")
     hist = {
         int(r["b"]): int(r["cnt"])
         for r in tail.groupBy(bucket.alias("b")).agg(F.count("*").alias("cnt")).collect()
@@ -384,7 +385,10 @@ def run_sync(
     # 10^4-epoch design point. Tx-aligned plans (non-uniform) fall back
     # to per-epoch scans.
     bulk = (
-        compute_lineage_bulk(events, config.stream, epochs, lsn_col)
+        compute_lineage_bulk(
+            events, config.stream, epochs, lsn_col,
+            balanced_target=max_events_per_epoch if balanced else None,
+        )
         if any(
             not table.is_epoch_committed(config.stream, ep.epoch_id)
             for ep in epochs

@@ -132,3 +132,86 @@ def test_balanced_and_tx_are_mutually_exclusive(spark, tmp_path, bursty):
             spark, bursty, t, SyncConfig(stream="pages"), balanced=True,
             tx_col="_airbyte_ab_id",
         )
+
+
+def test_balanced_bulk_lineage_equals_per_epoch(spark, bursty):
+    from airbyte_integrations_spark.lineage import (
+        compute_lineage,
+        compute_lineage_bulk,
+        lineage_balanced_frame,
+    )
+
+    eps = plan_epochs_balanced(bursty, None, 500)
+    lin = lineage_balanced_frame(bursty, "pages", eps, target=500)
+    got = {
+        (r["epoch"],): (r["from"], r["to"], r["n"], r["d"])
+        for r in lin.groupBy("epoch")
+        .agg(
+            F.min("from_lsn").alias("from"),
+            F.max("to_lsn").alias("to"),
+            F.sum("n_events").alias("n"),
+            F.sum("n_deletes").alias("d"),
+        )
+        .collect()
+    }
+    for ep in eps:
+        batch = bursty.filter(
+            (F.col("_ab_cdc_lsn") > ep.from_lsn)
+            & (F.col("_ab_cdc_lsn") <= ep.to_lsn)
+        )
+        ref = (
+            compute_lineage(batch, "pages", ep.epoch_id)
+            .groupBy("epoch")
+            .agg(
+                F.min("from_lsn").alias("from"),
+                F.max("to_lsn").alias("to"),
+                F.sum("n_events").alias("n"),
+                F.sum("n_deletes").alias("d"),
+            )
+            .collect()[0]
+        )
+        assert got[(ep.epoch_id,)] == (ref["from"], ref["to"], ref["n"], ref["d"])
+    # dispatch: compute_lineage_bulk routes balanced plans when told
+    assert compute_lineage_bulk(bursty, "pages", eps) is None  # non-uniform
+    pdf, _ = compute_lineage_bulk(bursty, "pages", eps, balanced_target=500)
+    assert int(pdf["n_events"].sum()) == N
+    assert set(pdf["epoch"]) == {e.epoch_id for e in eps}
+
+
+def test_run_sync_balanced_writes_full_lineage(spark, tmp_path, bursty):
+    from airbyte_integrations_spark.lineage import read_lineage
+
+    cfg = SyncConfig(stream="pages", n_buckets=4)
+    t = LakeTable(spark, str(tmp_path / "tl"))
+    eps = run_sync(
+        spark, bursty, t, cfg, max_events_per_epoch=500, balanced=True,
+        extract_missing_text=False,
+    )
+    lin = read_lineage(spark, t.root)
+    assert lin.agg(F.sum("n_events")).collect()[0][0] == N
+    assert set(
+        r["epoch"] for r in lin.select("epoch").distinct().collect()
+    ) == {e.epoch_id for e in eps}
+
+
+def test_catalog_property_routes_balanced_planner(spark, tmp_path, bursty):
+    from airbyte_integrations_spark.catalog_sync import (
+        ConfiguredCatalog,
+        ConfiguredStream,
+        read_catalog,
+        stream_table,
+    )
+
+    cfg = SyncConfig(
+        stream="pages", n_buckets=4, properties={"balanced_epochs": True}
+    )
+    cat = ConfiguredCatalog(
+        streams=(
+            ConfiguredStream(config=cfg, source={"kind": "dataframe", "df": bursty}),
+        )
+    )
+    lake = str(tmp_path / "lake")
+    read_catalog(spark, cat, lake, max_events_per_epoch=500)
+    t = stream_table(spark, lake, "pages")
+    want = {str(e.epoch_id) for e in plan_epochs_balanced(bursty, None, 500)}
+    assert set(t.committed_epochs("pages")) == want

@@ -653,6 +653,43 @@ def main() -> None:
             "span-hash-keyed; regroup bounded by one doc's span count",
         )
 
+    from airbyte_integrations_spark.catalog_sync import select_fields
+    from airbyte_integrations_spark.config import SyncConfig
+    from airbyte_integrations_spark.lineage import lineage_balanced_frame
+    from airbyte_integrations_spark.streaming.microbatch import (
+        plan_epochs_balanced,
+    )
+
+    fs_plan = (
+        select_fields(ev, SyncConfig(stream="pages", selected_fields=("html",)))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    fs_schema = [ln for ln in fs_plan.splitlines() if "ReadSchema" in ln][0]
+    check(
+        "catalog field selection prunes the parquet scan (deselected "
+        "columns never read, not read-then-dropped)",
+        "lang" not in fs_schema and "warc_ts" not in fs_schema
+        and "html" in fs_schema and "url" in fs_schema,
+        "ReadSchema drops deselected payload columns; pk/cursor/system ride",
+    )
+
+    eps_b = plan_epochs_balanced(ev, None, 10_000)
+    lb_plan = (
+        lineage_balanced_frame(ev, "pages", eps_b, target=10_000)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    check(
+        "balanced-plan bulk lineage: global rank via bucket-partitioned "
+        "window (no single-partition Sort anywhere), cum/epoch maps "
+        "broadcast, final per-(epoch,pid) agg map-side partial",
+        "Exchange SinglePartition" not in lb_plan
+        and "BroadcastHashJoin" in lb_plan
+        and "partial_min" in lb_plan,
+        "one bucket-keyed Exchange of (lsn, deleted_at, pid) is the only "
+        "event-sized shuffle; all epochs' lineage in one job instead of "
+        "one scan per epoch",
+    )
+
     out = ["# PLANS — physical-plan evidence (generated by tools/capture_plans.py)", ""]
     ok_all = True
     for name, ok, ev in CHECKS:
