@@ -97,6 +97,13 @@ def plan_epochs_balanced(
     """Row-balanced epoch slicing: every epoch carries ~exactly
     `max_events_per_epoch` events regardless of lsn density.
 
+    Reference: the Debezium engine consumes the log in EVENT-COUNT
+    batches, not lsn-width batches — `max.batch.size=2048` set at
+    DebeziumRecordPublisher.java:132 (AirbyteDebeziumHandler.java:42
+    documents the default); this planner is that contract for a
+    declarative bounded replay, computed as exact order statistics so
+    a crashed run replans identical boundaries.
+
     plan_epochs slices the lsn AXIS uniformly (density-scaled width),
     which keeps the epoch COUNT right but not the epoch SIZES: a real
     WAL is bursty — a hot hour can hold 100x the events of a quiet one,
