@@ -3255,6 +3255,81 @@ FROM ce
 """
 
 
+def q_cdc_global_state_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared-WAL multi-stream sync with GLOBAL state through the REAL
+    lock-step loop (catalog_sync.sync_shared_log): the change log is
+    tagged into two member streams (md5-prefix url routing — one total
+    lsn order across both, the Debezium one-WAL-many-tables shape,
+    PostgresCdcStateHandler.java:29-37 / CdcStateManager), synced into
+    per-member LakeTables with SHARED lsn-bounded epoch keys, the
+    derived GLOBAL offset emitted after each epoch's last member
+    commit. In-query assertions pin the protocol invariants (lock-step
+    epoch keys identical across members, final GLOBAL offset == max
+    WAL lsn, monotone per-epoch offsets); the returned per-member
+    row-count / lsn-checksum / watermark must equal the per-member
+    winner-rule oracles."""
+    import tempfile
+
+    from airbyte_integrations_spark.catalog_sync import (
+        ConfiguredStream,
+        stream_table,
+        sync_shared_log,
+    )
+    from airbyte_integrations_spark.config import SyncConfig
+
+    tune_session(spark)
+    ce = change_events(spark, sf_dir).withColumn(
+        "stream",
+        F.when(
+            F.substring(F.md5("url"), 1, 1) < F.lit("8"), F.lit("pages_a")
+        ).otherwise(F.lit("pages_b")),
+    )
+    hi, n = ce.agg(F.max("_ab_cdc_lsn"), F.count("*")).collect()[0]
+    scratch = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    lake_root = tempfile.mkdtemp(prefix="global_entry_", dir=scratch)
+    streams = [
+        ConfiguredStream(
+            config=SyncConfig(stream=name, n_buckets=8, write_mode=mode),
+            source={"kind": "cdc_shared", "group": "wal", "df": ce},
+        )
+        for name, mode in (("pages_a", "cow"), ("pages_b", "mor"))
+    ]
+    msgs = sync_shared_log(
+        spark, streams, lake_root, max_events_per_epoch=max(int(n) // 4, 1)
+    )
+    # protocol invariants, asserted in-query
+    ta = stream_table(spark, lake_root, "pages_a")
+    tb = stream_table(spark, lake_root, "pages_b")
+    assert set(ta.committed_epochs("pages_a")) == set(tb.committed_epochs("pages_b"))
+    offsets = [m["state"]["global"]["lsn_watermark"] for m in msgs]
+    assert offsets == sorted(offsets) and offsets[-1] == int(hi)
+    assert sync_shared_log(  # derived offset is durable: re-run plans nothing
+        spark, streams, lake_root, max_events_per_epoch=max(int(n) // 4, 1)
+    ) == []
+
+    def summarize(table, name):
+        return table.read_live().agg(
+            F.lit(name).alias("stream"),
+            F.count("*").alias("n_rows"),
+            F.sum("_ab_cdc_lsn").alias("sum_lsn"),
+            F.lit(table.watermark(name)).cast("long").alias("watermark"),
+        )
+
+    return summarize(ta, "pages_a").unionByName(summarize(tb, "pages_b"))
+
+
+O_CDC_GLOBAL_STATE_SYNC = f"""
+WITH {CE_SQL}, {WINNERS_SQL}
+SELECT CASE WHEN substr(md5(url), 1, 1) < '8'
+            THEN 'pages_a' ELSE 'pages_b' END AS stream,
+       count(*) AS n_rows,
+       CAST(sum(_ab_cdc_lsn) AS BIGINT) AS sum_lsn,
+       (SELECT max(_ab_cdc_lsn) FROM ce) AS watermark
+FROM w WHERE rn = 1 AND _ab_cdc_deleted_at IS NULL
+GROUP BY 1
+"""
+
+
 def q_cdc_incremental_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Chunked incremental snapshot (DBLog watermark algorithm;
     Debezium incremental snapshots) through the REAL interleaved loop
@@ -6711,6 +6786,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_composite_pk_dedup": q_cdc_composite_pk_dedup,
         "cdc_event_time_rates": q_cdc_event_time_rates,
         "cdc_catalog_sync": q_cdc_catalog_sync,
+        "cdc_global_state_sync": q_cdc_global_state_sync,
         "cdc_field_selection": q_cdc_field_selection,
         "cdc_point_lookup": q_cdc_point_lookup,
         "pipeline_crawl_corpus": q_pipeline_crawl_corpus,
@@ -6843,6 +6919,7 @@ def oracle_sql() -> dict[str, str]:
         "cdc_composite_pk_dedup": O_CDC_COMPOSITE_PK_DEDUP,
         "cdc_event_time_rates": O_CDC_EVENT_TIME_RATES,
         "cdc_catalog_sync": O_CDC_CATALOG_SYNC,
+        "cdc_global_state_sync": O_CDC_GLOBAL_STATE_SYNC,
         "cdc_field_selection": O_CDC_FIELD_SELECTION,
         "pipeline_crawl_corpus": O_PIPELINE_CRAWL_CORPUS,
         "docs_ccnet_buckets": O_DOCS_CCNET_BUCKETS,

@@ -57,6 +57,9 @@ class ConfiguredStream:
       {"kind": "files", "root": ..., "format": ..., "suffix": ...,
        "options": {...}}
       {"kind": "dataframe", "df": DataFrame}  (tests / embedded use)
+      {"kind": "cdc_shared", "group": <wal id>, "df"/"path": <shared
+       interleaved log>, "stream_col": "stream"}  — members of one
+       group sync lock-step through sync_shared_log (GLOBAL state)
     """
 
     config: SyncConfig
@@ -630,6 +633,209 @@ def _sync_stream(
     return
 
 
+def sync_shared_log(
+    spark: SparkSession,
+    streams: list[ConfiguredStream],
+    lake_root: str,
+    state: dict | None = None,
+    max_events_per_epoch: int = 1_000_000,
+    extract_missing_text: bool = False,
+    heartbeat_position: int | None = None,
+    on_commit=None,
+) -> list[dict]:
+    """Shared-WAL multi-stream CDC sync with GLOBAL state — the
+    Debezium-source shape the per-stream loop cannot express.
+
+    Reference: a log-based CDC source tails ONE replication log for
+    ALL of its streams and checkpoints ONE offset for the connection —
+    `CdcStateManager` holds a single `CdcState` (the Debezium offset
+    map) next to the per-stream cursors and every STATE emission
+    carries it whole (source-postgres/.../PostgresCdcStateHandler.java:
+    29-37 saveState; airbyte_protocol.py:260-266 AirbyteStateMessage's
+    `global` arm). Committing per-stream offsets independently against
+    a shared WAL is wrong in both directions: a laggard stream resumed
+    from another stream's higher offset skips its events, and re-tailing
+    from the lowest per-stream offset re-reads every other stream's
+    history. This loop is the protocol's answer re-expressed over lake
+    sinks:
+
+    - `log` is the interleaved WAL: one DataFrame holding every member
+      stream's change events, routed by a `stream` column, with one
+      TOTAL lsn order across streams (WAL positions are global).
+    - Epochs are planned ONCE over the interleaved tail
+      (plan_epochs — deterministic in the global watermark), and each
+      epoch applies to every member table under the SAME lsn-bounded
+      epoch key `g<from>:<to>` before the next epoch starts. A member
+      with no events in the slice still commits the (zero-row) epoch,
+      so quiet streams never hold the shared offset back — the
+      heartbeat problem solved structurally.
+    - The durable GLOBAL offset is DERIVED, never stored: it is the
+      minimum committed watermark across member tables (exactly
+      catalog_state_message(flavor="GLOBAL")), so the commit logs
+      remain the single source of truth and killing this loop anywhere
+      converges on re-run.
+    - Resume safety when members disagree (crash mid-epoch): replanning
+      from the minimum watermark may slice the recovered tail at
+      different boundaries than the crashed run, so epoch keys carry
+      BOTH bounds (a shifted boundary is a new key, never a false
+      committed-skip), and each member filters its slice to
+      `lsn > its own starting watermark` so the ahead member re-applies
+      nothing — it commits zero-row epochs until the laggard catches up.
+
+    Returns one GLOBAL STATE document per fully-committed epoch (the
+    state-after-commit cadence), plus one after a heartbeat advance.
+    `on_commit(stream, epoch_key)` fires after each member's durable
+    commit (crash-injection hook)."""
+    from airbyte_integrations_spark.functions.extract import with_extracted_text
+    from airbyte_integrations_spark.lakehouse.merge import merge_into
+    from airbyte_integrations_spark.lineage import (
+        compute_lineage,
+        compute_lineage_bulk,
+        write_lineage,
+        write_lineage_rows,
+    )
+    from airbyte_integrations_spark.streaming.microbatch import plan_epochs
+
+    if not streams:
+        return []
+    first = streams[0].source
+    log = first["df"] if "df" in first else spark.read.parquet(first["path"])
+    stream_col = first.get("stream_col", "stream")
+    if stream_col not in log.columns:
+        raise ValueError(f"shared log has no stream-routing column {stream_col!r}")
+    lsn_col = streams[0].config.cursor_field[0]
+    for cs in streams:
+        cfg = cs.config
+        if cfg.sync_mode != SyncMode.INCREMENTAL or (
+            cfg.destination_sync_mode != DestinationSyncMode.APPEND_DEDUP
+        ):
+            raise ValueError(
+                f"stream {cfg.stream!r}: a shared log is a CDC feed — members "
+                "must be incremental/append_dedup"
+            )
+        if cfg.cursor_field[0] != lsn_col:
+            raise ValueError(
+                f"stream {cfg.stream!r}: members of one shared log share one "
+                f"lsn order ({lsn_col!r}), got cursor {cfg.cursor_field[0]!r}"
+            )
+    names = [cs.config.stream for cs in streams]
+    if len(set(names)) != len(names):
+        raise ValueError(f"duplicate stream names in shared-log group: {names}")
+    tables = {n: stream_table(spark, lake_root, n) for n in names}
+    # Per-member floor: its own durable watermark, else the incoming
+    # state document's seed (fresh destination), else unbounded.
+    floor: dict[str, int | None] = {}
+    for n in names:
+        wm = tables[n].watermark(n)
+        if wm is None:
+            wm, _ = _seed_state(state, n)
+        floor[n] = wm
+    # Global resume point: the minimum member floor — a laggard must
+    # never be resumed from another stream's higher offset. Any member
+    # without a floor means the whole tail is unread for it.
+    global_wm = (
+        None
+        if any(f is None for f in floor.values())
+        else min(f for f in floor.values())
+    )
+    epochs = plan_epochs(log, global_wm, max_events_per_epoch, lsn_col)
+    cat = ConfiguredCatalog(streams=tuple(streams))
+    messages: list[dict] = []
+    # Per-member bulk lineage (one tail scan per member, not one job
+    # per (member, epoch) — the scheduler-storm guard run_sync uses).
+    bulk: dict[str, tuple] = {}
+    for cs in streams:
+        n = cs.config.stream
+        member_events = log.filter(F.col(stream_col) == n)
+        if floor[n] is not None:
+            member_events = member_events.filter(F.col(lsn_col) > F.lit(floor[n]))
+        if any(
+            not tables[n].is_epoch_committed(n, f"g{ep.from_lsn}:{ep.to_lsn}")
+            for ep in epochs
+        ):
+            b = compute_lineage_bulk(member_events, n, epochs, lsn_col)
+            if b is not None:  # plan_epochs plans are always uniform
+                bulk[n] = b
+    for ep in epochs:
+        key = f"g{ep.from_lsn}:{ep.to_lsn}"
+        meta = {"from_lsn": ep.from_lsn, "to_lsn": ep.to_lsn, "shared_log": True}
+        for cs in streams:
+            n = cs.config.stream
+            cfg = cs.config
+            table = tables[n]
+            if table.is_epoch_committed(n, key):
+                continue
+            sl = log.filter(
+                (F.col(lsn_col) > F.lit(ep.from_lsn))
+                & (F.col(lsn_col) <= F.lit(ep.to_lsn))
+                & (F.col(stream_col) == n)
+            )
+            if floor[n] is not None:
+                # ahead-member guard on resume: never re-apply below
+                # the member's own durable/seeded offset
+                sl = sl.filter(F.col(lsn_col) > F.lit(floor[n]))
+            sl = select_fields(sl.drop(stream_col), cfg)
+            if n in bulk:
+                pdf, pa_schema = bulk[n]
+                rows = pdf[pdf["epoch"] == ep.epoch_id].drop(columns=["epoch"])
+                write_lineage_rows(rows, pa_schema, table.root, ep.epoch_id)
+            else:  # non-uniform plan fallback (unreachable for plan_epochs)
+                write_lineage(
+                    compute_lineage(sl, n, ep.epoch_id, lsn_col),
+                    table.root,
+                    ep.epoch_id,
+                )
+            transform = (
+                with_extracted_text
+                if extract_missing_text and "html" in sl.columns
+                else None
+            )
+            merge_into(
+                table,
+                sl,
+                stream=n,
+                epoch=key,
+                epoch_meta=meta,
+                cursor=lsn_col,
+                secondary=cfg.secondary_order,
+                transform_winners=transform,
+                mode=cfg.write_mode,
+                dedup_impl=cfg.dedup_impl,
+                key=cfg.primary_key,
+                n_buckets=cfg.n_buckets,
+            )
+            if on_commit is not None:
+                on_commit(n, key)
+        # state-after-commit: the GLOBAL document is derived from the
+        # member commit logs only after EVERY member committed the epoch
+        messages.append(
+            catalog_state_message(spark, cat, lake_root, flavor="GLOBAL")
+        )
+    if heartbeat_position is not None:
+        advanced = False
+        for n in names:
+            table = tables[n]
+            if not table.exists():
+                continue
+            final = table.watermark(n)
+            if final is None or heartbeat_position > final:
+                table.commit_marker_epoch(
+                    n,
+                    f"hb:{heartbeat_position}",
+                    {
+                        "from_lsn": final,
+                        "to_lsn": heartbeat_position,
+                        "heartbeat": True,
+                    },
+                )
+                advanced = True
+        if advanced:
+            messages.append(
+                catalog_state_message(spark, cat, lake_root, flavor="GLOBAL")
+            )
+    return messages
+
+
 def read_catalog(
     spark: SparkSession,
     catalog: ConfiguredCatalog,
@@ -658,9 +864,42 @@ def read_catalog(
     and commit barriers). Each stream syncs into its OWN table, so
     streams share no commit log; each worker thread tags its jobs with
     a per-stream FAIR scheduler pool. STATE messages are still emitted
-    one-per-commit, in commit order."""
+    one-per-commit, in commit order.
+
+    Streams with source kind "cdc_shared" are grouped by their
+    `source["group"]` tag and each group syncs through sync_shared_log
+    (one interleaved WAL, one derived GLOBAL offset, lock-step epochs)
+    BEFORE the per-stream loop — shared-log members are incremental by
+    contract, so the incremental-first ordering is preserved. Their
+    STATE documents are the GLOBAL arm; per-stream hooks fire once per
+    member after the group commits."""
+    shared: dict[str, list[ConfiguredStream]] = {}
+    solo: list[ConfiguredStream] = []
+    for cs in catalog.streams:
+        if cs.source.get("kind") == "cdc_shared":
+            shared.setdefault(cs.source.get("group", "wal"), []).append(cs)
+        else:
+            solo.append(cs)
+    shared_messages: list[dict] = []
+    for group in shared.values():
+        shared_messages.extend(
+            sync_shared_log(
+                spark,
+                group,
+                lake_root,
+                state=state,
+                max_events_per_epoch=max_events_per_epoch,
+                extract_missing_text=extract_missing_text,
+                heartbeat_position=group[0].source.get("heartbeat_position"),
+            )
+        )
+        if on_stream_committed is not None:
+            for cs in group:
+                on_stream_committed(cs.config.stream)
+    if shared:
+        catalog = ConfiguredCatalog(streams=tuple(solo))
     if max_concurrency <= 1:
-        messages: list[dict] = []
+        messages: list[dict] = shared_messages
         for cs in ordered_streams(catalog):
             table = stream_table(spark, lake_root, cs.config.stream)
             _sync_stream(
@@ -675,7 +914,7 @@ def read_catalog(
     from concurrent.futures import ThreadPoolExecutor
 
     lock = threading.Lock()
-    messages = []
+    messages = shared_messages
 
     def run_one(cs: ConfiguredStream) -> None:
         # per-thread local property: jobs from this stream land in
