@@ -278,6 +278,27 @@ def _read_stream_events(
     mtime-bounded batch with a deterministic epoch key."""
     kind = cs.source.get("kind", "cdc_log")
     cfg = cs.config
+    if kind == "cdc_shared":
+        # One member's view of the shared WAL (a pure source read —
+        # the lock-step commit loop is sync_shared_log; here the slice
+        # is just this member's routed events past the GLOBAL offset,
+        # resume_lsn accepts the GLOBAL state arm directly).
+        ev = (
+            cs.source["df"]
+            if "df" in cs.source
+            else spark.read.parquet(cs.source["path"])
+        )
+        stream_col = cs.source.get("stream_col", "stream")
+        if stream_col not in ev.columns:
+            raise ValueError(
+                f"shared log has no stream-routing column {stream_col!r}"
+            )
+        ev = ev.filter(F.col(stream_col) == cfg.stream).drop(stream_col)
+        if table.watermark(cfg.stream) is None:
+            seed, _ = _seed_state(state, cfg.stream)
+            if seed is not None:
+                ev = ev.filter(F.col(cfg.cursor_field[0]) > F.lit(seed))
+        return ev, None, {}
     if kind in ("dataframe", "cdc_log"):
         ev = (
             cs.source["df"]

@@ -52,6 +52,7 @@ from airbyte_integrations_spark.connector import check, discover, mask_secrets, 
 # embedded-use only — not expressible as JSON)
 _JSON_KINDS = (
     "cdc_log",
+    "cdc_shared",
     "files",
     "url_file",
     "http",
@@ -353,9 +354,11 @@ def run(
     rd.add_argument("--catalog", required=True)
     rd.add_argument("--state", default=None)
     rd.add_argument(
-        "--state-type", default="PER_STREAM",
+        "--state-type", default=None,
         choices=("PER_STREAM", "GLOBAL"),
-        help="STATE flavor to emit (GLOBAL = one shared WAL offset)",
+        help="STATE flavor to emit (GLOBAL = one shared WAL offset); "
+        "defaults to PER_STREAM, or GLOBAL when the catalog carries a "
+        "cdc_shared stream (a shared WAL has one offset by contract)",
     )
     wr = sub.add_parser("write")
     wr.add_argument("--config", required=True)
@@ -414,7 +417,13 @@ def run(
     # read
     catalog = configured_catalog_from_json(_load_json(args.catalog))
     state = _load_json(args.state) if args.state else None
-    _read(spark, config, catalog, state, out, state_type=args.state_type)
+    state_type = args.state_type
+    if state_type is None:
+        shared = any(
+            cs.source.get("kind") == "cdc_shared" for cs in catalog.streams
+        )
+        state_type = "GLOBAL" if shared else "PER_STREAM"
+    _read(spark, config, catalog, state, out, state_type=state_type)
     return 0
 
 

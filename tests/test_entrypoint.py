@@ -293,3 +293,104 @@ def test_read_cli_global_state_flavor(spark, tmp_path, log_dir):
     hi = spark.read.parquet(log_dir).agg(F.max("_ab_cdc_lsn")).collect()[0][0]
     assert st["state_type"] == "GLOBAL"
     assert st["global"]["lsn_watermark"] == hi
+
+
+def _shared_catalog_file(tmp_path, wal_dir):
+    doc = {
+        "streams": [
+            {
+                "name": n,
+                "sync_mode": "incremental",
+                "destination_sync_mode": "append_dedup",
+                "primary_key": ["url"],
+                "cursor_field": ["_ab_cdc_lsn"],
+                "source": {"kind": "cdc_shared", "group": "wal",
+                           "path": wal_dir},
+            }
+            for n in ("pages_a", "pages_b")
+        ]
+    }
+    cat = tmp_path / "shared_catalog.json"
+    cat.write_text(json.dumps(doc))
+    return str(cat)
+
+
+@pytest.fixture()
+def wal_dir(spark, tmp_path):
+    """Interleaved two-stream WAL on one total lsn order (a on even
+    global positions, b on odd)."""
+    a = (
+        gen_change_events(spark, 240, n_urls=50, seed="wal_a")
+        .withColumn("_ab_cdc_lsn", 2 * F.col("_ab_cdc_lsn"))
+        .withColumn("stream", F.lit("pages_a"))
+    )
+    b = (
+        gen_change_events(spark, 120, n_urls=30, seed="wal_b")
+        .withColumn("_ab_cdc_lsn", 2 * F.col("_ab_cdc_lsn") + 1)
+        .withColumn("stream", F.lit("pages_b"))
+    )
+    p = str(tmp_path / "wal")
+    a.unionByName(b).write.parquet(p)
+    return p
+
+
+def test_read_cli_shared_wal_defaults_global(spark, tmp_path, wal_dir):
+    """A cdc_shared catalog reads each member's routed slice of the one
+    WAL and defaults the STATE flavor to GLOBAL (a shared log has one
+    offset by contract — PostgresCdcStateHandler.java:29-37)."""
+    code, msgs = _run(
+        spark,
+        ["read", "--config", _cfg(tmp_path, wal_dir),
+         "--catalog", _shared_catalog_file(tmp_path, wal_dir)],
+    )
+    assert code == 0
+    wal = spark.read.parquet(wal_dir)
+    recs = [m for m in msgs if m["type"] == "RECORD"]
+    by_stream = {}
+    for m in recs:
+        by_stream.setdefault(m["record"]["stream"], []).append(
+            m["record"]["data"]
+        )
+    assert set(by_stream) == {"pages_a", "pages_b"}
+    for n in by_stream:
+        want = wal.filter(F.col("stream") == n).count()
+        assert len(by_stream[n]) == want
+        # the routing column never reaches the record payload
+        assert all("stream" not in d for d in by_stream[n])
+    # every STATE is the GLOBAL arm; the final offset is the MIN of the
+    # member maxima (a-member max is the global max, b's is one less on
+    # this parity layout => min rule visible, not vacuous)
+    states = [m["state"] for m in msgs if m["type"] == "STATE"]
+    assert states and all(s["state_type"] == "GLOBAL" for s in states)
+    max_a = wal.filter(F.col("stream") == "pages_a").agg(
+        F.max("_ab_cdc_lsn")).collect()[0][0]
+    max_b = wal.filter(F.col("stream") == "pages_b").agg(
+        F.max("_ab_cdc_lsn")).collect()[0][0]
+    assert max_a != max_b
+    assert states[-1]["global"]["lsn_watermark"] == min(max_a, max_b)
+
+
+def test_read_cli_shared_wal_global_state_seed(spark, tmp_path, wal_dir):
+    """A GLOBAL --state document trims EVERY member's slice to
+    lsn > the shared offset (resume_lsn GLOBAL arm through the
+    cdc_shared source read)."""
+    wal = spark.read.parquet(wal_dir)
+    hi = wal.agg(F.max("_ab_cdc_lsn")).collect()[0][0]
+    mid = int(hi) // 2
+    st = tmp_path / "gstate.json"
+    st.write_text(json.dumps({
+        "type": "STATE",
+        "state": {"state_type": "GLOBAL",
+                  "global": {"lsn_watermark": mid}},
+    }))
+    code, msgs = _run(
+        spark,
+        ["read", "--config", _cfg(tmp_path, wal_dir),
+         "--catalog", _shared_catalog_file(tmp_path, wal_dir),
+         "--state", str(st)],
+    )
+    assert code == 0
+    recs = [m for m in msgs if m["type"] == "RECORD"]
+    want = wal.filter(F.col("_ab_cdc_lsn") > mid).count()
+    assert len(recs) == want
+    assert all(m["record"]["data"]["_ab_cdc_lsn"] > mid for m in recs)
