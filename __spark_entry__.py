@@ -6758,6 +6758,50 @@ GROUP BY 1, 2
 """
 
 
+def q_cdc_debezium_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Debezium envelope round-trip (sources/debezium.py — the
+    reference's per-event Jackson conversion, DebeziumEventUtils
+    .java:22-65 + the lsn metadata injector, re-expressed as ONE
+    to_json render and ONE from_json parse, both executor-side
+    codegen). Every change event is serialized to the raw engine
+    envelope (after-image upserts, before-image deletes, micro-exact
+    source.ts_us) and decoded back; the oracle computes the same
+    event-level projection straight from the log, so value equality
+    proves the envelope codec is lossless for payload, position,
+    transaction stamp, tombstone rule, and op mapping."""
+    from airbyte_integrations_spark.sources.debezium import (
+        emit_debezium,
+        parse_debezium,
+    )
+
+    tune_session(spark)
+    ce = change_events(spark, sf_dir)
+    lines = emit_debezium(ce, ["url", "event_type", "value_m"])
+    parsed = parse_debezium(
+        lines, "url string, event_type string, value_m bigint"
+    )
+    return parsed.select(
+        "url",
+        "_ab_cdc_lsn",
+        F.col("_op").alias("op"),
+        _us("_ab_cdc_updated_at").alias("updated_us"),
+        _us("_ab_cdc_deleted_at").alias("deleted_us"),
+        "event_type",
+        "value_m",
+    )
+
+
+O_CDC_DEBEZIUM_ENVELOPE = f"""
+WITH {CE_SQL}
+SELECT url, _ab_cdc_lsn,
+       CASE WHEN _ab_cdc_deleted_at IS NOT NULL THEN 'd' ELSE 'u' END AS op,
+       epoch_us(_ab_cdc_updated_at) AS updated_us,
+       epoch_us(_ab_cdc_deleted_at) AS deleted_us,
+       event_type, value_m
+FROM ce
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "cdc_latest_wins": q_cdc_latest_wins,
@@ -6787,6 +6831,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_event_time_rates": q_cdc_event_time_rates,
         "cdc_catalog_sync": q_cdc_catalog_sync,
         "cdc_global_state_sync": q_cdc_global_state_sync,
+        "cdc_debezium_envelope": q_cdc_debezium_envelope,
         "cdc_field_selection": q_cdc_field_selection,
         "cdc_point_lookup": q_cdc_point_lookup,
         "pipeline_crawl_corpus": q_pipeline_crawl_corpus,
@@ -6920,6 +6965,7 @@ def oracle_sql() -> dict[str, str]:
         "cdc_event_time_rates": O_CDC_EVENT_TIME_RATES,
         "cdc_catalog_sync": O_CDC_CATALOG_SYNC,
         "cdc_global_state_sync": O_CDC_GLOBAL_STATE_SYNC,
+        "cdc_debezium_envelope": O_CDC_DEBEZIUM_ENVELOPE,
         "cdc_field_selection": O_CDC_FIELD_SELECTION,
         "pipeline_crawl_corpus": O_PIPELINE_CRAWL_CORPUS,
         "docs_ccnet_buckets": O_DOCS_CCNET_BUCKETS,

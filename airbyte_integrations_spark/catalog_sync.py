@@ -60,6 +60,11 @@ class ConfiguredStream:
       {"kind": "cdc_shared", "group": <wal id>, "df"/"path": <shared
        interleaved log>, "stream_col": "stream"}  — members of one
        group sync lock-step through sync_shared_log (GLOBAL state)
+      {"kind": "debezium", "path": <JSONL dir of Debezium envelopes>,
+       "value_schema": <DDL string>, "emitted_at_millis": optional}
+       — raw engine envelopes decoded to change events in one
+       from_json projection (sources/debezium.py), then the normal
+       CDC epoch loop
     """
 
     config: SyncConfig
@@ -308,6 +313,23 @@ def _read_stream_events(
         if cfg.sync_mode == SyncMode.INCREMENTAL and table.watermark(cfg.stream) is None:
             # fresh destination + incoming state document: start past
             # the seeded watermark (the filter pushes to the scan)
+            seed, _ = _seed_state(state, cfg.stream)
+            if seed is not None:
+                ev = ev.filter(F.col(cfg.cursor_field[0]) > F.lit(seed))
+        return ev, None, {}
+    if kind == "debezium":
+        from airbyte_integrations_spark.sources.debezium import parse_debezium
+
+        lines = spark.read.text(cs.source["path"]).filter(
+            F.length(F.trim("value")) > 0
+        )
+        emitted = None
+        if "emitted_at_millis" in cs.source:
+            emitted = F.timestamp_millis(F.lit(int(cs.source["emitted_at_millis"])))
+        ev = parse_debezium(
+            lines, cs.source["value_schema"], emitted_at=emitted
+        ).drop("_op")
+        if cfg.sync_mode == SyncMode.INCREMENTAL and table.watermark(cfg.stream) is None:
             seed, _ = _seed_state(state, cfg.stream)
             if seed is not None:
                 ev = ev.filter(F.col(cfg.cursor_field[0]) > F.lit(seed))
