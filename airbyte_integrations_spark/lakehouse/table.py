@@ -27,6 +27,7 @@ as Iceberg does.
 
 from __future__ import annotations
 
+import hashlib
 import json
 import os
 import re
@@ -234,6 +235,43 @@ class LakeTable:
             out[p] = entry
         return out
 
+    @staticmethod
+    def _schema_id(schema_json: dict) -> str:
+        """Stable id of a schema document (content hash, so identical
+        schemas across branches/rollbacks share one id)."""
+        return hashlib.md5(
+            json.dumps(schema_json, sort_keys=True).encode()
+        ).hexdigest()[:12]
+
+    def _file_schemas(self, manifest: dict) -> tuple[dict, dict]:
+        """(schemas, file_schema): the Iceberg per-data-file schema-id
+        bookkeeping. Data files are immutable, so a file written under
+        schema S must forever be READ with S and cast up to the
+        current table schema — reading an INT64 parquet column with a
+        widened string expectation is a hard reader error, not a cast.
+        Files inherited from the parent keep their recorded id; files
+        new to this commit get the committing schema's id. Manifests
+        that predate this bookkeeping resolve missing entries to their
+        own manifest schema at read time (the pre-evolution behavior,
+        correct for any table that never widened)."""
+        schemas = dict(manifest.get("schemas") or {})
+        fmap = dict(manifest.get("file_schema") or {})
+        if self.exists():
+            parent = self.manifest()
+            for k, v in (parent.get("schemas") or {}).items():
+                schemas.setdefault(k, v)
+            for k, v in (parent.get("file_schema") or {}).items():
+                fmap.setdefault(k, v)
+        sid = self._schema_id(manifest["schema"])
+        schemas.setdefault(sid, manifest["schema"])
+        paths = [p for ps in manifest["files"].values() for p in ps]
+        paths += [p for ps in manifest.get("deltas", {}).values() for p in ps]
+        fmap = {p: fmap[p] for p in paths if p in fmap}
+        for p in paths:
+            fmap.setdefault(p, sid)
+        used = set(fmap.values()) | {sid}
+        return {k: v for k, v in schemas.items() if k in used}, fmap
+
     def _commit(self, manifest: dict) -> int:
         """Optimistic-concurrency commit (Iceberg's model): the
         manifest's pinned `parent` must still be the table's current
@@ -253,6 +291,7 @@ class LakeTable:
         os.makedirs(meta, exist_ok=True)
         if "stats" not in manifest:
             manifest["stats"] = self._file_stats(manifest)
+        manifest["schemas"], manifest["file_schema"] = self._file_schemas(manifest)
         # Wall-clock commit stamp (Iceberg snapshot timestamp-ms): the
         # basis for AS-OF-TIMESTAMP time travel and retention policy.
         # Always re-stamped — rollback/reset/publish manifests derived
@@ -359,10 +398,39 @@ class LakeTable:
         else:
             want = {str(b) for b in buckets}
             paths = [p for b, ps in file_map.items() if b in want for p in ps]
+        return self._scan(paths, schema, m)
+
+    def _scan(self, paths: list[str], target: T.StructType, m: dict) -> DataFrame:
+        """Scan data files grouped by the schema they were WRITTEN
+        with (manifest file_schema ids), casting each group up to the
+        snapshot schema — Iceberg read-time type promotion. A table
+        that never evolved has exactly one group and this is the same
+        single multi-path scan as before; after a widening, only the
+        pre-widening files take the extra (columnar, codegen) cast
+        projection. Files without a recorded id (pre-bookkeeping
+        manifests) read with the snapshot schema directly."""
         if not paths:
-            return self.spark.createDataFrame([], schema)
-        abs_paths = [os.path.join(self.root, p) for p in paths]
-        return self.spark.read.schema(schema).parquet(*abs_paths)
+            return self.spark.createDataFrame([], target)
+        fmap = m.get("file_schema") or {}
+        schemas = m.get("schemas") or {}
+        tgt_id = self._schema_id(target.jsonValue())
+        groups: dict[str, list[str]] = {}
+        for p in paths:
+            sid = fmap.get(p, tgt_id)
+            groups.setdefault(sid if sid in schemas else tgt_id, []).append(p)
+        parts = []
+        for sid, ps in sorted(groups.items()):
+            sch = T.StructType.fromJson(schemas[sid]) if sid != tgt_id else target
+            df = self.spark.read.schema(sch).parquet(
+                *[os.path.join(self.root, p) for p in ps]
+            )
+            if sch != target:
+                df = conform(df, target)
+            parts.append(df)
+        out = parts[0]
+        for df in parts[1:]:
+            out = out.unionByName(df)
+        return out
 
     # ---------- table operations ----------
 
@@ -809,11 +877,7 @@ class LakeTable:
         else:
             want = {str(b) for b in buckets}
             paths = [p for b, ps in dmap.items() if b in want for p in ps]
-        if not paths:
-            return self.spark.createDataFrame([], schema)
-        return self.spark.read.schema(schema).parquet(
-            *[os.path.join(self.root, p) for p in paths]
-        )
+        return self._scan(paths, schema, m)
 
     def _order(self, version: int | None = None) -> dict:
         return self.props(version).get("order") or {
@@ -852,12 +916,10 @@ class LakeTable:
 
     # ---------- zone-map pruned reads ----------
 
-    def _read_paths(self, paths: list[str], schema: T.StructType) -> DataFrame:
-        if not paths:
-            return self.spark.createDataFrame([], schema)
-        return self.spark.read.schema(schema).parquet(
-            *[os.path.join(self.root, p) for p in paths]
-        )
+    def _read_paths(
+        self, paths: list[str], schema: T.StructType, m: dict | None = None
+    ) -> DataFrame:
+        return self._scan(paths, schema, m if m is not None else self.manifest())
 
     def _pruned_paths(
         self, version: int | None, keep, buckets: set[str] | None = None
@@ -933,8 +995,8 @@ class LakeTable:
         base_p, delta_p, _ = self._pruned_paths(version, keep)
         schema = T.StructType.fromJson(m["schema"])
         out = self._resolve(
-            self._read_paths(base_p, schema),
-            self._read_paths(delta_p, schema),
+            self._read_paths(base_p, schema, m),
+            self._read_paths(delta_p, schema, m),
             version, include_deletes,
         )
         return out.filter(F.col(cursor) > F.lit(cursor_gt))
@@ -985,7 +1047,7 @@ class LakeTable:
 
         base_p, _dp, _n = self._pruned_paths(version, keep)
         schema = T.StructType.fromJson(m["schema"])
-        out = self._read_paths(base_p, schema)
+        out = self._read_paths(base_p, schema, m)
         if (
             self.props(version).get("keep_tombstones")
             and "_ab_cdc_deleted_at" in out.columns
@@ -1183,8 +1245,8 @@ class LakeTable:
         base_p, delta_p, _ = self._pruned_paths(version, keep, buckets={bucket})
         schema = T.StructType.fromJson(m["schema"])
         out = self._resolve(
-            self._read_paths(base_p, schema),
-            self._read_paths(delta_p, schema),
+            self._read_paths(base_p, schema, m),
+            self._read_paths(delta_p, schema, m),
             version,
         )
         for c, v in zip(key, values):
@@ -1370,7 +1432,7 @@ class LakeTable:
                 pq.ParquetFile(os.path.join(self.root, p)).metadata.num_rows
                 for p in paths
             )
-            df = self._read_paths(paths, schema).filter(~pred)
+            df = self._read_paths(paths, schema, m).filter(~pred)
             written = self._write_files(df, int(m["n_buckets"]), tuple(key),
                                         aligned=True)
             kept, n_after = [], 0

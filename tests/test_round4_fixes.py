@@ -116,3 +116,63 @@ def test_hopping_rates_cents_round_not_floor(spark):
     ).withColumn("ts", F.col("ts").cast("timestamp"))
     out = hopping_rates(ev, size="1 hour", slide="1 hour", value_col="value").collect()
     assert all(r["value_cents"] == 29 for r in out)
+
+
+def test_widened_table_reads_pre_drift_files_with_their_own_schema(spark, tmp_path):
+    """Fuzz-found (test_fuzz_sync drift arm): after a long->string
+    widening, buckets NOT rewritten since the drift still hold INT64
+    parquet files; reading them with the widened manifest schema is a
+    hard reader error (PARQUET_COLUMN_DATA_TYPE_MISMATCH), not a cast.
+    The manifest now records a schema id per data file (Iceberg's
+    per-DataFile schema bookkeeping) and every scan groups files by
+    written schema, casting up — so post-drift MERGE rewrites, live
+    reads, time travel, and changelog diffs all work on mixed-schema
+    file sets."""
+    import datetime as dt
+
+    from airbyte_integrations_spark.lakehouse.table import LakeTable
+    from airbyte_integrations_spark.streaming.microbatch import run_sync
+
+    TS = dt.datetime(2024, 1, 1)
+
+    def row(lsn):
+        t = TS + dt.timedelta(seconds=lsn)
+        return ("u0", lsn, t, None, f"ab{lsn}", t)
+
+    base = ("url string, _ab_cdc_lsn long, _ab_cdc_updated_at timestamp, "
+            "_ab_cdc_deleted_at timestamp, _airbyte_ab_id string, "
+            "_airbyte_emitted_at timestamp")
+    for mode in ("cow", "mor"):
+        df_old = spark.createDataFrame(
+            [row(i) + (i % 97,) for i in (1, 2, 10, 79)], base + ", val long"
+        )
+        df_new = spark.createDataFrame(
+            [row(i) + (f"x{i}", f"e{i}") for i in (130, 147, 175, 193, 203, 227)],
+            base + ", val string, extra string",
+        )
+        root = str(tmp_path / f"drift_{mode}")
+        table = LakeTable(spark, root)
+        cfg = SyncConfig(stream="drift", n_buckets=4, write_mode=mode)
+        # tiny epochs => the hot key's bucket holds pre-drift files that a
+        # post-drift epoch must read back during MERGE
+        run_sync(spark, df_old, table, cfg, max_events_per_epoch=2)
+        v_pre = table.current_version()
+        run_sync(spark, df_new, table, cfg, max_events_per_epoch=2)
+        live = table.read_live().collect()
+        assert [(r["url"], r["_ab_cdc_lsn"], r["val"], r["extra"]) for r in live] == [
+            ("u0", 227, "x227", "e227")
+        ], mode
+        # pre-drift snapshot still reads with ITS schema (time travel)
+        old = table.read_live(version=v_pre).collect()
+        assert [(r["url"], r["_ab_cdc_lsn"], r["val"]) for r in old] == [
+            ("u0", 79, 79 % 97)
+        ], mode
+        # changelog across the drift conforms before images
+        ch = table.changes(v_pre, table.current_version())
+        assert ch.filter(F.col("_change_type") == "update_postimage").count() == 1
+        # maintenance over mixed-schema files: compact folds + rewrites
+        table.compact()
+        assert [
+            (r["url"], r["_ab_cdc_lsn"], r["val"], r["extra"])
+            for r in table.read_live().collect()
+        ] == [("u0", 227, "x227", "e227")], mode
