@@ -6802,6 +6802,106 @@ FROM ce
 """
 
 
+def q_docs_ndv_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language vocabulary cardinality via a KMV bottom-k sketch
+    (functions/sketch.py — Bar-Yossef et al. 2002), with the exact NDV
+    alongside as the eval column. Scale shape: distinct (lang, hash)
+    pairs collapse map-side before the shuffle; the rank<=k window
+    compiles to WindowGroupLimit (map-side partial top-k per group),
+    so each task forwards at most k rows per language regardless of
+    corpus size — the exact-NDV column is the sf-bounded eval oracle,
+    the sketch is the production path. Estimator arithmetic is
+    IEEE-double with explicit floor, bit-identical cross-engine."""
+    from airbyte_integrations_spark.functions.sketch import kmv_per_group
+
+    tune_session(spark)
+    docs = load(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    toks = docs.select(
+        "lang",
+        F.explode(
+            F.regexp_extract_all(F.col("text"), F.lit(_BPE_RE), 0)
+        ).alias("token"),
+    )
+    per = kmv_per_group(toks, "lang", "token", k=64)
+    exact = toks.groupBy("lang").agg(
+        F.countDistinct("token").alias("ndv_exact")
+    )
+    return per.join(exact, "lang").select(
+        "lang", "n_seen", "ndv_est", "ndv_exact"
+    )
+
+
+O_DOCS_NDV_SKETCH = rf"""
+WITH t AS (
+  SELECT lang, unnest(regexp_extract_all(text, '{_BPE_RE}')) AS token
+  FROM documents WHERE n_chars > 0
+),
+p AS (
+  SELECT DISTINCT lang, ('0x' || substr(md5(token), 1, 15))::BIGINT AS h
+  FROM t
+),
+r AS (
+  SELECT lang, h, row_number() OVER (PARTITION BY lang ORDER BY h) AS rank
+  FROM p
+),
+s AS (
+  SELECT lang, count(*) AS n_seen,
+         max(CASE WHEN rank = 64 THEN h END) AS h_k
+  FROM r WHERE rank <= 64 GROUP BY lang
+),
+e AS (SELECT lang, count(DISTINCT token) AS ndv_exact FROM t GROUP BY lang)
+SELECT s.lang, n_seen,
+       CASE WHEN n_seen < 64 THEN n_seen
+            ELSE CAST(floor(63 * power(2.0, 60) / h_k) AS BIGINT)
+       END AS ndv_est,
+       ndv_exact
+FROM s JOIN e USING (lang)
+"""
+
+
+def q_docs_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-proportional corpus sampling via priority sampling
+    (Duffield-Lund-Thorup; functions/curation.priority_sample_key):
+    every doc draws a deterministic md5-derived uniform and the
+    largest-priority (= smallest u/w) 200 docs form the sample —
+    longer docs proportionally likelier, unbiased subset-sum
+    estimates, fully reproducible. Scale shape: a narrow projection
+    plus TakeOrderedAndProject (each task forwards at most m rows; no
+    global sort, no Exchange of the corpus); at 10^10 docs the only
+    data movement is m rows per task to the driver-side merge —
+    the same plan class as the repo's top-k family."""
+    from airbyte_integrations_spark.functions.curation import (
+        priority_sample_key,
+    )
+
+    tune_session(spark)
+    docs = load(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    keyed = docs.select(
+        "doc_id",
+        "n_chars",
+        priority_sample_key(F.col("doc_id"), F.col("n_chars")).alias("k"),
+    )
+    top = keyed.orderBy(F.col("k").asc(), F.col("doc_id").asc()).limit(200)
+    w = Window.orderBy(F.col("k").asc(), F.col("doc_id").asc())
+    return top.select(
+        "doc_id", "n_chars", F.row_number().over(w).cast("long").alias("rank")
+    )
+
+
+O_DOCS_WEIGHTED_SAMPLE = """
+WITH k AS (
+  SELECT doc_id, n_chars,
+         (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT + 1)::DOUBLE
+           / n_chars AS key
+  FROM documents WHERE n_chars > 0
+),
+top AS (SELECT * FROM k ORDER BY key ASC, doc_id ASC LIMIT 200)
+SELECT doc_id, n_chars,
+       row_number() OVER (ORDER BY key ASC, doc_id ASC) AS rank
+FROM top
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "cdc_latest_wins": q_cdc_latest_wins,
@@ -6832,6 +6932,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_catalog_sync": q_cdc_catalog_sync,
         "cdc_global_state_sync": q_cdc_global_state_sync,
         "cdc_debezium_envelope": q_cdc_debezium_envelope,
+        "docs_ndv_sketch": q_docs_ndv_sketch,
+        "docs_weighted_sample": q_docs_weighted_sample,
         "cdc_field_selection": q_cdc_field_selection,
         "cdc_point_lookup": q_cdc_point_lookup,
         "pipeline_crawl_corpus": q_pipeline_crawl_corpus,
@@ -6966,6 +7068,8 @@ def oracle_sql() -> dict[str, str]:
         "cdc_catalog_sync": O_CDC_CATALOG_SYNC,
         "cdc_global_state_sync": O_CDC_GLOBAL_STATE_SYNC,
         "cdc_debezium_envelope": O_CDC_DEBEZIUM_ENVELOPE,
+        "docs_ndv_sketch": O_DOCS_NDV_SKETCH,
+        "docs_weighted_sample": O_DOCS_WEIGHTED_SAMPLE,
         "cdc_field_selection": O_CDC_FIELD_SELECTION,
         "pipeline_crawl_corpus": O_PIPELINE_CRAWL_CORPUS,
         "docs_ccnet_buckets": O_DOCS_CCNET_BUCKETS,

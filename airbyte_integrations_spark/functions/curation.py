@@ -256,3 +256,23 @@ def hashed_linear_score(
         F.size(bigrams).cast("long").alias("n_bigrams"),
         score.alias("score"),
     )
+
+
+def priority_sample_key(id_col: Column, weight_col: Column) -> Column:
+    """Priority-sampling sort key (Duffield, Lund & Thorup 2007,
+    "Priority sampling for estimation of arbitrary subset sums"):
+    each row draws a deterministic uniform u in (0, 1] from the
+    md5-derived 60-bit hash of its id, and gets priority w / u; the m
+    rows with the LARGEST priorities form a weight-proportional sample
+    supporting unbiased subset-sum estimation. Returned key is the
+    INVERSE priority u / w = (h + 1) / (2^60 * w) scaled to
+    (h + 1) / w (same ordering, no overflow) so callers take the
+    ASCENDING top-m — which Spark executes as TakeOrderedAndProject
+    (map-side top-m per task, no global sort). IEEE-double division
+    rounds identically on every engine, so the selected sample is
+    deterministic and cross-engine reproducible; break exact key ties
+    with the id."""
+    h = F.conv(F.substring(F.md5(id_col.cast("string")), 1, 15), 16, 10).cast(
+        "long"
+    )
+    return (h + F.lit(1)).cast("double") / weight_col.cast("double")

@@ -398,3 +398,25 @@ def test_hashed_linear_score_short_doc_and_narrow_plan(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "Generate" not in plan
     assert plan.count("Exchange") == 0
+
+
+def test_priority_sample_key_weight_proportional_and_deterministic(spark):
+    from airbyte_integrations_spark.functions.curation import priority_sample_key
+
+    # two strata: heavy docs (w=1000) and light docs (w=10), equal counts.
+    df = spark.range(2000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 2 == 0, 1000).otherwise(10).alias("w"),
+    )
+    keyed = df.select(
+        "doc_id", "w", priority_sample_key(F.col("doc_id"), F.col("w")).alias("k")
+    )
+    top = keyed.orderBy(F.col("k").asc(), F.col("doc_id").asc()).limit(200)
+    rows = top.collect()
+    # deterministic: same sample on re-run
+    rows2 = keyed.orderBy(F.col("k").asc(), F.col("doc_id").asc()).limit(200).collect()
+    assert [r["doc_id"] for r in rows] == [r["doc_id"] for r in rows2]
+    # weight-proportional: heavy stratum (100x weight) dominates the
+    # sample far beyond its 50% population share
+    n_heavy = sum(1 for r in rows if r["w"] == 1000)
+    assert n_heavy > 180, n_heavy
