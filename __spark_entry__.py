@@ -6902,6 +6902,77 @@ FROM top
 """
 
 
+def q_cdc_zorder_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-dimension file skipping via Z-order clustering
+    (lakehouse/zorder.py + compact(zorder_by=...) — Iceberg
+    rewrite_data_files zorder / Delta OPTIMIZE ZORDER BY): after the
+    CDC replay the table is rewritten clustered on the Morton
+    interleave of (value_m, _ab_cdc_lsn), making BOTH columns'
+    per-file zone maps narrow; a range read on each dimension is then
+    served pruned — asserted in-query (kept < total on BOTH columns,
+    which a 1-D sort order cannot do for its second column; pinned in
+    tests/test_zorder.py). The z key is pure codegen integer
+    arithmetic and the clustering ride is per-bucket
+    sortWithinPartitions — no global Exchange at any table size.
+    Oracle: winners filtered to each range, unioned with a dim tag."""
+    import tempfile
+
+    from airbyte_integrations_spark.config import SyncConfig
+    from airbyte_integrations_spark.lakehouse.table import LakeTable
+    from airbyte_integrations_spark.streaming.microbatch import run_sync
+
+    tune_session(spark)
+    ce = change_events(spark, sf_dir)
+    scratch = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    table = LakeTable(
+        spark, tempfile.mkdtemp(prefix="zorder_entry_", dir=scratch) + "/t"
+    )
+    cfg = SyncConfig(stream="pages")
+    run_sync(
+        spark, ce, table, cfg,
+        extract_missing_text=False, compact_threshold=None,
+    )
+    n_live = table.read_live().count()
+    table.compact(
+        zorder_by=("value_m", "_ab_cdc_lsn"),
+        target_file_rows=max(n_live // (32 * 8), 8),
+    )
+    hi = table.read_live().agg(
+        F.max("value_m").alias("vm"), F.max("_ab_cdc_lsn").alias("lm")
+    ).collect()[0]
+    parts = []
+    for dim, top in (("value_m", int(hi["vm"])), ("_ab_cdc_lsn", int(hi["lm"]))):
+        lo_b, hi_b = top // 4, top // 2
+        kept, total = table.range_prune_counts(dim, lo_b, hi_b)
+        assert kept < total, f"z-order did not prune on {dim} ({kept}/{total})"
+        parts.append(
+            table.read_range(dim, lo_b, hi_b).select(
+                F.lit(dim).alias("dim"), "url", "_ab_cdc_lsn", "value_m"
+            )
+        )
+    return parts[0].unionByName(parts[1])
+
+
+O_CDC_ZORDER_READ = f"""
+WITH {CE_SQL},
+{WINNERS_SQL},
+live AS (
+  SELECT url, _ab_cdc_lsn, value_m FROM w
+  WHERE rn = 1 AND _ab_cdc_deleted_at IS NULL
+),
+b AS (
+  SELECT max(value_m) // 4 AS vlo, max(value_m) // 2 AS vhi,
+         max(_ab_cdc_lsn) // 4 AS llo, max(_ab_cdc_lsn) // 2 AS lhi
+  FROM live
+)
+SELECT 'value_m' AS dim, url, _ab_cdc_lsn, value_m
+FROM live, b WHERE value_m BETWEEN vlo AND vhi
+UNION ALL
+SELECT '_ab_cdc_lsn' AS dim, url, _ab_cdc_lsn, value_m
+FROM live, b WHERE _ab_cdc_lsn BETWEEN llo AND lhi
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "cdc_latest_wins": q_cdc_latest_wins,
@@ -6934,6 +7005,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_debezium_envelope": q_cdc_debezium_envelope,
         "docs_ndv_sketch": q_docs_ndv_sketch,
         "docs_weighted_sample": q_docs_weighted_sample,
+        "cdc_zorder_read": q_cdc_zorder_read,
         "cdc_field_selection": q_cdc_field_selection,
         "cdc_point_lookup": q_cdc_point_lookup,
         "pipeline_crawl_corpus": q_pipeline_crawl_corpus,
@@ -7070,6 +7142,7 @@ def oracle_sql() -> dict[str, str]:
         "cdc_debezium_envelope": O_CDC_DEBEZIUM_ENVELOPE,
         "docs_ndv_sketch": O_DOCS_NDV_SKETCH,
         "docs_weighted_sample": O_DOCS_WEIGHTED_SAMPLE,
+        "cdc_zorder_read": O_CDC_ZORDER_READ,
         "cdc_field_selection": O_CDC_FIELD_SELECTION,
         "pipeline_crawl_corpus": O_PIPELINE_CRAWL_CORPUS,
         "docs_ccnet_buckets": O_DOCS_CCNET_BUCKETS,

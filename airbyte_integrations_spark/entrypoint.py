@@ -53,6 +53,7 @@ from airbyte_integrations_spark.connector import check, discover, mask_secrets, 
 _JSON_KINDS = (
     "cdc_log",
     "cdc_shared",
+    "debezium",
     "files",
     "url_file",
     "http",

@@ -1258,6 +1258,8 @@ class LakeTable:
         max_files_per_bucket: int = 1,
         sort_by: tuple[str, ...] | str | None = None,
         target_file_rows: int | None = None,
+        zorder_by: tuple[str, ...] | None = None,
+        zorder_bits: int = 16,
     ) -> int:
         """Maintenance: rewrite buckets whose file count (base + delta)
         exceeds the threshold (Iceberg rewrite_data_files analogue).
@@ -1278,10 +1280,44 @@ class LakeTable:
         bucket into range-disjoint files (Iceberg target-file-size):
         without it a bucket is one file spanning the whole value range
         and file-level pruning has nothing to skip (row-group skipping
-        inside the file still applies)."""
+        inside the file still applies).
+
+        `zorder_by` is the MULTI-column strategy (Iceberg
+        rewrite_data_files zorder / Delta OPTIMIZE ZORDER BY,
+        lakehouse/zorder.py): rows cluster on the Morton interleave of
+        the normalized columns, so EVERY listed column's per-file
+        zone maps become narrow and read_range prunes on each
+        dimension independently — where sort_by only serves its lead
+        column. Bounds come from one metadata-sized min/max aggregate;
+        the key is pure codegen integer arithmetic; the sort stays
+        per-bucket (no global Exchange). Numeric columns only."""
         m = self.manifest()
         dmap = m.get("deltas", {})
-        if sort_by is not None:
+        if zorder_by is not None:
+            if sort_by is not None:
+                raise ValueError("pass sort_by or zorder_by, not both")
+            fields = {
+                f["name"]: f.get("type")
+                for f in m["schema"]["fields"]
+                if isinstance(f.get("type"), str)
+            }
+            from airbyte_integrations_spark.lakehouse.zorder import _NUMERIC
+
+            bad = [
+                c for c in zorder_by if fields.get(c) not in _NUMERIC
+            ]
+            if bad:
+                raise ValueError(
+                    f"zorder_by column(s) {bad} missing or non-numeric "
+                    "(z-order normalization needs numeric bounds)"
+                )
+            fragmented = sorted(
+                {int(b) for b in m["files"]} | {int(b) for b in dmap}
+            )
+            self.want_props(
+                sort_order=list(zorder_by), zorder_bits=zorder_bits
+            )
+        elif sort_by is not None:
             sort_by = (sort_by,) if isinstance(sort_by, str) else tuple(sort_by)
             fields = {f["name"] for f in m["schema"]["fields"]}
             missing = [c for c in sort_by if c not in fields]
@@ -1314,11 +1350,23 @@ class LakeTable:
                 data = data.filter(F.col("_ab_cdc_deleted_at").isNull())
         else:
             data = self.read(fragmented)
+        sort_cols: tuple | None = sort_by
+        if zorder_by is not None:
+            from airbyte_integrations_spark.lakehouse.zorder import zorder_key
+
+            row = data.agg(
+                *[F.min(c).alias(f"lo_{c}") for c in zorder_by],
+                *[F.max(c).alias(f"hi_{c}") for c in zorder_by],
+            ).collect()[0]
+            bounds = {c: (row[f"lo_{c}"], row[f"hi_{c}"]) for c in zorder_by}
+            sort_cols = (zorder_key(bounds, tuple(zorder_by), zorder_bits),)
         return self.replace_buckets(
             data, fragmented, T.StructType.fromJson(m["schema"]),
-            sort_cols=sort_by,
+            sort_cols=sort_cols,
             max_records_per_file=(
-                target_file_rows if sort_by is not None else None
+                target_file_rows
+                if (sort_by is not None or zorder_by is not None)
+                else None
             ),
         )
 

@@ -394,3 +394,44 @@ def test_read_cli_shared_wal_global_state_seed(spark, tmp_path, wal_dir):
     want = wal.filter(F.col("_ab_cdc_lsn") > mid).count()
     assert len(recs) == want
     assert all(m["record"]["data"]["_ab_cdc_lsn"] > mid for m in recs)
+
+
+def test_read_cli_debezium_kind(spark, tmp_path, log_dir):
+    """kind=debezium in a JSON catalog: envelope JSONL decodes through
+    sources/debezium.parse_debezium and rides the same read loop —
+    records carry the injected CDC columns and the STATE watermark is
+    the max source.lsn."""
+    from airbyte_integrations_spark.sources.debezium import emit_debezium
+
+    ev = spark.read.parquet(log_dir)
+    dbz = str(tmp_path / "dbz")
+    emit_debezium(ev, ["url", "text", "lang"]).write.text(dbz)
+    doc = {
+        "streams": [
+            {
+                "name": "pages",
+                "sync_mode": "incremental",
+                "destination_sync_mode": "append_dedup",
+                "primary_key": ["url"],
+                "cursor_field": ["_ab_cdc_lsn"],
+                "source": {
+                    "kind": "debezium",
+                    "path": dbz,
+                    "value_schema": "url string, text string, lang string",
+                },
+            }
+        ]
+    }
+    cat = tmp_path / "dbz_catalog.json"
+    cat.write_text(json.dumps(doc))
+    code, msgs = _run(
+        spark,
+        ["read", "--config", _cfg(tmp_path, log_dir), "--catalog", str(cat)],
+    )
+    assert code == 0
+    recs = [m for m in msgs if m["type"] == "RECORD"]
+    assert len(recs) == ev.count()
+    assert all("_ab_cdc_lsn" in r["record"]["data"] for r in recs[:5])
+    hi = ev.agg(F.max("_ab_cdc_lsn")).collect()[0][0]
+    state = next(m for m in msgs if m["type"] == "STATE")
+    assert state["state"]["streams"][0]["state"]["lsn_watermark"] == hi
