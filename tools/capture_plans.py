@@ -690,6 +690,98 @@ def main() -> None:
         "one scan per epoch",
     )
 
+    # ---- check 39: debezium envelope parse (one projection, no Python)
+    from airbyte_integrations_spark.sources.debezium import (
+        emit_debezium,
+        parse_debezium,
+    )
+
+    dbz_lines = emit_debezium(ev, ["url", "lang"])
+    dbz_plan = (
+        parse_debezium(dbz_lines, "url string, lang string")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    check(
+        "debezium envelope decode is one from_json projection "
+        "(codegen, zero Python eval nodes)",
+        "from_json" in dbz_plan
+        and "BatchEvalPython" not in dbz_plan
+        and "ArrowEvalPython" not in dbz_plan
+        and "MapInPandas" not in dbz_plan,
+        "the reference's per-event Jackson loop is a single executor-"
+        "side Project here",
+    )
+
+    # ---- check 40: KMV per-group top-k is WindowGroupLimit (partial)
+    from airbyte_integrations_spark.functions.sketch import kmv_per_group
+
+    kmv_plan = (
+        kmv_per_group(ev, "lang", "url", k=64)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    check(
+        "KMV per-group sketch: rank<=k compiles to WindowGroupLimit "
+        "with a map-side Partial pass (each task forwards <= k hashes "
+        "per group), distinct collapses map-side first",
+        "WindowGroupLimit" in kmv_plan
+        and "Partial" in kmv_plan
+        and "Exchange SinglePartition" not in kmv_plan,
+        "per-group NDV cost is O(k) rows per group per task regardless "
+        "of corpus size",
+    )
+
+    # ---- check 41: priority sample is TakeOrderedAndProject
+    from airbyte_integrations_spark.functions.curation import (
+        priority_sample_key,
+    )
+
+    ps_plan = (
+        ev.select(
+            "url",
+            priority_sample_key(F.col("url"), F.length("url")).alias("k"),
+        )
+        .orderBy("k", "url")
+        .limit(200)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    check(
+        "priority sampling: top-m by deterministic key is "
+        "TakeOrderedAndProject (map-side top-m per task, no range "
+        "Exchange, no global sort, no Python)",
+        "TakeOrderedAndProject" in ps_plan
+        and "Exchange rangepartitioning" not in ps_plan
+        and "BatchEvalPython" not in ps_plan,
+        "weight-proportional sampling moves m rows per task, total "
+        "m * n_tasks, at any corpus size",
+    )
+
+    # ---- check 42: z-order clustered write has no global Exchange
+    from airbyte_integrations_spark.lakehouse.zorder import zorder_key
+
+    zsrc = ev.withColumn("value_m", F.pmod(F.xxhash64("url"), F.lit(1000)))
+    zk = zorder_key(
+        {"_ab_cdc_lsn": (0, 50_000), "value_m": (0, 999)},
+        ("_ab_cdc_lsn", "value_m"),
+    )
+    z_plan = (
+        zsrc.repartition(8, F.col("url"))
+        .sortWithinPartitions(zk)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    check(
+        "z-order clustering: Morton key is inline codegen integer "
+        "arithmetic; the clustering sort is per-bucket "
+        "(sortWithinPartitions — no range/global Exchange, no Python)",
+        "Sort [" in z_plan
+        and "], false, 0" in z_plan  # sortWithinPartitions prints global=false
+        and "], true, 0" not in z_plan  # no global sort anywhere
+        and "Exchange rangepartitioning" not in z_plan
+        and "BatchEvalPython" not in z_plan
+        and "ArrowEvalPython" not in z_plan,
+        "multi-dimension file skipping costs one local sort at write "
+        "time, zero extra shuffles",
+    )
+
     out = ["# PLANS — physical-plan evidence (generated by tools/capture_plans.py)", ""]
     ok_all = True
     for name, ok, ev in CHECKS:
