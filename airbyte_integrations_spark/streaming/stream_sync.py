@@ -63,6 +63,8 @@ def stream_sync(
     extract_missing_text: bool = False,
     compact_threshold: int | None = None,
     refresh_views: list | None = None,
+    source_format: str = "parquet",
+    value_schema=None,
 ):
     """Start a continuous ingest query; returns the StreamingQuery.
 
@@ -79,12 +81,29 @@ def stream_sync(
     with the same checkpoint_dir — interrupted batches re-apply
     idempotently."""
     lsn_col = config.cursor_field[0]
-    reader = spark.readStream.schema(
-        schema if schema is not None else spark.read.parquet(log_dir).schema
-    )
-    if max_files_per_trigger:
-        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
-    events = reader.parquet(log_dir)
+    if source_format == "debezium":
+        # raw Debezium envelope JSONL tail (the embedded-engine wire):
+        # decode rides INSIDE the streaming plan as the same one-
+        # projection from_json the bounded path uses — per batch, the
+        # stream engine tracks file offsets, the projection yields
+        # change events, and the MERGE below is unchanged.
+        from airbyte_integrations_spark.sources.debezium import parse_debezium
+
+        if value_schema is None:
+            raise ValueError("source_format='debezium' needs value_schema")
+        reader = spark.readStream
+        if max_files_per_trigger:
+            reader = reader.option(
+                "maxFilesPerTrigger", str(max_files_per_trigger)
+            )
+        events = parse_debezium(reader.text(log_dir), value_schema).drop("_op")
+    else:
+        reader = spark.readStream.schema(
+            schema if schema is not None else spark.read.parquet(log_dir).schema
+        )
+        if max_files_per_trigger:
+            reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+        events = reader.parquet(log_dir)
 
     def _refresh_views() -> None:
         if refresh_views:

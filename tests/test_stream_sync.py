@@ -167,3 +167,45 @@ def test_stream_sync_late_predelete_cannot_resurrect(spark, tmp_path):
     raw = table.read().filter(F.col("url") == url).collect()
     assert len(raw) == 1 and raw[0]["_ab_cdc_lsn"] == 1000
     assert raw[0]["_ab_cdc_deleted_at"] is not None
+
+
+def test_stream_sync_debezium_envelope_tail(spark, tmp_path):
+    """source_format='debezium': the stream tails raw envelope JSONL
+    and the one-projection decode rides inside the streaming plan —
+    same exactly-once epochs, same winner convergence, ab_ids differ
+    (envelope-derived) so convergence is checked on url+lsn."""
+    from airbyte_integrations_spark.sources.debezium import emit_debezium
+
+    ev = gen_change_events(spark, 1500, n_urls=60).select(*COLS)
+    log = str(tmp_path / "dbz")
+    for cond in ("_ab_cdc_lsn <= 800", "_ab_cdc_lsn > 800"):
+        emit_debezium(
+            ev.filter(cond), ["url", "warc_ts", "text", "lang"]
+        ).coalesce(1).write.mode("append").text(log)
+    table = LakeTable(spark, str(tmp_path / "lake"))
+    cfg = SyncConfig(stream="pages", n_buckets=4)
+    vs = "url string, warc_ts timestamp, text string, lang string"
+
+    q = stream_sync(
+        spark, log, table, cfg, str(tmp_path / "ck"),
+        max_files_per_trigger=1, source_format="debezium", value_schema=vs,
+    )
+    q.awaitTermination()
+    eps = set(table.committed_epochs("pages"))
+    assert len(eps) == 2 and all(e.startswith("stream:") for e in eps)
+    live = table.read_live().toPandas()
+    want = duckdb_winners(ev.toPandas(), drop_tombstones=True)
+    got = live.sort_values("url").reset_index(drop=True)
+    exp = want.sort_values("url").reset_index(drop=True)
+    assert list(got["url"]) == list(exp["url"])
+    assert list(got["_ab_cdc_lsn"]) == list(exp["_ab_cdc_lsn"])
+    assert list(got["text"]) == list(exp["text"])
+
+    # restart, no new envelopes: nothing re-applies
+    v = table.current_version()
+    q2 = stream_sync(
+        spark, log, table, cfg, str(tmp_path / "ck"),
+        max_files_per_trigger=1, source_format="debezium", value_schema=vs,
+    )
+    q2.awaitTermination()
+    assert table.current_version() == v
