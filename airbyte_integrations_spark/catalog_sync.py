@@ -288,11 +288,23 @@ def _read_stream_events(
         # the lock-step commit loop is sync_shared_log; here the slice
         # is just this member's routed events past the GLOBAL offset,
         # resume_lsn accepts the GLOBAL state arm directly).
-        ev = (
-            cs.source["df"]
-            if "df" in cs.source
-            else spark.read.parquet(cs.source["path"])
-        )
+        if "debezium_path" in cs.source:
+            from airbyte_integrations_spark.sources.debezium import (
+                shared_log_from_envelopes,
+            )
+
+            ev = shared_log_from_envelopes(
+                spark,
+                cs.source["debezium_path"],
+                cs.source["value_schema"],
+                cs.source.get("stream_col", "stream"),
+            )
+        else:
+            ev = (
+                cs.source["df"]
+                if "df" in cs.source
+                else spark.read.parquet(cs.source["path"])
+            )
         stream_col = cs.source.get("stream_col", "stream")
         if stream_col not in ev.columns:
             raise ValueError(
@@ -742,7 +754,21 @@ def sync_shared_log(
     if not streams:
         return []
     first = streams[0].source
-    log = first["df"] if "df" in first else spark.read.parquet(first["path"])
+    if "debezium_path" in first:
+        # raw multi-table envelope JSONL (the literal Debezium shape):
+        # decode + table-routing in one projection
+        from airbyte_integrations_spark.sources.debezium import (
+            shared_log_from_envelopes,
+        )
+
+        log = shared_log_from_envelopes(
+            spark,
+            first["debezium_path"],
+            first["value_schema"],
+            first.get("stream_col", "stream"),
+        )
+    else:
+        log = first["df"] if "df" in first else spark.read.parquet(first["path"])
     stream_col = first.get("stream_col", "stream")
     if stream_col not in log.columns:
         raise ValueError(f"shared log has no stream-routing column {stream_col!r}")

@@ -67,6 +67,7 @@ def parse_debezium(
     value_schema: T.StructType | str,
     json_col: str = "value",
     emitted_at: Column | None = None,
+    include_table: bool = False,
 ) -> DataFrame:
     """Envelope JSONL -> change-event frame.
 
@@ -83,6 +84,11 @@ def parse_debezium(
         transaction timestamp (deterministic replacement for the
         reference's wall-clock ``emittedAt``, same policy as the
         Singer/wire adapters).
+
+    ``include_table=True`` adds ``_table`` = ``source.table`` — the
+    stream-routing column of a multi-table connector log (the
+    reference routes on it at DebeziumEventUtils.java:32
+    ``source.get("table")``); see ``shared_log_from_envelopes``.
     """
     if isinstance(value_schema, str):
         value_schema = T.StructType.fromDDL(value_schema)
@@ -96,6 +102,7 @@ def parse_debezium(
     deleted = F.when(p["after"].isNull(), updated)
     emitted = emitted_at if emitted_at is not None else updated
     cols = [base[f.name].alias(f.name) for f in value_schema.fields]
+    extra = [p["source"]["table"].alias("_table")] if include_table else []
     return lines.select(
         *cols,
         p["source"]["lsn"].alias("_ab_cdc_lsn"),
@@ -104,6 +111,7 @@ def parse_debezium(
         p["op"].alias("_op"),
         F.md5(raw).alias("_airbyte_ab_id"),
         emitted.alias("_airbyte_emitted_at"),
+        *extra,
     )
 
 
@@ -115,6 +123,7 @@ def emit_debezium(
     deleted_col: str = "_ab_cdc_deleted_at",
     table: str = "pages",
     snapshot_lsn: int | None = None,
+    table_col: str | None = None,
 ) -> DataFrame:
     """Change-event frame -> envelope JSONL (one ``value`` column).
 
@@ -135,6 +144,7 @@ def emit_debezium(
     if snapshot_lsn is not None:
         op = op.when(F.col(lsn_col) == F.lit(snapshot_lsn), F.lit("r"))
     op = op.otherwise(F.lit("u"))
+    tbl = F.col(table_col) if table_col is not None else F.lit(table)
     envelope = F.struct(
         F.when(is_del, img).alias("before"),
         F.when(~is_del, img).alias("after"),
@@ -142,11 +152,29 @@ def emit_debezium(
             F.floor(us / 1000).cast("long").alias("ts_ms"),
             us.alias("ts_us"),
             F.col(lsn_col).cast("long").alias("lsn"),
-            F.lit(table).alias("table"),
+            tbl.alias("table"),
         ).alias("source"),
         op.alias("op"),
         F.floor(us / 1000).cast("long").alias("ts_ms"),
     )
     return events.select(
         F.to_json(envelope, {"ignoreNullFields": "false"}).alias("value")
+    )
+
+
+def shared_log_from_envelopes(
+    spark, path: str, value_schema: T.StructType | str, stream_col: str = "stream"
+) -> DataFrame:
+    """Multi-table envelope JSONL -> the interleaved shared-WAL frame
+    `sync_shared_log` consumes: one total lsn order across tables,
+    routed by `stream_col` = the envelope's ``source.table`` (exactly
+    how the reference names each record's stream,
+    DebeziumEventUtils.java:32). This is the REAL Debezium connector
+    shape — one engine, one offset, many tables in one log — feeding
+    the GLOBAL-state lock-step loop; still one from_json projection."""
+    lines = spark.read.text(path).filter(F.length(F.trim("value")) > 0)
+    return (
+        parse_debezium(lines, value_schema, include_table=True)
+        .drop("_op")
+        .withColumnRenamed("_table", stream_col)
     )

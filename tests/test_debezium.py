@@ -162,3 +162,67 @@ def test_catalog_debezium_kind_end_to_end(spark, tmp_path):
     v = t.current_version()
     read_catalog(spark, cat, lake, max_events_per_epoch=250)
     assert stream_table(spark, lake, "pages").current_version() == v
+
+
+def test_multi_table_envelope_log_global_state_sync(spark, tmp_path):
+    """The literal Debezium connector shape: ONE envelope log carrying
+    two tables' changes in one total lsn order, routed by source.table
+    — decoded by shared_log_from_envelopes and synced lock-step with
+    GLOBAL state through the cdc_shared machinery."""
+    from airbyte_integrations_spark.sources.debezium import (
+        shared_log_from_envelopes,
+    )
+
+    ev_a = _events(spark, n=500).withColumn(
+        "_ab_cdc_lsn", 2 * F.col("_ab_cdc_lsn")
+    ).withColumn("tbl", F.lit("pages_a"))
+    ev_b = _events(spark, n=250).withColumn(
+        "_ab_cdc_lsn", 2 * F.col("_ab_cdc_lsn") + 1
+    ).withColumn("tbl", F.lit("pages_b"))
+    wal = ev_a.unionByName(ev_b)
+    path = str(tmp_path / "dbz_multi")
+    emit_debezium(wal, VALUE_COLS, table_col="tbl").write.text(path)
+
+    # decode routes on source.table
+    log = shared_log_from_envelopes(spark, path, VALUE_DDL)
+    assert set(
+        r["stream"] for r in log.select("stream").distinct().collect()
+    ) == {"pages_a", "pages_b"}
+
+    members = tuple(
+        ConfiguredStream(
+            config=SyncConfig(stream=n, n_buckets=4),
+            source={
+                "kind": "cdc_shared",
+                "group": "dbzwal",
+                "debezium_path": path,
+                "value_schema": VALUE_DDL,
+            },
+        )
+        for n in ("pages_a", "pages_b")
+    )
+    lake = str(tmp_path / "lake")
+    msgs = read_catalog(
+        spark, ConfiguredCatalog(streams=members), lake,
+        max_events_per_epoch=400,
+    )
+    assert msgs and all(m["state"]["state_type"] == "GLOBAL" for m in msgs)
+    for name, src in (("pages_a", ev_a), ("pages_b", ev_b)):
+        got = (
+            stream_table(spark, lake, name)
+            .read_live()
+            .select(*VALUE_COLS, "_ab_cdc_lsn")
+            .toPandas()
+        )
+        want = duckdb_winners(src.drop("tbl").toPandas())[
+            VALUE_COLS + ["_ab_cdc_lsn"]
+        ]
+        assert_frames_equal(got, want, sort_cols=("url",))
+    # idempotent re-run through the catalog arm
+    assert (
+        read_catalog(
+            spark, ConfiguredCatalog(streams=members), lake,
+            max_events_per_epoch=400,
+        )
+        == []
+    )
