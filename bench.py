@@ -169,6 +169,38 @@ def bench_plog_consume(spark, n_events: int, n_urls: int) -> dict:
     return {"sec": dt, "events_per_sec": n_events / dt}
 
 
+def bench_debezium_ingest(spark, n_events: int, n_urls: int) -> dict:
+    """Raw-envelope ingest: decode Debezium JSONL (one from_json
+    projection, executor-side) + MERGE-apply into a MoR table — the
+    dataflow the reference runs as a single-threaded per-event Jackson
+    loop (DebeziumEventUtils.java:22-65). Envelope generation is not
+    timed; decode + apply is."""
+    from airbyte_integrations_spark.sources.debezium import (
+        emit_debezium,
+        parse_debezium,
+    )
+
+    base = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    root = tempfile.mkdtemp(prefix="bench_dbz_", dir=base)
+    log = os.path.join(root, "log")
+    ev = gen_change_events(spark, n_events, n_urls=n_urls).select(*BENCH_COLS)
+    emit_debezium(
+        ev, ["url", "warc_ts", "text", "lang"]
+    ).repartition(16).write.text(log)
+    table = LakeTable(spark, os.path.join(root, "lake"))
+    cfg = SyncConfig(stream="pages", n_buckets=64, write_mode="mor")
+    vs = "url string, warc_ts timestamp, text string, lang string"
+    t0 = time.perf_counter()
+    events = parse_debezium(spark.read.text(log), vs).drop("_op")
+    run_sync(
+        spark, events, table, cfg,
+        extract_missing_text=False, compact_threshold=None,
+    )
+    dt = time.perf_counter() - t0
+    shutil.rmtree(root, ignore_errors=True)
+    return {"sec": dt, "events_per_sec": n_events / dt}
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -240,6 +272,12 @@ def main() -> None:
     )
     timings["plog_consume"] = round(plog["sec"], 3)
 
+    # raw-envelope mode (Debezium JSONL decode + MERGE)
+    dbz = bench_debezium_ingest(
+        spark, max(n_events // 4, 100_000), n_urls=max(n_events // 80, 1000)
+    )
+    timings["debezium_ingest"] = round(dbz["sec"], 3)
+
     out = {
         "metric": "change-events/sec sustained MERGE-apply (CDC replay into lake table)",
         "value": round(max(merge["events_per_sec"], merge_mor["events_per_sec"]), 1),
@@ -256,6 +294,7 @@ def main() -> None:
         "events_per_sec_stateful_view": round(stateful["events_per_sec"], 1),
         "events_per_sec_stream_sync": round(streamed["events_per_sec"], 1),
         "events_per_sec_plog": round(plog["events_per_sec"], 1),
+        "events_per_sec_debezium": round(dbz["events_per_sec"], 1),
         "cpus": cpus,
     }
     # Attach the last recorded N->4N scaling evidence (protocol +
