@@ -624,6 +624,54 @@ class LakeTable:
             if os.path.exists(os.path.join(bdir, d, "VERSION"))
         )
 
+    # ---------- tags (named snapshot refs) ----------
+
+    @property
+    def _tags_path(self) -> str:
+        return os.path.join(self._meta_dir, "TAGS.json")
+
+    def tags(self) -> dict[str, int]:
+        """{tag: version} for this branch (Iceberg TAG refs)."""
+        if not os.path.exists(self._tags_path):
+            return {}
+        with open(self._tags_path) as f:
+            return {k: int(v) for k, v in json.load(f).items()}
+
+    def tag(self, name: str, version: int | None = None) -> int:
+        """Pin a snapshot under an immutable name (Iceberg
+        `manageSnapshots().createTag`): the audit/compliance ref for
+        "the table as shipped" — `read(version=tags()[name])` serves
+        it forever, and `expire_snapshots` RETAINS tagged versions
+        beyond both keep_last and the age cutoff until the tag is
+        dropped. Tags are immutable (re-tagging an existing name
+        raises — drop first); tagging an expired version raises
+        FileNotFoundError (its manifest is gone). Atomic sidecar
+        update (tmp + rename), same discipline as VERSION."""
+        v = self.current_version() if version is None else int(version)
+        self.manifest(v)  # FileNotFoundError if expired / never existed
+        cur = self.tags()
+        if name in cur:
+            raise ValueError(
+                f"tag {name!r} already points at v{cur[name]} "
+                "(tags are immutable; drop_tag first)"
+            )
+        cur[name] = v
+        tmp = self._tags_path + f".tmp-{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            json.dump(cur, f)
+        os.replace(tmp, self._tags_path)
+        return v
+
+    def drop_tag(self, name: str) -> None:
+        cur = self.tags()
+        if name not in cur:
+            raise ValueError(f"no tag {name!r}")
+        del cur[name]
+        tmp = self._tags_path + f".tmp-{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            json.dump(cur, f)
+        os.replace(tmp, self._tags_path)
+
     def publish_branch(self, branch: "LakeTable") -> int:
         """Fast-forward this branch to a child branch's head — the
         PUBLISH half of write-audit-publish (Iceberg
@@ -1553,6 +1601,9 @@ class LakeTable:
         current snapshot is always kept either way)."""
         cur = self.current_version()
         keep = set(range(max(cur - keep_last + 1, 0), cur + 1))
+        # tagged snapshots are pinned (Iceberg TAG retention): a tag is
+        # an explicit promise the version stays readable until dropped
+        keep |= set(self.tags().values())
         if older_than_us is not None:
             for v in range(cur):
                 if v in keep:

@@ -77,3 +77,46 @@ def test_expire_age_cutoff_widens_retention(spark, tmp_path):
     assert len(retained) >= 2, "young snapshots must survive keep_last=1"
     # pre-cutoff snapshots are gone
     assert 0 not in retained
+
+
+def test_tags_pin_snapshots_and_retention(spark, tmp_path):
+    """Iceberg TAG refs: immutable named snapshots that expire must
+    retain beyond keep_last until dropped."""
+    import pytest
+
+    from airbyte_integrations_spark.config import SyncConfig
+    from airbyte_integrations_spark.gen import gen_change_events
+    from airbyte_integrations_spark.lakehouse.table import LakeTable
+    from airbyte_integrations_spark.streaming.microbatch import run_sync
+
+    table = LakeTable(spark, str(tmp_path / "t"))
+    ev = gen_change_events(spark, 600, n_urls=40)
+    run_sync(spark, ev.filter("_ab_cdc_lsn <= 200"), table,
+             SyncConfig(stream="pages", n_buckets=2),
+             extract_missing_text=False, max_events_per_epoch=100)
+    v_ship = table.current_version()
+    table.tag("shipped")
+    n_ship = table.read_live().count()
+    run_sync(spark, ev, table, SyncConfig(stream="pages", n_buckets=2),
+             extract_missing_text=False, max_events_per_epoch=100)
+    assert table.current_version() > v_ship
+
+    # duplicate tag refused; unknown drop refused; expired target raises
+    with pytest.raises(ValueError, match="immutable"):
+        table.tag("shipped")
+    with pytest.raises(ValueError, match="no tag"):
+        table.drop_tag("nope")
+
+    # expiry keeps the tagged snapshot beyond keep_last=1
+    table.expire_snapshots(keep_last=1)
+    assert table.read_live(version=v_ship).count() == n_ship
+    assert table.tags() == {"shipped": v_ship}
+
+    # drop the tag: the next expiry reclaims it
+    table.drop_tag("shipped")
+    table.expire_snapshots(keep_last=1)
+    with pytest.raises(FileNotFoundError):
+        table.manifest(v_ship)
+    # tagging an expired version refused
+    with pytest.raises(FileNotFoundError):
+        table.tag("late", version=v_ship)
