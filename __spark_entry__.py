@@ -6802,6 +6802,59 @@ FROM ce
 """
 
 
+def q_cdc_mysql_binlog_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MySQL-dialect Debezium decode: composite (binlog file, pos)
+    positions folded into the engine's one monotone order
+    (sources/debezium.py mysql_binlog_lsn — the reference's
+    file-name-first-then-offset compare, MySqlCdcTargetPosition
+    .java:71-80, and its _ab_cdc_log_file/_ab_cdc_log_pos injector
+    columns, MySqlCdcConnectorMetadataInjector.java:17-20). The log is
+    rendered with binlog_file_size=1000, forcing thousands of file
+    rollovers at sf0.01+, then replayed to the final latest-wins state
+    on the FOLDED position; the oracle picks winners by the source lsn
+    directly and re-derives (file, pos) arithmetically, so value
+    equality proves the fold is order-isomorphic across every rollover
+    boundary. Scale shape: decode is one from_json codegen projection;
+    winner selection is the same map-side-combining agg as the
+    headline path."""
+    from airbyte_integrations_spark.sources.debezium import (
+        emit_debezium,
+        parse_debezium,
+    )
+
+    tune_session(spark)
+    ce = change_events(spark, sf_dir)
+    lines = emit_debezium(
+        ce,
+        ["url", "event_type", "value_m"],
+        dialect="mysql",
+        binlog_file_size=1000,
+    )
+    parsed = parse_debezium(
+        lines, "url string, event_type string, value_m bigint", dialect="mysql"
+    )
+    w = winner_window(parsed, drop_tombstones=True)
+    return w.select(
+        "url",
+        F.col("_ab_cdc_log_file").alias("log_file"),
+        F.col("_ab_cdc_log_pos").alias("log_pos"),
+        _us("_ab_cdc_updated_at").alias("updated_us"),
+        "event_type",
+        "value_m",
+    )
+
+
+O_CDC_MYSQL_BINLOG_ORDER = f"""
+WITH {CE_SQL}, {WINNERS_SQL}
+SELECT url,
+       printf('mysql-bin.%06d', _ab_cdc_lsn // 1000) AS log_file,
+       _ab_cdc_lsn % 1000 AS log_pos,
+       epoch_us(_ab_cdc_updated_at) AS updated_us,
+       event_type, value_m
+FROM w WHERE rn = 1 AND _ab_cdc_deleted_at IS NULL
+"""
+
+
 def q_docs_ndv_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language vocabulary cardinality via a KMV bottom-k sketch
     (functions/sketch.py — Bar-Yossef et al. 2002), with the exact NDV
@@ -7003,6 +7056,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_catalog_sync": q_cdc_catalog_sync,
         "cdc_global_state_sync": q_cdc_global_state_sync,
         "cdc_debezium_envelope": q_cdc_debezium_envelope,
+        "cdc_mysql_binlog_order": q_cdc_mysql_binlog_order,
         "docs_ndv_sketch": q_docs_ndv_sketch,
         "docs_weighted_sample": q_docs_weighted_sample,
         "cdc_zorder_read": q_cdc_zorder_read,
@@ -7140,6 +7194,7 @@ def oracle_sql() -> dict[str, str]:
         "cdc_catalog_sync": O_CDC_CATALOG_SYNC,
         "cdc_global_state_sync": O_CDC_GLOBAL_STATE_SYNC,
         "cdc_debezium_envelope": O_CDC_DEBEZIUM_ENVELOPE,
+        "cdc_mysql_binlog_order": O_CDC_MYSQL_BINLOG_ORDER,
         "docs_ndv_sketch": O_DOCS_NDV_SKETCH,
         "docs_weighted_sample": O_DOCS_WEIGHTED_SAMPLE,
         "cdc_zorder_read": O_CDC_ZORDER_READ,

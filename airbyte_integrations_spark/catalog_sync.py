@@ -61,10 +61,12 @@ class ConfiguredStream:
        interleaved log>, "stream_col": "stream"}  — members of one
        group sync lock-step through sync_shared_log (GLOBAL state)
       {"kind": "debezium", "path": <JSONL dir of Debezium envelopes>,
-       "value_schema": <DDL string>, "emitted_at_millis": optional}
+       "value_schema": <DDL string>, "emitted_at_millis": optional,
+       "dialect": "postgres"|"mysql" (default postgres)}
        — raw engine envelopes decoded to change events in one
        from_json projection (sources/debezium.py), then the normal
-       CDC epoch loop
+       CDC epoch loop; dialect "mysql" decodes composite (file, pos)
+       binlog positions into the engine's total order
     """
 
     config: SyncConfig
@@ -298,6 +300,7 @@ def _read_stream_events(
                 cs.source["debezium_path"],
                 cs.source["value_schema"],
                 cs.source.get("stream_col", "stream"),
+                dialect=cs.source.get("dialect", "postgres"),
             )
         else:
             ev = (
@@ -339,7 +342,10 @@ def _read_stream_events(
         if "emitted_at_millis" in cs.source:
             emitted = F.timestamp_millis(F.lit(int(cs.source["emitted_at_millis"])))
         ev = parse_debezium(
-            lines, cs.source["value_schema"], emitted_at=emitted
+            lines,
+            cs.source["value_schema"],
+            emitted_at=emitted,
+            dialect=cs.source.get("dialect", "postgres"),
         ).drop("_op")
         if cfg.sync_mode == SyncMode.INCREMENTAL and table.watermark(cfg.stream) is None:
             seed, _ = _seed_state(state, cfg.stream)
@@ -766,6 +772,7 @@ def sync_shared_log(
             first["debezium_path"],
             first["value_schema"],
             first.get("stream_col", "stream"),
+            dialect=first.get("dialect", "postgres"),
         )
     else:
         log = first["df"] if "df" in first else spark.read.parquet(first["path"])

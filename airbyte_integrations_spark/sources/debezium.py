@@ -44,18 +44,72 @@ _SOURCE_SCHEMA = T.StructType(
     ]
 )
 
+# MySQL's Debezium source block has no lsn: the log position is the
+# composite (binlog file name, byte offset) pair — SHOW MASTER STATUS
+# File/Position, compared file-name-first then position
+# (source-mysql/.../MySqlCdcTargetPosition.java:71-80).
+_MYSQL_SOURCE_SCHEMA = T.StructType(
+    [
+        T.StructField("ts_ms", T.LongType(), True),
+        T.StructField("ts_us", T.LongType(), True),
+        T.StructField("file", T.StringType(), True),
+        T.StructField("pos", T.LongType(), True),
+        T.StructField("row", T.LongType(), True),
+        T.StructField("server_id", T.LongType(), True),
+        T.StructField("gtid", T.StringType(), True),
+        T.StructField("table", T.StringType(), True),
+        T.StructField("db", T.StringType(), True),
+    ]
+)
 
-def envelope_schema(value_schema: T.StructType | str) -> T.StructType:
+_DIALECT_SOURCE = {"postgres": _SOURCE_SCHEMA, "mysql": _MYSQL_SOURCE_SCHEMA}
+
+# Bits reserved for the within-file byte offset when folding MySQL's
+# (file, pos) pair into the engine's single monotone position. MySQL
+# caps binlog files at max_binlog_size <= 1 GiB (2^30; one oversized
+# transaction can overrun a file, but not by 2^10x), so 40 bits of
+# offset is generous and leaves 23 bits of file ordinal headroom.
+_BINLOG_POS_BITS = 40
+
+
+def mysql_binlog_lsn(file: Column | str, pos: Column | str) -> Column:
+    """Fold MySQL's composite binlog position into one monotone long:
+    ``file_ordinal * 2^40 + pos``.
+
+    The reference compares CDC positions file-name-first, then byte
+    offset (MySqlCdcTargetPosition.java:71-80 ``fileName.compareTo``
+    then ``position >=``); Debezium names binlog files with a
+    zero-padded numeric suffix (``mysql-bin.000003``), so the numeric
+    suffix IS the file ordinal. Extracting it digit-wise is strictly
+    more robust than the reference's lexicographic compare, which
+    inverts once the suffix outgrows its padding (``mysql-bin.1000000``
+    sorts before ``mysql-bin.999999`` as a string, after it as a log).
+    Pure codegen (regexp + integer arithmetic), order-isomorphic to
+    the composite pair whenever pos < 2^40.
+    """
+    f = F.col(file) if isinstance(file, str) else file
+    p = F.col(pos) if isinstance(pos, str) else pos
+    seq = F.regexp_extract(f, r"(\d+)$", 1).cast("long")
+    return (seq * F.lit(1 << _BINLOG_POS_BITS) + p).cast("long")
+
+
+def envelope_schema(
+    value_schema: T.StructType | str, dialect: str = "postgres"
+) -> T.StructType:
     """Spark schema of one Debezium envelope for a given row shape
     (the embedded engine's JSON value with schemas disabled:
-    ``{before, after, source, op, ts_ms}``)."""
+    ``{before, after, source, op, ts_ms}``). ``dialect`` picks the
+    source-block shape: postgres carries ``lsn``, mysql carries the
+    composite ``(file, pos)``."""
     if isinstance(value_schema, str):
         value_schema = T.StructType.fromDDL(value_schema)
+    if dialect not in _DIALECT_SOURCE:
+        raise ValueError(f"unknown debezium dialect: {dialect!r}")
     return T.StructType(
         [
             T.StructField("before", value_schema, True),
             T.StructField("after", value_schema, True),
-            T.StructField("source", _SOURCE_SCHEMA, True),
+            T.StructField("source", _DIALECT_SOURCE[dialect], True),
             T.StructField("op", T.StringType(), True),
             T.StructField("ts_ms", T.LongType(), True),
         ]
@@ -68,6 +122,7 @@ def parse_debezium(
     json_col: str = "value",
     emitted_at: Column | None = None,
     include_table: bool = False,
+    dialect: str = "postgres",
 ) -> DataFrame:
     """Envelope JSONL -> change-event frame.
 
@@ -89,10 +144,19 @@ def parse_debezium(
     stream-routing column of a multi-table connector log (the
     reference routes on it at DebeziumEventUtils.java:32
     ``source.get("table")``); see ``shared_log_from_envelopes``.
+
+    ``dialect="mysql"``: the source block carries the composite
+    binlog position instead of an lsn. ``_ab_cdc_lsn`` is synthesized
+    via :func:`mysql_binlog_lsn` (order-isomorphic to the reference's
+    file-then-pos compare, MySqlCdcTargetPosition.java:71-80), and the
+    raw pair rides as ``_ab_cdc_log_file`` / ``_ab_cdc_log_pos`` —
+    byte-for-byte the reference's MySQL metadata-injector columns
+    (MySqlCdcConnectorMetadataInjector.java:17-20, declared at
+    MySqlSource.java:54-55,93-94).
     """
     if isinstance(value_schema, str):
         value_schema = T.StructType.fromDDL(value_schema)
-    env = envelope_schema(value_schema)
+    env = envelope_schema(value_schema, dialect=dialect)
     raw = F.col(json_col)
     p = F.from_json(raw, env)
     base = F.when(p["after"].isNotNull(), p["after"]).otherwise(p["before"])
@@ -102,15 +166,25 @@ def parse_debezium(
     deleted = F.when(p["after"].isNull(), updated)
     emitted = emitted_at if emitted_at is not None else updated
     cols = [base[f.name].alias(f.name) for f in value_schema.fields]
+    if dialect == "mysql":
+        lsn = mysql_binlog_lsn(p["source"]["file"], p["source"]["pos"])
+        injector = [
+            p["source"]["file"].alias("_ab_cdc_log_file"),
+            p["source"]["pos"].alias("_ab_cdc_log_pos"),
+        ]
+    else:
+        lsn = p["source"]["lsn"]
+        injector = []
     extra = [p["source"]["table"].alias("_table")] if include_table else []
     return lines.select(
         *cols,
-        p["source"]["lsn"].alias("_ab_cdc_lsn"),
+        lsn.alias("_ab_cdc_lsn"),
         updated.alias("_ab_cdc_updated_at"),
         deleted.alias("_ab_cdc_deleted_at"),
         p["op"].alias("_op"),
         F.md5(raw).alias("_airbyte_ab_id"),
         emitted.alias("_airbyte_emitted_at"),
+        *injector,
         *extra,
     )
 
@@ -124,6 +198,8 @@ def emit_debezium(
     table: str = "pages",
     snapshot_lsn: int | None = None,
     table_col: str | None = None,
+    dialect: str = "postgres",
+    binlog_file_size: int = 1 << _BINLOG_POS_BITS,
 ) -> DataFrame:
     """Change-event frame -> envelope JSONL (one ``value`` column).
 
@@ -136,6 +212,14 @@ def emit_debezium(
     which never reads ``op``). Rendered distributed with ``to_json``;
     explicit nulls kept so the parse side sees the same shape Debezium
     writes.
+
+    ``dialect="mysql"`` renders the composite binlog position instead
+    of an lsn: ``file = mysql-bin.%06d(lsn div binlog_file_size)``,
+    ``pos = lsn mod binlog_file_size``. With the default file size of
+    2^40 the re-parsed ``_ab_cdc_lsn`` equals the input exactly; any
+    smaller ``binlog_file_size`` forces file rollovers while keeping
+    the re-parsed position order-isomorphic to the input — the fixture
+    knob for exercising MySqlCdcTargetPosition's file-then-pos rule.
     """
     img = F.struct(*[F.col(c) for c in value_cols])
     is_del = F.col(deleted_col).isNotNull()
@@ -145,15 +229,37 @@ def emit_debezium(
         op = op.when(F.col(lsn_col) == F.lit(snapshot_lsn), F.lit("r"))
     op = op.otherwise(F.lit("u"))
     tbl = F.col(table_col) if table_col is not None else F.lit(table)
+    lsn = F.col(lsn_col).cast("long")
+    if dialect == "mysql":
+        if not 0 < binlog_file_size <= (1 << _BINLOG_POS_BITS):
+            raise ValueError("binlog_file_size must be in (0, 2^40]")
+        size = F.lit(int(binlog_file_size))
+        # SQL `div` for exact 64-bit integer division (float `/` would
+        # round positions past 2^53).
+        seq = F.expr(
+            f"CAST({lsn_col} AS BIGINT) div CAST({int(binlog_file_size)} AS BIGINT)"
+        )
+        src = F.struct(
+            F.floor(us / 1000).cast("long").alias("ts_ms"),
+            us.alias("ts_us"),
+            F.format_string("mysql-bin.%06d", seq).alias("file"),
+            (lsn % size).alias("pos"),
+            F.lit(1).cast("long").alias("server_id"),
+            tbl.alias("table"),
+        )
+    elif dialect == "postgres":
+        src = F.struct(
+            F.floor(us / 1000).cast("long").alias("ts_ms"),
+            us.alias("ts_us"),
+            lsn.alias("lsn"),
+            tbl.alias("table"),
+        )
+    else:
+        raise ValueError(f"unknown debezium dialect: {dialect!r}")
     envelope = F.struct(
         F.when(is_del, img).alias("before"),
         F.when(~is_del, img).alias("after"),
-        F.struct(
-            F.floor(us / 1000).cast("long").alias("ts_ms"),
-            us.alias("ts_us"),
-            F.col(lsn_col).cast("long").alias("lsn"),
-            tbl.alias("table"),
-        ).alias("source"),
+        src.alias("source"),
         op.alias("op"),
         F.floor(us / 1000).cast("long").alias("ts_ms"),
     )
@@ -163,7 +269,11 @@ def emit_debezium(
 
 
 def shared_log_from_envelopes(
-    spark, path: str, value_schema: T.StructType | str, stream_col: str = "stream"
+    spark,
+    path: str,
+    value_schema: T.StructType | str,
+    stream_col: str = "stream",
+    dialect: str = "postgres",
 ) -> DataFrame:
     """Multi-table envelope JSONL -> the interleaved shared-WAL frame
     `sync_shared_log` consumes: one total lsn order across tables,
@@ -174,7 +284,7 @@ def shared_log_from_envelopes(
     the GLOBAL-state lock-step loop; still one from_json projection."""
     lines = spark.read.text(path).filter(F.length(F.trim("value")) > 0)
     return (
-        parse_debezium(lines, value_schema, include_table=True)
+        parse_debezium(lines, value_schema, include_table=True, dialect=dialect)
         .drop("_op")
         .withColumnRenamed("_table", stream_col)
     )

@@ -65,6 +65,7 @@ def stream_sync(
     refresh_views: list | None = None,
     source_format: str = "parquet",
     value_schema=None,
+    dialect: str = "postgres",
 ):
     """Start a continuous ingest query; returns the StreamingQuery.
 
@@ -96,7 +97,9 @@ def stream_sync(
             reader = reader.option(
                 "maxFilesPerTrigger", str(max_files_per_trigger)
             )
-        events = parse_debezium(reader.text(log_dir), value_schema).drop("_op")
+        events = parse_debezium(
+            reader.text(log_dir), value_schema, dialect=dialect
+        ).drop("_op")
     else:
         reader = spark.readStream.schema(
             schema if schema is not None else spark.read.parquet(log_dir).schema

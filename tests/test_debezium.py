@@ -226,3 +226,148 @@ def test_multi_table_envelope_log_global_state_sync(spark, tmp_path):
         )
         == []
     )
+
+
+# ---------------------------------------------------------------- MySQL
+# dialect: composite (binlog file, pos) positions. The reference
+# compares CDC positions file-name-first then byte offset
+# (source-mysql/.../MySqlCdcTargetPosition.java:71-80) and injects the
+# pair as _ab_cdc_log_file/_ab_cdc_log_pos
+# (MySqlCdcConnectorMetadataInjector.java:17-20, MySqlSource.java:54-55).
+
+
+def test_mysql_roundtrip_exact(spark):
+    ev = _events(spark)
+    lines = emit_debezium(ev, VALUE_COLS, dialect="mysql")
+    back = parse_debezium(lines, VALUE_DDL, dialect="mysql")
+    proj = lambda df: df.select(  # noqa: E731
+        *VALUE_COLS,
+        "_ab_cdc_lsn",
+        F.unix_micros("_ab_cdc_updated_at").alias("upd_us"),
+        F.unix_micros("_ab_cdc_deleted_at").alias("del_us"),
+    ).toPandas()
+    # default binlog_file_size = 2^40 => the re-parsed engine position
+    # equals the input lsn exactly
+    assert_frames_equal(proj(ev), proj(back), sort_cols=("_ab_cdc_lsn",))
+    # injector-parity columns ride with the reference's exact names
+    row = back.orderBy("_ab_cdc_lsn").limit(1).collect()[0]
+    assert row["_ab_cdc_log_file"] == "mysql-bin.000000"
+    assert row["_ab_cdc_log_pos"] == row["_ab_cdc_lsn"]
+
+
+def test_mysql_rollover_preserves_order(spark):
+    # small binlog_file_size forces many file rollovers; the folded
+    # position must stay order-isomorphic to the source sequence
+    ev = _events(spark, n=500).withColumn(
+        "src_lsn", F.col("_ab_cdc_lsn")
+    )
+    lines = emit_debezium(
+        ev, VALUE_COLS + ["src_lsn"], dialect="mysql", binlog_file_size=64
+    )
+    back = parse_debezium(
+        lines, VALUE_DDL + ", src_lsn bigint", dialect="mysql"
+    )
+    assert back.select("_ab_cdc_log_file").distinct().count() > 3
+    pdf = back.select("_ab_cdc_lsn", "src_lsn").toPandas()
+    by_folded = pdf.sort_values("_ab_cdc_lsn")["src_lsn"].tolist()
+    assert by_folded == sorted(by_folded)
+    assert len(set(pdf["_ab_cdc_lsn"])) == len(pdf)
+
+
+def test_mysql_file_then_pos_rule(spark):
+    # an event early in a LATER binlog file outranks one late in an
+    # EARLIER file — the composite rule, not pos alone
+    def env(file, pos, text):
+        return json.dumps(
+            {
+                "before": None,
+                "after": {"url": "https://x.example/1", "text": text, "lang": "en"},
+                "source": {
+                    "version": "1.9.2.Final",
+                    "connector": "mysql",
+                    "name": "binlog",
+                    "ts_ms": 1700000000123,
+                    "snapshot": "false",
+                    "db": "crawl",
+                    "table": "pages",
+                    "server_id": 223344,
+                    "gtid": None,
+                    "file": file,
+                    "pos": pos,
+                    "row": 0,
+                    "thread": 7,
+                    "query": None,
+                },
+                "op": "u",
+                "ts_ms": 1700000000456,
+            }
+        )
+
+    lines = spark.createDataFrame(
+        [(env("mysql-bin.000003", 999_999, "old"),), (env("mysql-bin.000004", 4, "new"),)],
+        "value string",
+    )
+    rows = {
+        r["text"]: r
+        for r in parse_debezium(lines, VALUE_DDL, dialect="mysql").collect()
+    }
+    assert rows["new"]["_ab_cdc_lsn"] > rows["old"]["_ab_cdc_lsn"]
+    assert rows["old"]["_ab_cdc_log_file"] == "mysql-bin.000003"
+    assert rows["old"]["_ab_cdc_log_pos"] == 999_999
+    assert rows["new"]["_ab_cdc_lsn"] == 4 * (1 << 40) + 4
+
+
+def test_mysql_delete_before_image(spark):
+    env = {
+        "before": {"url": "https://x.example/9", "text": "bye", "lang": "en"},
+        "after": None,
+        "source": {
+            "ts_ms": 1700000000123,
+            "ts_us": 1700000000123456,
+            "file": "mysql-bin.000011",
+            "pos": 52,
+            "db": "crawl",
+            "table": "pages",
+        },
+        "op": "d",
+        "ts_ms": 1700000000456,
+    }
+    lines = spark.createDataFrame([(json.dumps(env),)], "value string")
+    row = parse_debezium(lines, VALUE_DDL, dialect="mysql").collect()[0]
+    assert row["url"] == "https://x.example/9"  # before image carried
+    assert row["_ab_cdc_deleted_at"] is not None
+    assert row["_ab_cdc_updated_at"].microsecond == 123456  # ts_us wins
+    assert row["_ab_cdc_lsn"] == 11 * (1 << 40) + 52
+
+
+def test_catalog_debezium_mysql_kind_end_to_end(spark, tmp_path):
+    # rollover fixture (binlog_file_size=257): the synthesized position
+    # differs from the source lsn but is order-isomorphic, so the final
+    # table's payload winners must match the direct latest-wins replay
+    ev = _events(spark, n=600)
+    path = str(tmp_path / "dbz_mysql_jsonl")
+    emit_debezium(ev, VALUE_COLS, dialect="mysql", binlog_file_size=257).write.text(path)
+    cat = ConfiguredCatalog(
+        streams=(
+            ConfiguredStream(
+                config=SyncConfig(stream="pages", n_buckets=4),
+                source={
+                    "kind": "debezium",
+                    "path": path,
+                    "value_schema": VALUE_DDL,
+                    "dialect": "mysql",
+                },
+            ),
+        )
+    )
+    lake = str(tmp_path / "lake")
+    read_catalog(spark, cat, lake, max_events_per_epoch=250)
+    got = (
+        stream_table(spark, lake, "pages").read().select(*VALUE_COLS).toPandas()
+    )
+    want = duckdb_winners(ev.toPandas())[VALUE_COLS]
+    assert_frames_equal(got, want, sort_cols=("url",))
+    # idempotent re-run
+    v = stream_table(spark, lake, "pages").current_version()
+    read_catalog(spark, cat, lake, max_events_per_epoch=250)
+    assert stream_table(spark, lake, "pages").current_version() == v
