@@ -6855,6 +6855,127 @@ FROM w WHERE rn = 1 AND _ab_cdc_deleted_at IS NULL
 """
 
 
+def q_mongo_schemaless_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schemaless-collection discovery + typed read (sources/mongo.py —
+    source-mongodb-v2's sampled field/type discovery, MongoUtils
+    .getUniqueFields:202-214, with the mixed-type `_aibyte_transform`
+    string rule :224-226 and read-side stringification :138-147).
+    Every documents row is rendered as a JSON document whose `size`
+    field alternates int/string by parity (a genuinely mixed-typed
+    field), `extra` appears only on doc_id%7==0 (field-union
+    semantics), `meta` is a nested object and `tags` a string array.
+    Discovery runs as one distributed variant_explode aggregation per
+    nesting level; the read is ONE codegen projection of typed
+    try_variant_get extractions — zero per-row Python. The oracle
+    recomputes every output straight from `documents`, so value
+    equality proves union, mixed-rule naming, stringification, nested
+    and array typing, and null-for-missing all at once."""
+    import tempfile
+
+    from airbyte_integrations_spark.sources.mongo import (
+        discover_collection,
+        read_collection,
+    )
+
+    tune_session(spark)
+    docs = load(spark, sf_dir, "documents")
+    stable = lambda size_col: F.to_json(  # noqa: E731
+        F.struct(
+            F.concat(F.lit("doc-"), F.col("doc_id").cast("string")).alias("_id"),
+            F.col("lang").alias("lang"),
+            F.struct(
+                F.col("n_chars").alias("chars"), F.col("source").alias("src")
+            ).alias("meta"),
+            F.when(F.col("doc_id") % 7 == 0, F.col("lang")).alias("extra"),
+            F.array(F.col("lang"), F.col("source")).alias("tags"),
+            size_col.alias("size"),
+            F.col("doc_id").alias("seq"),
+        )
+    )
+    lines = docs.select(
+        F.when(
+            F.col("doc_id") % 2 == 0, stable(F.col("n_chars"))
+        ).otherwise(stable(F.col("n_chars").cast("string"))).alias("value")
+    )
+    scratch = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    path = tempfile.mkdtemp(prefix="mongo_entry_", dir=scratch) + "/coll"
+    lines.write.text(path)
+    fields = discover_collection(spark, path)
+    out = read_collection(spark, path, fields)
+    return out.select(
+        "_id",
+        "lang",
+        F.col("size_aibyte_transform").alias("size_str"),
+        F.col("meta.chars").alias("meta_chars"),
+        F.col("meta.src").alias("meta_src"),
+        "extra",
+        F.element_at("tags", 1).alias("tag0"),
+        F.size("tags").alias("n_tags"),
+        "seq",
+    )
+
+
+def q_mongo_change_stream_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native change-stream CDC replay (sources/mongo.py): the server
+    wire with opaque resume tokens, BsonTimestamp (t, i) positions
+    folded as t*2^32+i (BsonTimestamp's own comparable value), and
+    KEY-ONLY deletes (no before image — the tombstone reaches the
+    winner rule with null payload and the apply deletes by key alone).
+    The full log is rendered to change-stream JSONL and decoded back in
+    one from_json projection, then replayed to the final latest-wins
+    state; the oracle recomputes winners straight from the log and
+    re-derives each winner's resume token arithmetically, so value
+    equality proves the fold, the key-only tombstone rule, and token
+    plumbing end-to-end."""
+    import json as _json
+
+    from airbyte_integrations_spark.sources.mongo import (
+        discover_collection,
+        emit_change_stream,
+        parse_change_stream,
+    )
+
+    tune_session(spark)
+    ce = change_events(spark, sf_dir)
+    lines = emit_change_stream(ce, ["event_type", "value_m"])
+    sample = spark.createDataFrame(
+        [(_json.dumps({"_id": "u", "event_type": "t", "value_m": 1}),)],
+        "value string",
+    )
+    fields = discover_collection(spark, sample)
+    parsed = parse_change_stream(lines, fields).withColumnRenamed("_id", "url")
+    w = winner_window(parsed, drop_tombstones=True)
+    return w.select(
+        "url",
+        "_ab_cdc_lsn",
+        "event_type",
+        "value_m",
+        F.col("_resume_token").alias("resume_token"),
+    )
+
+
+O_MONGO_CHANGE_STREAM_READ = f"""
+WITH {CE_SQL}, {WINNERS_SQL}
+SELECT url, _ab_cdc_lsn, event_type, value_m,
+       printf('%016X', _ab_cdc_lsn) AS resume_token
+FROM w WHERE rn = 1 AND _ab_cdc_deleted_at IS NULL
+"""
+
+
+O_MONGO_SCHEMALESS_READ = """
+SELECT 'doc-' || CAST(doc_id AS VARCHAR) AS _id,
+       lang,
+       CAST(n_chars AS VARCHAR) AS size_str,
+       n_chars AS meta_chars,
+       source AS meta_src,
+       CASE WHEN doc_id % 7 = 0 THEN lang END AS extra,
+       lang AS tag0,
+       2 AS n_tags,
+       doc_id AS seq
+FROM documents
+"""
+
+
 def q_docs_ndv_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language vocabulary cardinality via a KMV bottom-k sketch
     (functions/sketch.py — Bar-Yossef et al. 2002), with the exact NDV
@@ -7057,6 +7178,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_global_state_sync": q_cdc_global_state_sync,
         "cdc_debezium_envelope": q_cdc_debezium_envelope,
         "cdc_mysql_binlog_order": q_cdc_mysql_binlog_order,
+        "mongo_schemaless_read": q_mongo_schemaless_read,
+        "mongo_change_stream_read": q_mongo_change_stream_read,
         "docs_ndv_sketch": q_docs_ndv_sketch,
         "docs_weighted_sample": q_docs_weighted_sample,
         "cdc_zorder_read": q_cdc_zorder_read,
@@ -7195,6 +7318,8 @@ def oracle_sql() -> dict[str, str]:
         "cdc_global_state_sync": O_CDC_GLOBAL_STATE_SYNC,
         "cdc_debezium_envelope": O_CDC_DEBEZIUM_ENVELOPE,
         "cdc_mysql_binlog_order": O_CDC_MYSQL_BINLOG_ORDER,
+        "mongo_schemaless_read": O_MONGO_SCHEMALESS_READ,
+        "mongo_change_stream_read": O_MONGO_CHANGE_STREAM_READ,
         "docs_ndv_sketch": O_DOCS_NDV_SKETCH,
         "docs_weighted_sample": O_DOCS_WEIGHTED_SAMPLE,
         "cdc_zorder_read": O_CDC_ZORDER_READ,

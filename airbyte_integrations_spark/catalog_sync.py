@@ -60,6 +60,13 @@ class ConfiguredStream:
       {"kind": "cdc_shared", "group": <wal id>, "df"/"path": <shared
        interleaved log>, "stream_col": "stream"}  — members of one
        group sync lock-step through sync_shared_log (GLOBAL state)
+      {"kind": "mongo", "path": <JSONL dir of schemaless documents>,
+       "cursor_col": <numeric cursor field> (incremental),
+       "key_col": "_id" (default), "fields": optional pre-computed
+       discovery, "discover_limit": 10000}
+       — source-mongodb-v2 taxonomy: sampled schemaless discovery
+       (mixed-type fields -> <name>_aibyte_transform strings), _id PK,
+       strict-> cursor incremental (sources/mongo.py)
       {"kind": "debezium", "path": <JSONL dir of Debezium envelopes>,
        "value_schema": <DDL string>, "emitted_at_millis": optional,
        "dialect": "postgres"|"mysql" (default postgres)}
@@ -381,6 +388,57 @@ def _read_stream_events(
                 ev = ev.filter(F.col("_ab_cdc_lsn") > F.lit(wm))
             return ev, None, {}
         return src.read_full(), None, {}
+    if kind == "mongo":
+        # schemaless JSONL collection (sources/mongo.py — the
+        # source-mongodb-v2 taxonomy: sampled field/type discovery with
+        # the _aibyte_transform mixed-type rule, _id PK, strict-> cursor
+        # incremental). `fields` may carry a pre-computed discovery
+        # (tuple of FieldInfo); otherwise discover() runs on this read.
+        from airbyte_integrations_spark.sources.mongo import (
+            PRIMARY_KEY,
+            discover_collection,
+            mongo_change_events,
+            read_collection,
+        )
+
+        fields = cs.source.get("fields") or discover_collection(
+            spark, cs.source["path"], limit=cs.source.get("discover_limit", 10_000)
+        )
+        if cfg.sync_mode == SyncMode.INCREMENTAL:
+            cursor_col = cs.source["cursor_col"]
+            wm = table.watermark(cfg.stream)
+            if wm is None:
+                wm, _ = _seed_state(state, cfg.stream)
+            ev = mongo_change_events(
+                spark,
+                cs.source["path"],
+                fields,
+                cursor_col=cursor_col,
+                key_col=cs.source.get("key_col", PRIMARY_KEY),
+            )
+            if wm is not None:
+                # same convention as jdbc: filter in normalized lsn
+                # space (numeric cursors reach the scan via Catalyst)
+                ev = ev.filter(F.col("_ab_cdc_lsn") > F.lit(wm))
+            return ev, None, {}
+        return read_collection(spark, cs.source["path"], fields), None, {}
+    if kind == "mongo_cdc":
+        # native change-stream tail (sources/mongo.py): BsonTimestamp
+        # (t, i) folded to the engine position, key-only delete
+        # tombstones, resume token riding as a payload column. The
+        # durable offset is the lsn watermark; latest_resume_token()
+        # recovers the opaque resumeAfter cursor from any batch.
+        from airbyte_integrations_spark.sources.mongo import parse_change_stream
+
+        lines = spark.read.text(cs.source["path"]).filter(
+            F.length(F.trim("value")) > 0
+        )
+        ev = parse_change_stream(lines, cs.source["fields"]).drop("_op")
+        if cfg.sync_mode == SyncMode.INCREMENTAL and table.watermark(cfg.stream) is None:
+            seed, _ = _seed_state(state, cfg.stream)
+            if seed is not None:
+                ev = ev.filter(F.col(cfg.cursor_field[0]) > F.lit(seed))
+        return ev, None, {}
     if kind == "http":
         # full-refresh HTTP read (incremental http streams are routed to
         # sync_http_incremental in read_catalog before reaching here):

@@ -1,0 +1,418 @@
+"""Schemaless (MongoDB-style) collection source: sampled field/type
+discovery with the mixed-type string fallback, `_id` primary key, and
+strict-`>` cursor reads.
+
+Reference semantics (source-mongodb-v2 + airbyte-db mongodb):
+
+- Discovery samples the first DISCOVER_LIMIT (10,000) documents and
+  takes the UNION of field names (MongoUtils.getFieldsName:240-255,
+  one `$objectToArray`/`$unwind`/`$addToSet` pipeline), then the SET of
+  observed types per field excluding missing/null
+  (MongoUtils.getTypes:257-270). A field observed with more than one
+  type is renamed ``<name>_aibyte_transform`` and typed string
+  (MongoUtils.transformName:224-226, getUniqueType); document-typed
+  fields recurse into sub-fields (setSubFields:228-238). ``_id`` is
+  always the primary key (MongoDbSource.java:60,120-126).
+- Reads stringify the raw value of every mixed-marked field
+  (MongoUtils.transformToStringIfMarked:138-147); incremental reads
+  filter strictly greater than the cursor
+  (MongoDbSource.queryTableIncremental:183-191 ``Filters.gt``).
+
+Spark-first: the reference runs 2 aggregation pipelines PER FIELD
+against the server; here discovery is ONE distributed aggregation per
+nesting level — ``LATERAL variant_explode(parse_json(doc))`` to
+``(key, schema_of_variant(value))`` pairs, types normalized to
+bson-ish aliases, ``collect_set`` per key — and the read is ONE
+codegen projection of ``try_variant_get`` extractions over the parsed
+VARIANT (no per-row Python anywhere). ``try_variant_get(path,
+'string')`` both stringifies mixed scalars and renders mixed
+objects/arrays as their JSON text, strictly more faithful than
+Jackson's ``asText()`` (which returns "" for containers).
+
+The "collection" is a JSONL directory (one extended-JSON document per
+line) — the sandbox stand-in for a live server; every discovery and
+read semantic above is the connector's own.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+AIRBYTE_SUFFIX = "_aibyte_transform"  # MongoUtils.java:58
+DISCOVER_LIMIT = 10_000  # MongoUtils.java:59
+PRIMARY_KEY = "_id"  # MongoDbSource.java:60
+
+_IDENT = re.compile(r"^[A-Za-z_][A-Za-z0-9_]*$")
+
+_SCALARS = {
+    "long": T.LongType(),
+    "double": T.DoubleType(),
+    "boolean": T.BooleanType(),
+    "string": T.StringType(),
+}
+
+
+def _alias(ty: str) -> str:
+    """Normalize a schema_of_variant string to a bson-ish type alias —
+    the analogue of Mongo's `$type` aliases the reference unions
+    (getTypes ignores shape inside object/array exactly like this)."""
+    if ty.startswith("OBJECT<") or ty == "OBJECT":
+        return "object"
+    if ty.startswith("ARRAY<") or ty == "ARRAY":
+        return "array"
+    if ty in ("BIGINT", "INT", "SMALLINT", "TINYINT"):
+        return "long"
+    if ty.startswith("DECIMAL") or ty in ("DOUBLE", "FLOAT"):
+        return "double"
+    if ty == "BOOLEAN":
+        return "boolean"
+    if ty == "VOID":
+        return "null"
+    return "string"
+
+
+@dataclass(frozen=True)
+class FieldInfo:
+    """One discovered field: `name` is the OUTPUT column (suffixed when
+    mixed), `path` the raw document key, `dtype` the Spark read type.
+    `mixed` marks the string-fallback rule; struct fields carry their
+    sub-discovery in `children`."""
+
+    name: str
+    path: str
+    dtype: T.DataType
+    mixed: bool = False
+    children: tuple["FieldInfo", ...] = ()
+
+
+def _key_types(vdf: DataFrame) -> list[tuple[str, list[str]]]:
+    """(key, observed type aliases) over one nesting level — one
+    distributed explode + aggregate; `vdf` has one VARIANT column `v`.
+    variant_explode is a table function, hence the LATERAL form."""
+    spark = vdf.sparkSession
+    pairs = spark.sql(
+        "SELECT e.key AS key, schema_of_variant(e.value) AS ty "
+        "FROM {vdf}, LATERAL variant_explode(v) AS e",
+        vdf=vdf,
+    )
+    rows = pairs.groupBy("key").agg(F.collect_set("ty").alias("tys")).collect()
+    out = []
+    for r in rows:
+        if r["key"] is None:
+            continue  # non-object document at this level
+        aliases = sorted({_alias(t) for t in r["tys"]} - {"null"})
+        out.append((r["key"], aliases))
+    return sorted(out)
+
+
+def _element_type(vdf: DataFrame, key: str) -> T.DataType:
+    """Array element type: union the element aliases (one more explode
+    agg); a single scalar alias keeps its type, anything else falls to
+    string (the reference types array items as untyped ARRAY)."""
+    elems = vdf.sparkSession.sql(
+        "SELECT DISTINCT schema_of_variant(e.value) AS ty "
+        f"FROM {{vdf}}, LATERAL variant_explode(try_variant_get(v, '$.{key}', 'variant')) AS e",
+        vdf=vdf,
+    )
+    aliases = {
+        _alias(r["ty"]) for r in elems.collect() if r["ty"] is not None
+    } - {"null"}
+    if len(aliases) == 1:
+        return _SCALARS.get(next(iter(aliases)), T.StringType())
+    return T.StringType()
+
+
+def _discover_level(vdf: DataFrame, depth: int, max_depth: int) -> tuple[FieldInfo, ...]:
+    fields: list[FieldInfo] = []
+    for key, aliases in _key_types(vdf):
+        recursable = bool(_IDENT.match(key))
+        if len(aliases) != 1:
+            # mixed types => string + rename (transformName:224-226)
+            fields.append(
+                FieldInfo(key + AIRBYTE_SUFFIX, key, T.StringType(), mixed=True)
+            )
+            continue
+        a = aliases[0]
+        if a == "object" and recursable and depth < max_depth:
+            sub = vdf.selectExpr(
+                f"try_variant_get(v, '$.{key}', 'variant') AS v"
+            ).filter(F.col("v").isNotNull())
+            children = _discover_level(sub, depth + 1, max_depth)
+            dtype = T.StructType(
+                [T.StructField(c.name, c.dtype, True) for c in children]
+            )
+            fields.append(FieldInfo(key, key, dtype, children=children))
+        elif a == "object":
+            # depth-capped or non-identifier key: carry as JSON text
+            fields.append(FieldInfo(key, key, T.StringType(), mixed=True))
+        elif a == "array" and recursable:
+            fields.append(
+                FieldInfo(key, key, T.ArrayType(_element_type(vdf, key), True))
+            )
+        elif a == "array":
+            fields.append(FieldInfo(key, key, T.StringType(), mixed=True))
+        else:
+            fields.append(FieldInfo(key, key, _SCALARS[a]))
+    return tuple(fields)
+
+
+def discover_collection(
+    spark: SparkSession,
+    path: str | DataFrame,
+    limit: int = DISCOVER_LIMIT,
+    max_depth: int = 4,
+) -> tuple[FieldInfo, ...]:
+    """Sampled schemaless discovery over a JSONL collection (or a
+    one-string-column DataFrame). Returns the discovered field list;
+    `collection_schema` renders it as a StructType and
+    `read_collection` compiles it to the extraction projection."""
+    lines = (
+        spark.read.text(path) if isinstance(path, str) else path.toDF("value")
+    ).filter(F.length(F.trim("value")) > 0)
+    vdf = lines.limit(int(limit)).select(F.parse_json("value").alias("v"))
+    # one cached sample feeds every level's aggregate
+    vdf = vdf.localCheckpoint(eager=False)
+    return _discover_level(vdf, 0, max_depth)
+
+
+def collection_schema(fields: tuple[FieldInfo, ...]) -> T.StructType:
+    return T.StructType([T.StructField(f.name, f.dtype, True) for f in fields])
+
+
+def _extract(v: Column, prefix: str, f: FieldInfo) -> Column:
+    path = f"{prefix}.{f.path}"
+    if isinstance(f.dtype, T.StructType):
+        sub = F.when(
+            F.try_variant_get(v, path, "variant").isNotNull(),
+            F.struct(*[_extract(v, path, c).alias(c.name) for c in f.children]),
+        )
+        return sub.alias(f.name)
+    ddl = f.dtype.simpleString()
+    return F.try_variant_get(v, path, ddl).alias(f.name)
+
+
+def read_collection(
+    spark: SparkSession,
+    path: str | DataFrame,
+    fields: tuple[FieldInfo, ...],
+    columns: list[str] | None = None,
+    cursor_gt: tuple[str, object] | None = None,
+) -> DataFrame:
+    """Read the collection under a discovered field list — one codegen
+    projection (parse_json + typed try_variant_get per column), then
+    the optional strict-`>` cursor filter (queryTableIncremental
+    :183-191) and column selection. Mixed fields come back as the raw
+    value's string/JSON rendering (transformToStringIfMarked parity).
+    """
+    lines = (
+        spark.read.text(path) if isinstance(path, str) else path.toDF("value")
+    ).filter(F.length(F.trim("value")) > 0)
+    v = F.parse_json("value")
+    want = {c for c in columns} if columns is not None else None
+    cols = [
+        _extract(v, "$", f)
+        for f in fields
+        if want is None or f.name in want or f.name == PRIMARY_KEY
+    ]
+    out = lines.select(*cols)
+    if cursor_gt is not None:
+        cname, cval = cursor_gt
+        out = out.filter(F.col(cname) > F.lit(cval))
+    return out
+
+
+def mongo_change_events(
+    spark: SparkSession,
+    path: str | DataFrame,
+    fields: tuple[FieldInfo, ...],
+    cursor_col: str,
+    key_col: str = PRIMARY_KEY,
+    columns: list[str] | None = None,
+    cursor_gt: object | None = None,
+) -> DataFrame:
+    """Adapt a collection read into the change-event shape the sync
+    loop consumes (same taxonomy as the JDBC incremental adapter:
+    cursor plays the lsn, deterministic ab_id, no tombstones — a
+    collection scan never observes deletes)."""
+    from airbyte_integrations_spark.sources.jdbc import as_change_events
+
+    df = read_collection(
+        spark,
+        path,
+        fields,
+        columns=columns,
+        cursor_gt=None if cursor_gt is None else (cursor_col, cursor_gt),
+    )
+    return as_change_events(df, key_col=key_col, cursor_col=cursor_col)
+
+
+# ------------------------------------------------------------------ CDC:
+# native change streams. A MongoDB change-stream event is
+#   {"_id": {"_data": <opaque resume token>},
+#    "operationType": insert|update|replace|delete,
+#    "clusterTime": {"$timestamp": {"t": <epoch sec>, "i": <ordinal>}},
+#    "documentKey": {"_id": ...},
+#    "fullDocument": {...}}       -- ABSENT for deletes
+# (public server API; this is the wire Debezium's mongodb connector and
+# any resume-token consumer tails). Two semantics differ from WAL CDC:
+# the position is the composite BsonTimestamp (t, i) — folded below as
+# t*2^32 + i, exactly BsonTimestamp's own 64-bit comparable value — and
+# DELETES CARRY ONLY THE KEY (no before image), so tombstones flow to
+# the MERGE with null payload columns and the apply must delete by key
+# alone. The resume token is opaque: it rides through as a column and
+# the max-position token is what a consumer would hand back to
+# resumeAfter.
+
+_CLUSTER_TS = T.StructType(
+    [
+        T.StructField(
+            "$timestamp",
+            T.StructType(
+                [
+                    T.StructField("t", T.LongType(), True),
+                    T.StructField("i", T.LongType(), True),
+                ]
+            ),
+            True,
+        )
+    ]
+)
+
+
+def change_stream_schema(doc_schema: T.StructType) -> T.StructType:
+    return T.StructType(
+        [
+            T.StructField(
+                "_id",
+                T.StructType([T.StructField("_data", T.StringType(), True)]),
+                True,
+            ),
+            T.StructField("operationType", T.StringType(), True),
+            T.StructField("clusterTime", _CLUSTER_TS, True),
+            T.StructField(
+                "documentKey",
+                T.StructType([T.StructField("_id", T.StringType(), True)]),
+                True,
+            ),
+            T.StructField("fullDocument", doc_schema, True),
+        ]
+    )
+
+
+def cluster_time_lsn(t: Column, i: Column) -> Column:
+    """BsonTimestamp's comparable 64-bit value: seconds<<32 | ordinal —
+    the total order change streams resume along."""
+    return (t * F.lit(1 << 32) + i).cast("long")
+
+
+def _raw_doc_schema(fields: tuple[FieldInfo, ...]) -> T.StructType:
+    """from_json schema keyed by the RAW document keys (mixed fields
+    read their original key as string — from_json renders container
+    values under a StringType field as their JSON text)."""
+    out = []
+    for f in fields:
+        if isinstance(f.dtype, T.StructType):
+            out.append(T.StructField(f.path, _raw_doc_schema(f.children), True))
+        else:
+            out.append(T.StructField(f.path, f.dtype, True))
+    return T.StructType(out)
+
+
+def _renamed(parent: Column, f: FieldInfo) -> Column:
+    c = parent[f.path]
+    if isinstance(f.dtype, T.StructType):
+        return F.when(
+            c.isNotNull(),
+            F.struct(*[_renamed(c, ch).alias(ch.name) for ch in f.children]),
+        ).alias(f.name)
+    return c.alias(f.name)
+
+
+def parse_change_stream(
+    lines: DataFrame,
+    fields: tuple[FieldInfo, ...],
+    json_col: str = "value",
+) -> DataFrame:
+    """Change-stream JSONL -> change-event frame (one from_json
+    projection). Payload columns come from ``fullDocument`` under the
+    discovered field list (mixed rule included: the raw key is read as
+    string and surfaced under its suffixed name); deletes have ONLY
+    ``documentKey._id`` — every payload column is null. Output:
+    payload..., ``_id`` (the document key), ``_ab_cdc_lsn`` (folded
+    clusterTime), ``_ab_cdc_updated_at``, ``_ab_cdc_deleted_at``,
+    ``_resume_token``, ``_op``, ``_airbyte_ab_id``,
+    ``_airbyte_emitted_at``."""
+    env = change_stream_schema(_raw_doc_schema(fields))
+    raw = F.col(json_col)
+    p = F.from_json(raw, env)
+    t = p["clusterTime"]["$timestamp"]["t"]
+    i = p["clusterTime"]["$timestamp"]["i"]
+    lsn = cluster_time_lsn(t, i)
+    updated = F.timestamp_seconds(t)
+    is_del = p["operationType"] == F.lit("delete")
+    payload = [
+        _renamed(p["fullDocument"], f) for f in fields if f.name != PRIMARY_KEY
+    ]
+    return lines.select(
+        p["documentKey"]["_id"].alias(PRIMARY_KEY),
+        *payload,
+        lsn.alias("_ab_cdc_lsn"),
+        updated.alias("_ab_cdc_updated_at"),
+        F.when(is_del, updated).alias("_ab_cdc_deleted_at"),
+        p["_id"]["_data"].alias("_resume_token"),
+        p["operationType"].alias("_op"),
+        F.md5(raw).alias("_airbyte_ab_id"),
+        updated.alias("_airbyte_emitted_at"),
+    )
+
+
+def emit_change_stream(
+    events: DataFrame,
+    value_cols: list[str],
+    key_col: str = "url",
+    lsn_col: str = "_ab_cdc_lsn",
+    deleted_col: str = "_ab_cdc_deleted_at",
+) -> DataFrame:
+    """Change-event frame -> change-stream JSONL (the fixture
+    generator / inverse). clusterTime (t, i) is the lsn split along the
+    same fold; the resume token is the zero-padded hex of the folded
+    position (opaque to consumers, monotone like real tokens); deletes
+    render with documentKey only."""
+    is_del = F.col(deleted_col).isNotNull()
+    lsn = F.col(lsn_col).cast("long")
+    doc = F.struct(
+        F.col(key_col).alias("_id"),
+        *[F.col(c) for c in value_cols],
+    )
+    envelope = F.struct(
+        F.struct(
+            F.lpad(F.hex(lsn), 16, "0").alias("_data")
+        ).alias("_id"),
+        F.when(is_del, F.lit("delete")).otherwise(F.lit("replace")).alias(
+            "operationType"
+        ),
+        F.struct(
+            F.struct(
+                F.expr(f"CAST({lsn_col} AS BIGINT) div CAST({1 << 32} AS BIGINT)").alias("t"),
+                (lsn % F.lit(1 << 32)).alias("i"),
+            ).alias("$timestamp")
+        ).alias("clusterTime"),
+        F.struct(F.col(key_col).alias("_id")).alias("documentKey"),
+        F.when(~is_del, doc).alias("fullDocument"),
+    )
+    return events.select(F.to_json(envelope).alias("value"))
+
+
+def latest_resume_token(events: DataFrame) -> str | None:
+    """The resume token at the max position — what a live consumer
+    would pass back as ``resumeAfter`` (the STATE document's opaque
+    cursor). One tiny agg; null on an empty batch."""
+    row = events.agg(
+        F.max_by("_resume_token", "_ab_cdc_lsn").alias("tok")
+    ).collect()[0]
+    return row["tok"]

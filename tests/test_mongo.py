@@ -1,0 +1,339 @@
+"""Schemaless (MongoDB-style) source: sampled discovery parity with
+MongoUtils.getUniqueFields:202-214 (field union, per-field type sets,
+mixed-type -> <name>_aibyte_transform string, nested recursion), read-
+side stringification (transformToStringIfMarked:138-147), strict->
+cursor reads (MongoDbSource.queryTableIncremental:183-191), _id PK
+(MongoDbSource.java:60), and the catalog arm end-to-end."""
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from airbyte_integrations_spark.catalog_sync import (
+    ConfiguredCatalog,
+    ConfiguredStream,
+    read_catalog,
+    stream_table,
+)
+from airbyte_integrations_spark.config import (
+    DestinationSyncMode,
+    SyncConfig,
+    SyncMode,
+)
+from airbyte_integrations_spark.sources.mongo import (
+    AIRBYTE_SUFFIX,
+    collection_schema,
+    discover_collection,
+    mongo_change_events,
+    read_collection,
+)
+
+DOCS = [
+    {"_id": "a1", "n": 1, "tags": ["x", "y"], "meta": {"k": 1, "s": "v"}, "seq": 10},
+    {"_id": "a2", "n": "two", "meta": {"k": 2, "t": True}, "seq": 11},
+    {"_id": "a3", "n": 3, "f": 1.5, "nums": [1, 2], "seq": 12},
+    {"_id": "a4", "empty": None, "seq": 13, "mixmeta": {"z": 1}},
+    {"_id": "a5", "seq": 14, "mixmeta": [3], "deep": {"a": {"b": 7}}},
+]
+
+
+def _coll(spark, docs=DOCS):
+    return spark.createDataFrame([(json.dumps(d),) for d in docs], "value string")
+
+
+def _by_name(fields):
+    return {f.name: f for f in fields}
+
+
+def test_discovery_union_types_and_mixed_rule(spark):
+    fields = _by_name(discover_collection(spark, _coll(spark)))
+    # stable scalar fields keep their type
+    assert isinstance(fields["_id"].dtype, T.StringType)
+    assert isinstance(fields["seq"].dtype, T.LongType)
+    assert isinstance(fields["f"].dtype, T.DoubleType)
+    # int-vs-string => renamed + string (transformName:224-226)
+    assert "n" not in fields and fields["n" + AIRBYTE_SUFFIX].mixed
+    assert isinstance(fields["n" + AIRBYTE_SUFFIX].dtype, T.StringType)
+    # only-null field: empty type set is "not exactly one" => same rule
+    # (getUniqueType falls to STRING, transformName suffixes)
+    assert "empty" + AIRBYTE_SUFFIX in fields
+    # object-vs-array is mixed too
+    assert "mixmeta" + AIRBYTE_SUFFIX in fields
+    # single-typed object recurses into the UNION of subfields
+    meta = fields["meta"]
+    assert isinstance(meta.dtype, T.StructType)
+    assert set(meta.dtype.fieldNames()) == {"k", "s", "t"}
+    # two levels deep
+    deep = fields["deep"].dtype
+    assert deep["a"].dataType["b"].dataType == T.LongType()
+    # arrays keep a stable element type
+    assert fields["tags"].dtype == T.ArrayType(T.StringType(), True)
+    assert fields["nums"].dtype == T.ArrayType(T.LongType(), True)
+
+
+def test_discovery_respects_sample_limit(spark):
+    # the drifted doc sits past the sample window => schema unchanged
+    # (DISCOVER_LIMIT semantics, MongoUtils.java:59)
+    docs = DOCS + [{"_id": "z9", "seq": "not-a-number"}]
+    fields = _by_name(discover_collection(spark, _coll(spark, docs), limit=5))
+    assert isinstance(fields["seq"].dtype, T.LongType)
+    fields_all = _by_name(discover_collection(spark, _coll(spark, docs)))
+    assert "seq" + AIRBYTE_SUFFIX in fields_all
+
+
+def test_read_stringifies_mixed_and_keeps_typed(spark):
+    fields = discover_collection(spark, _coll(spark))
+    rows = {
+        r["_id"]: r for r in read_collection(spark, _coll(spark), fields).collect()
+    }
+    # raw value stringified per transformToStringIfMarked — scalars as
+    # text, containers as their JSON rendering
+    assert rows["a1"]["n" + AIRBYTE_SUFFIX] == "1"
+    assert rows["a2"]["n" + AIRBYTE_SUFFIX] == "two"
+    assert json.loads(rows["a4"]["mixmeta" + AIRBYTE_SUFFIX]) == {"z": 1}
+    assert json.loads(rows["a5"]["mixmeta" + AIRBYTE_SUFFIX]) == [3]
+    # typed fields stay typed; missing => null
+    assert rows["a3"]["f"] == 1.5
+    assert rows["a1"]["f"] is None
+    assert rows["a1"]["meta"].asDict() == {"k": 1, "s": "v", "t": None}
+    assert rows["a3"]["meta"] is None
+    assert rows["a3"]["nums"] == [1, 2]
+    assert rows["a5"]["deep"]["a"]["b"] == 7
+
+
+def test_read_cursor_strictly_greater(spark):
+    fields = discover_collection(spark, _coll(spark))
+    got = read_collection(
+        spark, _coll(spark), fields, cursor_gt=("seq", 12)
+    ).select("_id")
+    assert {r["_id"] for r in got.collect()} == {"a4", "a5"}
+
+
+def test_read_column_selection_keeps_pk(spark):
+    fields = discover_collection(spark, _coll(spark))
+    out = read_collection(spark, _coll(spark), fields, columns=["seq"])
+    assert set(out.columns) == {"_id", "seq"}
+
+
+def test_change_events_shape(spark):
+    fields = discover_collection(spark, _coll(spark))
+    ev = mongo_change_events(
+        spark, _coll(spark), fields, cursor_col="seq", cursor_gt=11
+    )
+    assert {"url", "_ab_cdc_lsn", "_airbyte_ab_id"} <= set(ev.columns)
+    assert ev.count() == 3
+    assert ev.agg(F.min("_ab_cdc_lsn")).collect()[0][0] == 12
+
+
+def _write_jsonl(spark, docs, path):
+    spark.createDataFrame(
+        [(json.dumps(d),) for d in docs], "value string"
+    ).coalesce(1).write.mode("overwrite").text(path)
+
+
+def test_catalog_mongo_incremental_end_to_end(spark, tmp_path):
+    docs1 = [
+        {"_id": f"d{i}", "rank": i % 3, "body": f"text {i}", "seq": i}
+        for i in range(1, 41)
+    ]
+    path = str(tmp_path / "coll")
+    _write_jsonl(spark, docs1, path)
+    fields = discover_collection(spark, path)
+    cat = ConfiguredCatalog(
+        streams=(
+            ConfiguredStream(
+                config=SyncConfig(stream="coll", n_buckets=4),
+                source={
+                    "kind": "mongo",
+                    "path": path,
+                    "cursor_col": "seq",
+                    "fields": fields,
+                },
+            ),
+        )
+    )
+    lake = str(tmp_path / "lake")
+    read_catalog(spark, cat, lake, max_events_per_epoch=25)
+    t = stream_table(spark, lake, "coll")
+    assert t.read().count() == 40
+    assert t.watermark("coll") == 40
+
+    # updated + new docs past the watermark; stale re-writes below it
+    # must NOT be re-read (strictly greater, :183-191)
+    docs2 = docs1 + [
+        {"_id": "d1", "rank": 9, "body": "updated", "seq": 41},
+        {"_id": "d99", "rank": 1, "body": "new", "seq": 42},
+    ]
+    _write_jsonl(spark, docs2, path)
+    read_catalog(spark, cat, lake, max_events_per_epoch=25)
+    t = stream_table(spark, lake, "coll")
+    rows = {r["url"]: r for r in t.read().collect()}
+    assert len(rows) == 41
+    assert rows["d1"]["body"] == "updated" and rows["d1"]["rank"] == 9
+    assert rows["d99"]["body"] == "new"
+    assert t.watermark("coll") == 42
+    # idempotent re-run: nothing past the watermark => no new version
+    v = t.current_version()
+    read_catalog(spark, cat, lake, max_events_per_epoch=25)
+    assert stream_table(spark, lake, "coll").current_version() == v
+
+
+def test_catalog_mongo_full_refresh(spark, tmp_path):
+    docs = [{"_id": f"d{i}", "v": i} for i in range(10)]
+    path = str(tmp_path / "coll_fr")
+    _write_jsonl(spark, docs, path)
+    cat = ConfiguredCatalog(
+        streams=(
+            ConfiguredStream(
+                config=SyncConfig(
+                    stream="coll_fr",
+                    primary_key=("_id",),
+                    cursor_field=("v",),
+                    sync_mode=SyncMode.FULL_REFRESH,
+                    destination_sync_mode=DestinationSyncMode.OVERWRITE,
+                    n_buckets=2,
+                ),
+                source={"kind": "mongo", "path": path, "cursor_col": "v"},
+            ),
+        )
+    )
+    lake = str(tmp_path / "lake_fr")
+    read_catalog(spark, cat, lake)
+    t = stream_table(spark, lake, "coll_fr")
+    assert t.read().count() == 10
+    # overwrite semantics: a shrunken collection replaces the table
+    _write_jsonl(spark, docs[:4], path)
+    read_catalog(spark, cat, lake)
+    assert stream_table(spark, lake, "coll_fr").read().count() == 4
+
+
+def test_schema_render(spark):
+    fields = discover_collection(spark, _coll(spark))
+    s = collection_schema(fields)
+    assert s["_id"].dataType == T.StringType()
+    assert isinstance(s["meta"].dataType, T.StructType)
+
+
+# ------------------------------------------------------- change streams
+# (native server wire: resume tokens, BsonTimestamp (t,i) positions,
+# key-only deletes — no before image)
+
+
+def _stream_events(spark):
+    # t=100 second batch with ordinals, then t=101; d2 deleted LAST
+    evs = [
+        {"_id": {"_data": "tok-1"}, "operationType": "insert",
+         "clusterTime": {"$timestamp": {"t": 100, "i": 1}},
+         "documentKey": {"_id": "d1"},
+         "fullDocument": {"_id": "d1", "n": 5, "seq": 1}},
+        {"_id": {"_data": "tok-2"}, "operationType": "update",
+         "clusterTime": {"$timestamp": {"t": 100, "i": 2}},
+         "documentKey": {"_id": "d1"},
+         "fullDocument": {"_id": "d1", "n": "five", "seq": 2}},
+        {"_id": {"_data": "tok-3"}, "operationType": "insert",
+         "clusterTime": {"$timestamp": {"t": 100, "i": 3}},
+         "documentKey": {"_id": "d2"},
+         "fullDocument": {"_id": "d2", "n": 7, "seq": 3}},
+        {"_id": {"_data": "tok-4"}, "operationType": "delete",
+         "clusterTime": {"$timestamp": {"t": 101, "i": 1}},
+         "documentKey": {"_id": "d2"}},
+    ]
+    return spark.createDataFrame(
+        [(json.dumps(e),) for e in evs], "value string"
+    )
+
+
+def _doc_fields(spark):
+    # discovery over the collection's own documents (mixed n)
+    docs = [{"_id": "d1", "n": 5, "seq": 1}, {"_id": "d1", "n": "five", "seq": 2}]
+    return discover_collection(spark, _coll(spark, docs))
+
+
+def test_change_stream_decode(spark):
+    from airbyte_integrations_spark.sources.mongo import parse_change_stream
+
+    ev = parse_change_stream(_stream_events(spark), _doc_fields(spark))
+    rows = sorted(ev.collect(), key=lambda r: r["_ab_cdc_lsn"])
+    # BsonTimestamp fold: t<<32 | i — same-second ordinals stay ordered,
+    # later seconds outrank every earlier ordinal
+    lsns = [r["_ab_cdc_lsn"] for r in rows]
+    assert lsns == sorted(lsns) and len(set(lsns)) == 4
+    assert lsns[0] == (100 << 32) + 1 and lsns[3] == (101 << 32) + 1
+    # mixed-typed payload field decodes under its suffixed name
+    assert rows[0]["n" + AIRBYTE_SUFFIX] == "5"
+    assert rows[1]["n" + AIRBYTE_SUFFIX] == "five"
+    # key-only delete: key present, every payload column null
+    d = rows[3]
+    assert d["_id"] == "d2" and d["_ab_cdc_deleted_at"] is not None
+    assert d["n" + AIRBYTE_SUFFIX] is None and d["seq"] is None
+    assert d["_resume_token"] == "tok-4"
+
+
+def test_change_stream_roundtrip_and_latest_token(spark):
+    from airbyte_integrations_spark.sources.mongo import (
+        emit_change_stream,
+        latest_resume_token,
+        parse_change_stream,
+    )
+    from airbyte_integrations_spark.gen import gen_change_events
+
+    ce = gen_change_events(spark, 300, n_urls=40)
+    lines = emit_change_stream(ce, ["text", "lang"])
+    docs = [{"_id": "u", "text": "t", "lang": "en"}]
+    fields = discover_collection(spark, _coll(spark, docs))
+    back = parse_change_stream(lines, fields)
+    a = ce.select(
+        F.col("url").alias("_id"), "_ab_cdc_lsn",
+        F.col("_ab_cdc_deleted_at").isNotNull().alias("is_del"),
+    ).toPandas()
+    b = back.select(
+        "_id", "_ab_cdc_lsn",
+        F.col("_ab_cdc_deleted_at").isNotNull().alias("is_del"),
+    ).toPandas()
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(
+        a.sort_values("_ab_cdc_lsn").reset_index(drop=True),
+        b.sort_values("_ab_cdc_lsn").reset_index(drop=True),
+        check_dtype=False,
+    )
+    # live rows carry the payload; deletes are key-only
+    live = back.filter(F.col("_ab_cdc_deleted_at").isNull())
+    assert live.filter(F.col("text").isNull()).count() == 0
+    dead = back.filter(F.col("_ab_cdc_deleted_at").isNotNull())
+    assert dead.count() > 0 and dead.filter(F.col("text").isNotNull()).count() == 0
+    # resumeAfter cursor = token at max position
+    hi = back.agg(F.max("_ab_cdc_lsn")).collect()[0][0]
+    tok = latest_resume_token(back)
+    assert tok == back.filter(F.col("_ab_cdc_lsn") == hi).collect()[0]["_resume_token"]
+
+
+def test_catalog_mongo_cdc_key_only_deletes_merge(spark, tmp_path):
+    # the semantics that differ from WAL CDC: the tombstone has NO
+    # before image, so the MERGE must delete by key alone
+    path = str(tmp_path / "stream")
+    _stream_events(spark).coalesce(1).write.text(path)
+    fields = _doc_fields(spark)
+    cat = ConfiguredCatalog(
+        streams=(
+            ConfiguredStream(
+                config=SyncConfig(stream="coll", primary_key=("_id",), n_buckets=2),
+                source={"kind": "mongo_cdc", "path": path, "fields": fields},
+            ),
+        )
+    )
+    lake = str(tmp_path / "lake")
+    read_catalog(spark, cat, lake, max_events_per_epoch=2)
+    t = stream_table(spark, lake, "coll")
+    rows = {r["_id"]: r for r in t.read().collect()}
+    # d2 was inserted then deleted by key only => absent; d1's winner is
+    # the later update (string-typed n under the mixed rule)
+    assert set(rows) == {"d1"}
+    assert rows["d1"]["n" + AIRBYTE_SUFFIX] == "five"
+    assert t.watermark("coll") == (101 << 32) + 1
+    # idempotent re-run
+    v = t.current_version()
+    read_catalog(spark, cat, lake, max_events_per_epoch=2)
+    assert stream_table(spark, lake, "coll").current_version() == v
