@@ -782,6 +782,61 @@ def main() -> None:
         "time, zero extra shuffles",
     )
 
+    # ---- check 43: mysql-dialect debezium decode (composite position
+    # fold is inline codegen; still zero Python)
+    my_lines = emit_debezium(ev, ["url", "lang"], dialect="mysql", binlog_file_size=1000)
+    my_plan = (
+        parse_debezium(my_lines, "url string, lang string", dialect="mysql")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    check(
+        "mysql binlog decode: (file, pos) -> engine position is inline "
+        "codegen (regexp_extract + integer arithmetic) inside the same "
+        "one-projection from_json parse, zero Python eval nodes",
+        "from_json" in my_plan
+        and "regexp_extract" in my_plan
+        and "BatchEvalPython" not in my_plan
+        and "ArrowEvalPython" not in my_plan
+        and "Exchange" not in my_plan,
+        "composite-position folding adds no shuffle and no UDF: the "
+        "MySqlCdcTargetPosition compare is a projection expression",
+    )
+
+    # ---- check 44: schemaless (mongo) collection read is one typed
+    # variant-extraction projection, no Python, no shuffle
+    import json as _json
+
+    from airbyte_integrations_spark.sources.mongo import (
+        discover_collection,
+        read_collection,
+    )
+
+    mdocs = spark.createDataFrame(
+        [
+            (_json.dumps({"_id": "a", "n": 1, "meta": {"k": 1}, "seq": 1}),),
+            (_json.dumps({"_id": "b", "n": "x", "meta": {"k": 2}, "seq": 2}),),
+        ],
+        "value string",
+    )
+    mfields = discover_collection(spark, mdocs)
+    m_plan = (
+        read_collection(spark, mdocs, mfields, cursor_gt=("seq", 0))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    check(
+        "schemaless collection read: discovery-typed extraction is ONE "
+        "codegen projection over parse_json (try_variant_get per "
+        "column, mixed fields stringified in the same pass), cursor "
+        "filter fused, zero Python, zero Exchange",
+        "variant_get" in m_plan.lower()
+        and "BatchEvalPython" not in m_plan
+        and "ArrowEvalPython" not in m_plan
+        and "MapInPandas" not in m_plan
+        and "Exchange" not in m_plan,
+        "reading 10^10 schemaless documents is a narrow scan+project; "
+        "the mixed-type rule costs zero extra passes",
+    )
+
     out = ["# PLANS — physical-plan evidence (generated by tools/capture_plans.py)", ""]
     ok_all = True
     for name, ok, ev in CHECKS:
