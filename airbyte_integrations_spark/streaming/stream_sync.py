@@ -66,6 +66,7 @@ def stream_sync(
     source_format: str = "parquet",
     value_schema=None,
     dialect: str = "postgres",
+    fields=None,
 ):
     """Start a continuous ingest query; returns the StreamingQuery.
 
@@ -100,6 +101,22 @@ def stream_sync(
         events = parse_debezium(
             reader.text(log_dir), value_schema, dialect=dialect
         ).drop("_op")
+    elif source_format == "mongo_cdc":
+        # native change-stream tail: the one-projection decode (folded
+        # BsonTimestamp positions, key-only delete tombstones) rides
+        # inside the streaming plan; epochs/commit semantics unchanged.
+        from airbyte_integrations_spark.sources.mongo import parse_change_stream
+
+        if fields is None:
+            raise ValueError("source_format='mongo_cdc' needs fields")
+        reader = spark.readStream
+        if max_files_per_trigger:
+            reader = reader.option(
+                "maxFilesPerTrigger", str(max_files_per_trigger)
+            )
+        events = parse_change_stream(reader.text(log_dir), fields).drop(
+            "_op", "_resume_token"
+        )
     else:
         reader = spark.readStream.schema(
             schema if schema is not None else spark.read.parquet(log_dir).schema

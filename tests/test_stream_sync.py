@@ -209,3 +209,59 @@ def test_stream_sync_debezium_envelope_tail(spark, tmp_path):
     )
     q2.awaitTermination()
     assert table.current_version() == v
+
+
+def test_stream_sync_mongo_change_stream_tail(spark, tmp_path):
+    """source_format='mongo_cdc': the stream tails native change-stream
+    JSONL — folded BsonTimestamp positions and KEY-ONLY deletes decode
+    inside the streaming plan; exactly-once epochs unchanged."""
+    import json
+
+    from airbyte_integrations_spark.sources.mongo import (
+        discover_collection,
+        emit_change_stream,
+    )
+
+    ev = gen_change_events(spark, 1500, n_urls=60).select(*COLS)
+    log = str(tmp_path / "cs")
+    for cond in ("_ab_cdc_lsn <= 800", "_ab_cdc_lsn > 800"):
+        emit_change_stream(
+            ev.filter(cond), ["text", "lang"]
+        ).coalesce(1).write.mode("append").text(log)
+    fields = discover_collection(
+        spark,
+        spark.createDataFrame(
+            [(json.dumps({"_id": "u", "text": "t", "lang": "en"}),)],
+            "value string",
+        ),
+    )
+    table = LakeTable(spark, str(tmp_path / "lake"))
+    cfg = SyncConfig(stream="pages", primary_key=("_id",), n_buckets=4)
+
+    q = stream_sync(
+        spark, log, table, cfg, str(tmp_path / "ck"),
+        max_files_per_trigger=1, source_format="mongo_cdc", fields=fields,
+    )
+    q.awaitTermination()
+    assert len(table.committed_epochs("pages")) == 2
+    live = table.read_live().toPandas()
+    want = duckdb_winners(ev.toPandas(), drop_tombstones=True)
+    got = live.sort_values("_id").reset_index(drop=True)
+    exp = want.sort_values("url").reset_index(drop=True)
+    assert list(got["_id"]) == list(exp["url"])
+    assert list(got["_ab_cdc_lsn"]) == list(exp["_ab_cdc_lsn"])
+    assert list(got["text"]) == list(exp["text"])
+    # deleted keys are gone even though their tombstones carried no
+    # payload (key-only delete through the streaming MERGE)
+    dead = set(ev.filter(F.col("_ab_cdc_deleted_at").isNotNull())
+               .select("url").toPandas()["url"]) - set(exp["url"])
+    assert dead and not (dead & set(got["_id"]))
+
+    # restart with no new events: nothing re-applies
+    v = table.current_version()
+    q2 = stream_sync(
+        spark, log, table, cfg, str(tmp_path / "ck"),
+        max_files_per_trigger=1, source_format="mongo_cdc", fields=fields,
+    )
+    q2.awaitTermination()
+    assert table.current_version() == v
