@@ -37,6 +37,7 @@ from datetime import datetime
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from airbyte_integrations_spark.config import DestinationSyncMode, SyncConfig, SyncMode
 from airbyte_integrations_spark.connector import resume_lsn
@@ -428,12 +429,29 @@ def _read_stream_events(
         # tombstones, resume token riding as a payload column. The
         # durable offset is the lsn watermark; latest_resume_token()
         # recovers the opaque resumeAfter cursor from any batch.
-        from airbyte_integrations_spark.sources.mongo import parse_change_stream
+        # Document shape: "fields" (embedded FieldInfo tuple),
+        # "value_schema" (DDL string — the JSON-CLI form), or
+        # "sample_path" (JSONL of example documents to discover from).
+        from airbyte_integrations_spark.sources.mongo import (
+            discover_collection,
+            fields_from_schema,
+            parse_change_stream,
+        )
 
+        if "fields" in cs.source:
+            mfields = cs.source["fields"]
+        elif "value_schema" in cs.source:
+            mfields = fields_from_schema(cs.source["value_schema"])
+        elif "sample_path" in cs.source:
+            mfields = discover_collection(spark, cs.source["sample_path"])
+        else:
+            raise ValueError(
+                "mongo_cdc source needs one of fields/value_schema/sample_path"
+            )
         lines = spark.read.text(cs.source["path"]).filter(
             F.length(F.trim("value")) > 0
         )
-        ev = parse_change_stream(lines, cs.source["fields"]).drop("_op")
+        ev = parse_change_stream(lines, mfields).drop("_op")
         if cfg.sync_mode == SyncMode.INCREMENTAL and table.watermark(cfg.stream) is None:
             seed, _ = _seed_state(state, cfg.stream)
             if seed is not None:
@@ -1128,6 +1146,63 @@ def jdbc_streams_from_discovery(
         }
         if incremental:
             source["key_col"] = pk[0]
+            source["cursor_col"] = cursor
+        out.append(ConfiguredStream(config=cfg, source=source))
+    return out
+
+
+def mongo_streams_from_discovery(
+    spark: SparkSession,
+    collections: dict[str, str],
+    cursor_overrides: dict[str, str] | None = None,
+    n_buckets: int = 8,
+    discover_limit: int = 10_000,
+) -> list[ConfiguredStream]:
+    """Build ConfiguredStreams from schemaless-collection discovery —
+    the mongo analogue of jdbc_streams_from_discovery (the reference's
+    MongoDbSource.discoverInternal:115-131: every authorized collection
+    becomes a stream, fields from sampling, primary key ALWAYS _id).
+
+    `collections` maps stream name -> JSONL path. A collection with a
+    cursor override becomes incremental/append_dedup (the cursor must
+    be a discovered numeric field — the engine's position space);
+    the rest are full_refresh/overwrite keyed on _id."""
+    from airbyte_integrations_spark.sources.mongo import (
+        PRIMARY_KEY,
+        collection_schema,
+        discover_collection,
+    )
+
+    out = []
+    for name, path in sorted(collections.items()):
+        fields = discover_collection(spark, path, limit=discover_limit)
+        schema = collection_schema(fields)
+        if PRIMARY_KEY not in schema.fieldNames():
+            raise ValueError(f"collection {name!r}: no {PRIMARY_KEY} field discovered")
+        cursor = (cursor_overrides or {}).get(name)
+        if cursor is not None:
+            if cursor not in schema.fieldNames():
+                raise ValueError(
+                    f"collection {name!r}: cursor {cursor!r} not discovered"
+                )
+            if not isinstance(schema[cursor].dataType, (T.LongType, T.TimestampType)):
+                raise ValueError(
+                    f"collection {name!r}: cursor {cursor!r} must be numeric/"
+                    f"timestamp, got {schema[cursor].dataType.simpleString()}"
+                )
+        cfg = SyncConfig(
+            stream=name.replace(".", "_").lower(),
+            primary_key=("url",) if cursor else (PRIMARY_KEY,),
+            sync_mode=SyncMode.INCREMENTAL if cursor else SyncMode.FULL_REFRESH,
+            destination_sync_mode=(
+                DestinationSyncMode.APPEND_DEDUP
+                if cursor
+                else DestinationSyncMode.OVERWRITE
+            ),
+            n_buckets=n_buckets,
+        )
+        source: dict = {"kind": "mongo", "path": path, "fields": fields}
+        if cursor:
             source["cursor_col"] = cursor
         out.append(ConfiguredStream(config=cfg, source=source))
     return out

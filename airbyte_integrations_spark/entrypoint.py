@@ -54,6 +54,8 @@ _JSON_KINDS = (
     "cdc_log",
     "cdc_shared",
     "debezium",
+    "mongo",
+    "mongo_cdc",
     "files",
     "url_file",
     "http",

@@ -416,3 +416,27 @@ def latest_resume_token(events: DataFrame) -> str | None:
         F.max_by("_resume_token", "_ab_cdc_lsn").alias("tok")
     ).collect()[0]
     return row["tok"]
+
+
+def fields_from_schema(schema: T.StructType | str) -> tuple[FieldInfo, ...]:
+    """Declared-schema alternative to sampled discovery (the JSON-CLI
+    path, where a FieldInfo tuple is not expressible): build the field
+    list straight from a Spark schema / DDL string. No mixed-type
+    marks — a declared schema asserts stable types; fields whose name
+    already carries the _aibyte_transform suffix read their UNSUFFIXED
+    raw key as string (so declared and discovered catalogs agree)."""
+    if isinstance(schema, str):
+        schema = T.StructType.fromDDL(schema)
+    out = []
+    for sf in schema.fields:
+        if isinstance(sf.dataType, T.StructType):
+            children = fields_from_schema(sf.dataType)
+            out.append(
+                FieldInfo(sf.name, sf.name, sf.dataType, children=children)
+            )
+        elif sf.name.endswith(AIRBYTE_SUFFIX):
+            raw = sf.name[: -len(AIRBYTE_SUFFIX)]
+            out.append(FieldInfo(sf.name, raw, T.StringType(), mixed=True))
+        else:
+            out.append(FieldInfo(sf.name, sf.name, sf.dataType))
+    return tuple(out)

@@ -337,3 +337,110 @@ def test_catalog_mongo_cdc_key_only_deletes_merge(spark, tmp_path):
     v = t.current_version()
     read_catalog(spark, cat, lake, max_events_per_epoch=2)
     assert stream_table(spark, lake, "coll").current_version() == v
+
+
+# --------------------------------------------------- discovery -> catalog
+
+
+def test_mongo_streams_from_discovery(spark, tmp_path):
+    from airbyte_integrations_spark.catalog_sync import (
+        mongo_streams_from_discovery,
+    )
+
+    p1 = str(tmp_path / "users")
+    p2 = str(tmp_path / "pages")
+    _write_jsonl(spark, [{"_id": f"u{i}", "age": i} for i in range(5)], p1)
+    _write_jsonl(spark, [{"_id": f"p{i}", "seq": i, "t": "x"} for i in range(8)], p2)
+    streams = mongo_streams_from_discovery(
+        spark, {"users": p1, "pages": p2}, cursor_overrides={"pages": "seq"}
+    )
+    by = {s.config.stream: s for s in streams}
+    # every collection becomes a stream; _id is ALWAYS the discovered pk
+    assert set(by) == {"users", "pages"}
+    assert by["users"].config.sync_mode == SyncMode.FULL_REFRESH
+    assert by["users"].config.primary_key == ("_id",)
+    assert by["pages"].config.sync_mode == SyncMode.INCREMENTAL
+    assert by["pages"].source["cursor_col"] == "seq"
+    # the catalog is runnable as-is
+    lake = str(tmp_path / "lake_disc")
+    read_catalog(spark, ConfiguredCatalog(streams=tuple(streams)), lake)
+    assert stream_table(spark, lake, "pages").read().count() == 8
+    assert stream_table(spark, lake, "users").read().count() == 5
+    # a non-numeric cursor is rejected at catalog-build time
+    with pytest.raises(ValueError, match="numeric"):
+        mongo_streams_from_discovery(
+            spark, {"pages": p2}, cursor_overrides={"pages": "t"}
+        )
+
+
+def test_json_cli_mongo_kinds(spark, tmp_path):
+    import io
+
+    from airbyte_integrations_spark.entrypoint import run
+
+    coll = str(tmp_path / "coll")
+    _write_jsonl(
+        spark,
+        [{"_id": f"d{i}", "n": i if i % 2 else str(i), "seq": i} for i in range(6)],
+        coll,
+    )
+    stream_path = str(tmp_path / "stream")
+    _stream_events(spark).coalesce(1).write.text(stream_path)
+    cfg = tmp_path / "config.json"
+    cfg.write_text(json.dumps({"log_path": coll}))
+    cat = tmp_path / "catalog.json"
+    cat.write_text(
+        json.dumps(
+            {
+                "streams": [
+                    {
+                        "name": "coll",
+                        "sync_mode": "incremental",
+                        "destination_sync_mode": "append_dedup",
+                        "primary_key": ["url"],
+                        "source": {
+                            "kind": "mongo",
+                            "path": coll,
+                            "cursor_col": "seq",
+                        },
+                    },
+                    {
+                        "name": "cs",
+                        "sync_mode": "incremental",
+                        "destination_sync_mode": "append_dedup",
+                        "primary_key": ["_id"],
+                        "source": {
+                            "kind": "mongo_cdc",
+                            "path": stream_path,
+                            "value_schema": (
+                                "_id string, n_aibyte_transform string, seq bigint"
+                            ),
+                        },
+                    },
+                ]
+            }
+        )
+    )
+    buf = io.StringIO()
+    code = run(
+        ["read", "--config", str(cfg), "--catalog", str(cat)],
+        spark=spark,
+        out=buf,
+    )
+    assert code == 0
+    msgs = [json.loads(ln) for ln in buf.getvalue().splitlines()]
+    recs = [m for m in msgs if m["type"] == "RECORD"]
+    by_stream = {}
+    for m in recs:
+        by_stream.setdefault(m["record"]["stream"], []).append(m["record"]["data"])
+    assert len(by_stream["coll"]) == 6
+    # mixed rule surfaced through the CLI (declared via value_schema on
+    # the cdc stream, discovered on the collection stream); the cursor
+    # rides normalized as _ab_cdc_lsn
+    assert {"n_aibyte_transform", "_ab_cdc_lsn"} <= set(by_stream["coll"][0])
+    assert len(by_stream["cs"]) == 4
+    deletes = [d for d in by_stream["cs"] if d["_ab_cdc_deleted_at"] is not None]
+    assert len(deletes) == 1 and deletes[0]["_id"] == "d2"
+    assert deletes[0]["n_aibyte_transform"] is None  # key-only tombstone
+    states = [m for m in msgs if m["type"] == "STATE"]
+    assert states, "state documents emitted"
