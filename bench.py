@@ -201,6 +201,46 @@ def bench_debezium_ingest(spark, n_events: int, n_urls: int) -> dict:
     return {"sec": dt, "events_per_sec": n_events / dt}
 
 
+def bench_mongo_cdc_ingest(spark, n_events: int, n_urls: int) -> dict:
+    """Change-stream ingest: decode native change-stream JSONL (one
+    from_json projection; folded BsonTimestamp positions, key-only
+    delete tombstones) + MERGE-apply into a MoR table. Stream
+    generation is not timed; decode + apply is."""
+    import json as _json
+
+    from airbyte_integrations_spark.sources.mongo import (
+        discover_collection,
+        emit_change_stream,
+        parse_change_stream,
+    )
+
+    base = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    root = tempfile.mkdtemp(prefix="bench_mcs_", dir=base)
+    log = os.path.join(root, "log")
+    ev = gen_change_events(spark, n_events, n_urls=n_urls).select(*BENCH_COLS)
+    emit_change_stream(ev, ["text", "lang"]).repartition(16).write.text(log)
+    fields = discover_collection(
+        spark,
+        spark.createDataFrame(
+            [(_json.dumps({"_id": "u", "text": "t", "lang": "en"}),)],
+            "value string",
+        ),
+    )
+    table = LakeTable(spark, os.path.join(root, "lake"))
+    cfg = SyncConfig(stream="pages", primary_key=("_id",), n_buckets=64, write_mode="mor")
+    t0 = time.perf_counter()
+    events = parse_change_stream(spark.read.text(log), fields).drop(
+        "_op", "_resume_token"
+    )
+    run_sync(
+        spark, events, table, cfg,
+        extract_missing_text=False, compact_threshold=None,
+    )
+    dt = time.perf_counter() - t0
+    shutil.rmtree(root, ignore_errors=True)
+    return {"sec": dt, "events_per_sec": n_events / dt}
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -278,6 +318,12 @@ def main() -> None:
     )
     timings["debezium_ingest"] = round(dbz["sec"], 3)
 
+    # change-stream mode (resume tokens, key-only deletes)
+    mcs = bench_mongo_cdc_ingest(
+        spark, max(n_events // 4, 100_000), n_urls=max(n_events // 80, 1000)
+    )
+    timings["mongo_cdc_ingest"] = round(mcs["sec"], 3)
+
     out = {
         "metric": "change-events/sec sustained MERGE-apply (CDC replay into lake table)",
         "value": round(max(merge["events_per_sec"], merge_mor["events_per_sec"]), 1),
@@ -295,6 +341,7 @@ def main() -> None:
         "events_per_sec_stream_sync": round(streamed["events_per_sec"], 1),
         "events_per_sec_plog": round(plog["events_per_sec"], 1),
         "events_per_sec_debezium": round(dbz["events_per_sec"], 1),
+        "events_per_sec_mongo_cdc": round(mcs["events_per_sec"], 1),
         "cpus": cpus,
     }
     # Attach the last recorded N->4N scaling evidence (protocol +
