@@ -6962,6 +6962,61 @@ FROM w WHERE rn = 1 AND _ab_cdc_deleted_at IS NULL
 """
 
 
+def q_kafka_avro_wire_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confluent wire-format topic read (sources/avro_wire.py): every
+    message is 0x00 + 4-byte schema id + schemaless Avro body, and the
+    topic interleaves TWO registry versions (split by lsn parity — v2
+    adds a field). Decode resolves each row under its writer schema
+    and projects to the reader schema (added field null on v1 rows) in
+    one Arrow-batched mapInPandas pass per side; the oracle recomputes
+    the same projection with a CASE, so value equality proves framing,
+    binary codec, and reader/writer resolution together. Scale shape:
+    decode is embarrassingly parallel per topic partition, per-id
+    decoders compile once per task."""
+    from airbyte_integrations_spark.sources.avro_wire import (
+        read_avro_wire,
+        write_avro_wire,
+    )
+
+    tune_session(spark)
+    v1 = {
+        "type": "record",
+        "name": "change",
+        "fields": [
+            {"name": "url", "type": "string"},
+            {"name": "_ab_cdc_lsn", "type": "long"},
+            {"name": "event_type", "type": ["null", "string"], "default": None},
+            {"name": "value_m", "type": ["null", "long"], "default": None},
+        ],
+    }
+    v2 = {
+        "type": "record",
+        "name": "change",
+        "fields": v1["fields"]
+        + [{"name": "vm2", "type": ["null", "long"], "default": None}],
+    }
+    ce = change_events(spark, sf_dir).select(
+        "url",
+        "_ab_cdc_lsn",
+        "event_type",
+        "value_m",
+        (F.col("value_m") * 2).alias("vm2"),
+    )
+    old = write_avro_wire(
+        ce.filter(F.col("_ab_cdc_lsn") % 2 == 0).drop("vm2"), v1, 1
+    )
+    new = write_avro_wire(ce.filter(F.col("_ab_cdc_lsn") % 2 == 1), v2, 2)
+    return read_avro_wire(old.unionByName(new), {1: v1, 2: v2})
+
+
+O_KAFKA_AVRO_WIRE_READ = f"""
+WITH {CE_SQL}
+SELECT url, _ab_cdc_lsn, event_type, value_m,
+       CASE WHEN _ab_cdc_lsn % 2 = 1 THEN value_m * 2 END AS vm2
+FROM ce
+"""
+
+
 O_MONGO_SCHEMALESS_READ = """
 SELECT 'doc-' || CAST(doc_id AS VARCHAR) AS _id,
        lang,
@@ -7180,6 +7235,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_mysql_binlog_order": q_cdc_mysql_binlog_order,
         "mongo_schemaless_read": q_mongo_schemaless_read,
         "mongo_change_stream_read": q_mongo_change_stream_read,
+        "kafka_avro_wire_read": q_kafka_avro_wire_read,
         "docs_ndv_sketch": q_docs_ndv_sketch,
         "docs_weighted_sample": q_docs_weighted_sample,
         "cdc_zorder_read": q_cdc_zorder_read,
@@ -7320,6 +7376,7 @@ def oracle_sql() -> dict[str, str]:
         "cdc_mysql_binlog_order": O_CDC_MYSQL_BINLOG_ORDER,
         "mongo_schemaless_read": O_MONGO_SCHEMALESS_READ,
         "mongo_change_stream_read": O_MONGO_CHANGE_STREAM_READ,
+        "kafka_avro_wire_read": O_KAFKA_AVRO_WIRE_READ,
         "docs_ndv_sketch": O_DOCS_NDV_SKETCH,
         "docs_weighted_sample": O_DOCS_WEIGHTED_SAMPLE,
         "cdc_zorder_read": O_CDC_ZORDER_READ,
