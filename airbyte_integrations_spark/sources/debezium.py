@@ -288,3 +288,68 @@ def shared_log_from_envelopes(
         .drop("_op")
         .withColumnRenamed("_table", stream_col)
     )
+
+
+def events_from_decoded_envelopes(
+    df: DataFrame,
+    dialect: str = "postgres",
+    include_table: bool = False,
+) -> DataFrame:
+    """Envelope STRUCT columns -> change-event frame.
+
+    The JSONL path (`parse_debezium`) owns the from_json decode; this
+    is the same projection for envelopes that arrive ALREADY decoded as
+    struct columns (``before``/``after``/``source``/``op``) — e.g. a
+    registry-framed Avro topic (sources/avro_wire.py) whose body is the
+    Debezium envelope record, the production Kafka shape. Same rules:
+    after-else-before base image (DebeziumEventUtils.java:50), ts_us
+    else ts_ms*1000 transaction stamps, delete => deleted_at, and the
+    per-dialect position (postgres source.lsn; mysql (file, pos) folded
+    via mysql_binlog_lsn with the injector-column parity pair). The
+    deterministic ab_id hashes the rendered envelope (no raw line
+    exists here).
+    """
+    after = F.col("after")
+    before = F.col("before")
+    src = F.col("source")
+    base = F.when(after.isNotNull(), after).otherwise(before)
+    updated = F.timestamp_micros(
+        F.coalesce(src["ts_us"], src["ts_ms"] * F.lit(1000))
+    )
+    deleted = F.when(after.isNull(), updated)
+    value_fields = [f.name for f in df.schema["after"].dataType.fields]
+    cols = [base[f].alias(f) for f in value_fields]
+    if dialect == "mysql":
+        lsn = mysql_binlog_lsn(src["file"], src["pos"])
+        injector = [
+            src["file"].alias("_ab_cdc_log_file"),
+            src["pos"].alias("_ab_cdc_log_pos"),
+        ]
+    elif dialect == "postgres":
+        lsn = src["lsn"]
+        injector = []
+    else:
+        raise ValueError(f"unknown debezium dialect: {dialect!r}")
+    extra = [src["table"].alias("_table")] if include_table else []
+    passthrough = [
+        F.col(c)
+        for c in df.columns
+        if c not in ("before", "after", "source", "op", "ts_ms")
+    ]
+    return df.select(
+        *cols,
+        lsn.alias("_ab_cdc_lsn"),
+        updated.alias("_ab_cdc_updated_at"),
+        deleted.alias("_ab_cdc_deleted_at"),
+        F.col("op").alias("_op"),
+        F.md5(
+            F.to_json(
+                F.struct(before, after, src, F.col("op")),
+                {"ignoreNullFields": "false"},
+            )
+        ).alias("_airbyte_ab_id"),
+        updated.alias("_airbyte_emitted_at"),
+        *injector,
+        *extra,
+        *passthrough,
+    )

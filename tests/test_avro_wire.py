@@ -165,3 +165,78 @@ def test_kafka_shaped_wire_sync_end_to_end(spark, tmp_path):
     )
     # nothing new => no-op round
     assert sync_partitioned_log(spark, decoded, t, cfg, compact_threshold=None) is None
+
+
+def test_debezium_envelope_over_avro_wire(spark):
+    """The production Kafka shape end-to-end: Debezium envelopes as
+    registry-framed Avro (nested before/after/source records in
+    null-unions) decode through the wire reader and convert to change
+    events with the same rules as the JSONL path."""
+    from airbyte_integrations_spark.sources.debezium import (
+        events_from_decoded_envelopes,
+    )
+
+    def val_rec(name):
+        return {
+            "type": "record",
+            "name": name,
+            "fields": [
+                {"name": "url", "type": "string"},
+                {"name": "text", "type": ["null", "string"], "default": None},
+                {"name": "lang", "type": ["null", "string"], "default": None},
+            ],
+        }
+
+    env_schema = {
+        "type": "record",
+        "name": "envelope",
+        "fields": [
+            {"name": "before", "type": ["null", val_rec("val_b")], "default": None},
+            {"name": "after", "type": ["null", val_rec("val_a")], "default": None},
+            {
+                "name": "source",
+                "type": {
+                    "type": "record",
+                    "name": "src",
+                    "fields": [
+                        {"name": "ts_ms", "type": "long"},
+                        {"name": "ts_us", "type": ["null", "long"], "default": None},
+                        {"name": "lsn", "type": "long"},
+                        {"name": "table", "type": "string"},
+                    ],
+                },
+            },
+            {"name": "op", "type": "string"},
+        ],
+    }
+    ce = gen_change_events(spark, 600, n_urls=50)
+    img = F.struct(F.col("url"), F.col("text"), F.col("lang"))
+    us = F.unix_micros(F.col("_ab_cdc_updated_at"))
+    is_del = F.col("_ab_cdc_deleted_at").isNotNull()
+    env_df = ce.select(
+        F.when(is_del, img).alias("before"),
+        F.when(~is_del, img).alias("after"),
+        F.struct(
+            F.floor(us / 1000).cast("long").alias("ts_ms"),
+            us.alias("ts_us"),
+            F.col("_ab_cdc_lsn").cast("long").alias("lsn"),
+            F.lit("pages").alias("table"),
+        ).alias("source"),
+        F.when(is_del, F.lit("d")).otherwise(F.lit("u")).alias("op"),
+    )
+    framed = write_avro_wire(env_df, env_schema, schema_id=5)
+    decoded = read_avro_wire(framed, {5: env_schema})
+    events = events_from_decoded_envelopes(decoded)
+    a = ce.select(
+        "url", "text", "_ab_cdc_lsn",
+        F.unix_micros("_ab_cdc_updated_at").alias("u"),
+        F.unix_micros("_ab_cdc_deleted_at").alias("d"),
+    ).toPandas()
+    b = events.select(
+        "url", "text", "_ab_cdc_lsn",
+        F.unix_micros("_ab_cdc_updated_at").alias("u"),
+        F.unix_micros("_ab_cdc_deleted_at").alias("d"),
+    ).toPandas()
+    assert_frames_equal(a, b, sort_cols=("_ab_cdc_lsn",))
+    ops = {r["_op"] for r in events.select("_op").distinct().collect()}
+    assert ops == {"u", "d"}
