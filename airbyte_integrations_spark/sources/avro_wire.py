@@ -66,6 +66,7 @@ def read_avro_wire(
     registry: dict[int, dict | str],
     reader_schema_id: int | None = None,
     value_col: str = "value",
+    null_value_policy: str = "error",
 ) -> DataFrame:
     """Decode a frame of wire-framed Avro messages.
 
@@ -75,9 +76,20 @@ def read_avro_wire(
     rows written under older ids project into it (absent fields null).
     Unknown ids and bad magic bytes fail the task with a clear error —
     a poisoned topic should stop the sync, not silently drop rows.
-    Every column except ``value_col`` passes through unchanged."""
+    Every column except ``value_col`` passes through unchanged.
+
+    ``null_value_policy`` handles Kafka log-compaction tombstones —
+    messages whose VALUE is null, which Debezium appends after every
+    delete envelope so compaction can drop the key. "error" (default)
+    refuses them, "skip" drops them (the Debezium consumer's own
+    behavior — the delete was already a full envelope), "keep" emits
+    the row with every decoded field null (passthrough columns intact)
+    so a compacted-topic consumer can treat the key's presence itself
+    as the deletion."""
     import pandas as pd
 
+    if null_value_policy not in ("error", "skip", "keep"):
+        raise ValueError(f"unknown null_value_policy {null_value_policy!r}")
     reg = {int(k): _parse_schema(v) for k, v in registry.items()}
     if not reg:
         raise ValueError("empty schema registry")
@@ -87,13 +99,31 @@ def read_avro_wire(
     reader_struct = avro_spark_schema(reg[reader_id])
     field_names = [f.name for f in reader_struct.fields]
     passthrough = [f for f in df.schema.fields if f.name != value_col]
-    out_schema = T.StructType(list(reader_struct.fields) + passthrough)
+    # reader fields are nullable regardless of the Avro nullability:
+    # older writer versions lack newer fields, and the "keep" tombstone
+    # policy emits all-null payload rows
+    out_schema = T.StructType(
+        [T.StructField(f.name, f.dataType, True) for f in reader_struct.fields]
+        + passthrough
+    )
 
     def decode(batches):
         decoders: dict[int, object] = {}
         for pdf in batches:
             recs = []
+            keep_mask = []
             for v in pdf[value_col]:
+                if v is None:
+                    if null_value_policy == "error":
+                        raise ValueError(
+                            "null message value (log-compaction tombstone); "
+                            "pass null_value_policy='skip' or 'keep'"
+                        )
+                    keep_mask.append(null_value_policy == "keep")
+                    if null_value_policy == "keep":
+                        recs.append({f: None for f in field_names})
+                    continue
+                keep_mask.append(True)
                 b = bytes(v)
                 sid = wire_schema_id(b)
                 dec = decoders.get(sid)
@@ -108,7 +138,7 @@ def read_avro_wire(
                 recs.append({f: rec.get(f) for f in field_names})
             out = pd.DataFrame(recs, columns=field_names)
             for f in passthrough:
-                out[f.name] = pdf[f.name].values
+                out[f.name] = pdf[f.name].values[keep_mask]
             yield out
 
     return df.mapInPandas(decode, out_schema)

@@ -240,3 +240,23 @@ def test_debezium_envelope_over_avro_wire(spark):
     assert_frames_equal(a, b, sort_cols=("_ab_cdc_lsn",))
     ops = {r["_op"] for r in events.select("_op").distinct().collect()}
     assert ops == {"u", "d"}
+
+
+def test_null_value_tombstone_policies(spark):
+    """Kafka log-compaction tombstones (null message value — Debezium
+    appends one after each delete envelope): error/skip/keep."""
+    framed = write_avro_wire(_rows(spark), V2, 9)
+    nulls = spark.createDataFrame(
+        [(None, 3, 77)], "value binary, _ab_part int, off long"
+    )
+    topic = framed.unionByName(nulls)
+    with pytest.raises(Exception, match="tombstone"):
+        read_avro_wire(topic, {9: V2}).collect()
+    skipped = read_avro_wire(topic, {9: V2}, null_value_policy="skip")
+    assert skipped.count() == 3
+    kept = read_avro_wire(topic, {9: V2}, null_value_policy="keep")
+    assert kept.count() == 4
+    row = kept.filter("off = 77").collect()[0]
+    assert row["url"] is None and row["_ab_part"] == 3  # passthrough intact
+    with pytest.raises(ValueError, match="null_value_policy"):
+        read_avro_wire(topic, {9: V2}, null_value_policy="drop")
