@@ -181,17 +181,33 @@ def write_avro_wire(
         nonlocal enc
         if enc is None:
             enc = _encoder(sch)
+        import numpy as np
+
+        def pyify(v):
+            # Arrow->pandas hands arrays as np.ndarray, scalars as
+            # numpy generics, structs as dicts of the same — normalize
+            # to plain Python so union-branch matching sees real types
+            if v is None or (isinstance(v, float) and v != v):
+                return None
+            if isinstance(v, np.ndarray):
+                return [pyify(x) for x in v.tolist()]
+            if isinstance(v, np.generic):
+                return v.item()
+            if isinstance(v, dict):
+                return {k: pyify(x) for k, x in v.items()}
+            if isinstance(v, list):
+                return [pyify(x) for x in v]
+            return v
+
         for pdf in batches:
             vals = []
             for rec in pdf[cols].to_dict("records"):
                 clean = {}
                 for k, v in rec.items():
-                    if v is None or (isinstance(v, float) and v != v):
-                        clean[k] = None  # NaN/None -> Avro null branch
-                    elif k in int_cols:
-                        clean[k] = int(v)
-                    else:
-                        clean[k] = v
+                    v = pyify(v)
+                    if v is not None and k in int_cols:
+                        v = int(v)
+                    clean[k] = v
                 buf = io.BytesIO()
                 enc(buf, clean)
                 vals.append(header + buf.getvalue())
