@@ -444,3 +444,114 @@ def test_json_cli_mongo_kinds(spark, tmp_path):
     assert deletes[0]["n_aibyte_transform"] is None  # key-only tombstone
     states = [m for m in msgs if m["type"] == "STATE"]
     assert states, "state documents emitted"
+
+
+def test_mongo_incremental_snapshot_with_change_stream_tail(spark, tmp_path):
+    """DBLog-style chunked initial sync of a collection interleaved
+    with the change-stream tail — the generic incremental-snapshot
+    loop composed over the mongo wire (key-only deletes included):
+    final state must equal the monolithic snapshot_then_tail replay,
+    and a crash after K chunks resumes exactly."""
+    from airbyte_integrations_spark.gen import gen_change_events, gen_pages
+    from airbyte_integrations_spark.lakehouse.table import LakeTable
+    from airbyte_integrations_spark.operators.dedup import winner_window
+    from airbyte_integrations_spark.sources.cdc import LogTailSource
+    from airbyte_integrations_spark.sources.incremental_snapshot import (
+        incremental_snapshot_sync,
+    )
+    from airbyte_integrations_spark.sources.mongo import (
+        discover_collection,
+        emit_change_stream,
+        parse_change_stream,
+    )
+
+    n_docs, n_events = 150, 600
+    pages = (
+        gen_pages(spark, n_docs, seed="msnap")
+        .select(F.col("url").alias("_id"), "text", "lang")
+        .cache()
+    )
+    ce = gen_change_events(
+        spark, n_events, n_urls=n_docs, seed="msnapcdc", delete_pct=12
+    ).cache()
+    stream_path = str(tmp_path / "stream")
+    emit_change_stream(ce, ["text", "lang"]).coalesce(2).write.text(stream_path)
+    fields = discover_collection(
+        spark,
+        spark.createDataFrame(
+            [(json.dumps({"_id": "u", "text": "t", "lang": "en"}),)],
+            "value string",
+        ),
+    )
+    events = parse_change_stream(spark.read.text(stream_path), fields).drop(
+        "_op", "_resume_token"
+    )
+    log = LogTailSource(events)
+    hi = log.target_position()
+    payload = ["_id", "text", "lang"]
+
+    snap = (
+        pages.withColumn("_ab_cdc_lsn", F.lit(0).cast("long"))
+        .withColumn(
+            "_ab_cdc_updated_at", F.lit("2020-01-01 00:00:00").cast("timestamp")
+        )
+        .withColumn("_ab_cdc_deleted_at", F.lit(None).cast("timestamp"))
+        .withColumn(
+            "_airbyte_ab_id", F.md5(F.concat(F.lit("snap:"), F.col("_id")))
+        )
+        .withColumn("_airbyte_emitted_at", F.col("_ab_cdc_updated_at"))
+    )
+
+    def live_payload(pos):
+        full = snap.unionByName(
+            events.filter(F.col("_ab_cdc_lsn") <= F.lit(pos)),
+            allowMissingColumns=True,
+        )
+        return winner_window(full, key=("_id",), drop_tombstones=True).select(
+            *payload
+        )
+
+    def make_select(table):
+        def select_chunk(pred):
+            lw = table.watermark("coll") or 0
+            # ~80 more events land during each chunk's select
+            seen = min(lw + 80 * (1 << 32), hi)
+            return live_payload(seen).filter(pred), seen
+
+        return select_chunk
+
+    cfg = SyncConfig(stream="coll", primary_key=("_id",), n_buckets=4)
+    table = LakeTable(spark, str(tmp_path / "lake"))
+    committed = incremental_snapshot_sync(
+        spark,
+        make_select(table),
+        log,
+        table,
+        cfg,
+        n_chunks=4,
+        wal_step_events=150 * (1 << 32),
+        extract_missing_text=False,
+    )
+    assert committed == [f"chunk:{i}" for i in range(4)]
+    want = live_payload(hi)
+    got = table.read_live().select(*payload)
+    assert got.count() == want.count()
+    assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0
+    assert table.watermark("coll") == hi
+
+    # crash after 2 chunks, then resume from scratch state
+    table2 = LakeTable(spark, str(tmp_path / "lake2"))
+    first = incremental_snapshot_sync(
+        spark, make_select(table2), log, table2, cfg,
+        n_chunks=4, wal_step_events=150 * (1 << 32),
+        max_chunks=2, extract_missing_text=False, drain=False,
+    )
+    assert len(first) == 2
+    rest = incremental_snapshot_sync(
+        spark, make_select(table2), log, table2, cfg,
+        n_chunks=4, wal_step_events=150 * (1 << 32),
+        extract_missing_text=False,
+    )
+    assert [f"chunk:{i}" for i in range(4)] == sorted(first + rest)
+    got2 = table2.read_live().select(*payload)
+    assert got2.exceptAll(want).count() == 0 and want.exceptAll(got2).count() == 0
