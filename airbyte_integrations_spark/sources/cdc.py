@@ -35,15 +35,32 @@ class LogTailSource:
             df = df.filter(F.col(self.lsn_col) > F.lit(from_lsn))
         return df
 
-    def snapshot_then_tail(self, snapshot: DataFrame, snapshot_lsn: int = 0) -> DataFrame:
+    def snapshot_then_tail(
+        self,
+        snapshot: DataFrame,
+        snapshot_lsn: int = 0,
+        key_col: str = "url",
+        ts_col: str = "warc_ts",
+    ) -> DataFrame:
         """Initial snapshot as epoch 0 (SnapshotMetadata analogue): the
         base-table image is stamped with lsn=snapshot_lsn so all log
-        events (lsn > snapshot_lsn) win over it."""
+        events (lsn > snapshot_lsn) win over it. `key_col`/`ts_col`
+        name the snapshot's primary-key and row-timestamp columns
+        (defaults are the web-page shape); a snapshot without a
+        timestamp column stamps the epoch floor instead."""
+        ts = (
+            F.col(ts_col)
+            if ts_col in snapshot.columns
+            else F.lit("1970-01-01 00:00:00").cast("timestamp")
+        )
         snap = (
             snapshot.withColumn("_ab_cdc_lsn", F.lit(snapshot_lsn).cast("long"))
-            .withColumn("_ab_cdc_updated_at", F.col("warc_ts"))
+            .withColumn("_ab_cdc_updated_at", ts)
             .withColumn("_ab_cdc_deleted_at", F.lit(None).cast("timestamp"))
-            .withColumn("_airbyte_ab_id", F.md5(F.concat(F.lit("snap:"), F.col("url"))))
+            .withColumn(
+                "_airbyte_ab_id",
+                F.md5(F.concat(F.lit("snap:"), F.col(key_col))),
+            )
             .withColumn("_airbyte_emitted_at", F.current_timestamp())
         )
         return snap.unionByName(self.events, allowMissingColumns=True)
