@@ -116,6 +116,31 @@ def envelope_schema(
     )
 
 
+_CORRUPT_COL = "_corrupt_record"
+
+
+def _parsed_with_policy(
+    lines: DataFrame, raw: Column, env: T.StructType, malformed: str
+) -> tuple[DataFrame, Column]:
+    """Apply the malformed-line policy around one from_json parse;
+    returns (possibly filtered lines, parse expression)."""
+    if malformed == "error":
+        return lines, F.from_json(raw, env, {"mode": "FAILFAST"})
+    if malformed == "skip":
+        env2 = T.StructType(
+            list(env.fields) + [T.StructField(_CORRUPT_COL, T.StringType(), True)]
+        )
+        p = F.from_json(
+            raw,
+            env2,
+            {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": _CORRUPT_COL},
+        )
+        return lines.filter(p[_CORRUPT_COL].isNull()), p
+    if malformed == "permissive":
+        return lines, F.from_json(raw, env)
+    raise ValueError(f"unknown malformed policy {malformed!r}")
+
+
 def parse_debezium(
     lines: DataFrame,
     value_schema: T.StructType | str,
@@ -123,6 +148,7 @@ def parse_debezium(
     emitted_at: Column | None = None,
     include_table: bool = False,
     dialect: str = "postgres",
+    malformed: str = "error",
 ) -> DataFrame:
     """Envelope JSONL -> change-event frame.
 
@@ -153,12 +179,19 @@ def parse_debezium(
     byte-for-byte the reference's MySQL metadata-injector columns
     (MySqlCdcConnectorMetadataInjector.java:17-20, declared at
     MySqlSource.java:54-55,93-94).
+
+    ``malformed`` decides what a non-JSON line does: "error" (default)
+    fails the job with Spark's FAILFAST diagnostics — a corrupt WAL
+    tail should stop the sync, not silently emit a null-keyed row;
+    "skip" drops exactly the corrupt lines (corrupt-record column
+    filter, still one projection); "permissive" keeps Spark's default
+    all-null rows (forensics only).
     """
     if isinstance(value_schema, str):
         value_schema = T.StructType.fromDDL(value_schema)
     env = envelope_schema(value_schema, dialect=dialect)
     raw = F.col(json_col)
-    p = F.from_json(raw, env)
+    lines, p = _parsed_with_policy(lines, raw, env, malformed)
     base = F.when(p["after"].isNotNull(), p["after"]).otherwise(p["before"])
     updated = F.timestamp_micros(
         F.coalesce(p["source"]["ts_us"], p["source"]["ts_ms"] * F.lit(1000))

@@ -337,6 +337,7 @@ def parse_change_stream(
     lines: DataFrame,
     fields: tuple[FieldInfo, ...],
     json_col: str = "value",
+    malformed: str = "error",
 ) -> DataFrame:
     """Change-stream JSONL -> change-event frame (one from_json
     projection). Payload columns come from ``fullDocument`` under the
@@ -346,10 +347,14 @@ def parse_change_stream(
     payload..., ``_id`` (the document key), ``_ab_cdc_lsn`` (folded
     clusterTime), ``_ab_cdc_updated_at``, ``_ab_cdc_deleted_at``,
     ``_resume_token``, ``_op``, ``_airbyte_ab_id``,
-    ``_airbyte_emitted_at``."""
+    ``_airbyte_emitted_at``. ``malformed`` handles non-JSON lines like
+    the Debezium parser: "error" (default) fails the job, "skip" drops
+    exactly the corrupt lines, "permissive" keeps all-null rows."""
+    from airbyte_integrations_spark.sources.debezium import _parsed_with_policy
+
     env = change_stream_schema(_raw_doc_schema(fields))
     raw = F.col(json_col)
-    p = F.from_json(raw, env)
+    lines, p = _parsed_with_policy(lines, raw, env, malformed)
     t = p["clusterTime"]["$timestamp"]["t"]
     i = p["clusterTime"]["$timestamp"]["i"]
     lsn = cluster_time_lsn(t, i)

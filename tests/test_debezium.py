@@ -371,3 +371,27 @@ def test_catalog_debezium_mysql_kind_end_to_end(spark, tmp_path):
     v = stream_table(spark, lake, "pages").current_version()
     read_catalog(spark, cat, lake, max_events_per_epoch=250)
     assert stream_table(spark, lake, "pages").current_version() == v
+
+
+def test_malformed_line_policies(spark):
+    """A corrupt WAL line must stop the sync by default ('error'),
+    drop exactly itself under 'skip', and ride as an all-null row only
+    under explicit 'permissive'."""
+    import pytest
+
+    ev = _events(spark, n=50)
+    good = emit_debezium(ev, VALUE_COLS)
+    bad = spark.createDataFrame(
+        [("this is not json",), ('{"truncated": ',)], "value string"
+    )
+    lines = good.unionByName(bad)
+    with pytest.raises(Exception, match="FAILFAST|Malformed"):
+        parse_debezium(lines, VALUE_DDL).collect()
+    skipped = parse_debezium(lines, VALUE_DDL, malformed="skip")
+    assert skipped.count() == 50
+    assert skipped.filter(F.col("url").isNull()).count() == 0
+    kept = parse_debezium(lines, VALUE_DDL, malformed="permissive")
+    assert kept.count() == 52
+    assert kept.filter(F.col("url").isNull()).count() == 2
+    with pytest.raises(ValueError, match="malformed"):
+        parse_debezium(lines, VALUE_DDL, malformed="drop")

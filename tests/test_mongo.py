@@ -555,3 +555,15 @@ def test_mongo_incremental_snapshot_with_change_stream_tail(spark, tmp_path):
     assert [f"chunk:{i}" for i in range(4)] == sorted(first + rest)
     got2 = table2.read_live().select(*payload)
     assert got2.exceptAll(want).count() == 0 and want.exceptAll(got2).count() == 0
+
+
+def test_change_stream_malformed_policies(spark):
+    from airbyte_integrations_spark.sources.mongo import parse_change_stream
+
+    good = _stream_events(spark)
+    bad = spark.createDataFrame([("%%%garbage%%%",)], "value string")
+    lines = good.unionByName(bad)
+    fields = _doc_fields(spark)
+    with pytest.raises(Exception, match="FAILFAST|Malformed"):
+        parse_change_stream(lines, fields).collect()
+    assert parse_change_stream(lines, fields, malformed="skip").count() == 4
