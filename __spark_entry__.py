@@ -6962,6 +6962,64 @@ FROM w WHERE rn = 1 AND _ab_cdc_deleted_at IS NULL
 """
 
 
+def q_mongo_db_watch_route(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Database-level change stream (db.watch(), sources/mongo.py
+    shared_change_stream): ONE stream carries every collection's events
+    and ``ns.coll`` routes them — the Mongo analogue of the multi-table
+    Debezium envelope log, and what the reference's mongodb CDC
+    connector tails with a single resume token per connection. Each url
+    is assigned a collection by md5-prefix (engine-portable), the full
+    log is rendered to db-level JSONL (per-row ns) and decoded back in
+    one from_json projection with ns.coll surfacing as the routing
+    column, then replayed to per-collection latest-wins state. The
+    oracle recomputes the routing + winners straight from the log, so
+    value equality proves ns rendering, routing, the BsonTimestamp
+    fold, and key-only tombstones together. Scale shape: one decode
+    projection, winner agg map-side partial; routing adds no Exchange."""
+    from airbyte_integrations_spark.sources.mongo import (
+        emit_change_stream,
+        fields_from_schema,
+        shared_change_stream,
+    )
+
+    tune_session(spark)
+    ce = change_events(spark, sf_dir).withColumn(
+        "coll",
+        F.when(F.substring(F.md5("url"), 1, 1) < "8", "pages_a").otherwise(
+            "pages_b"
+        ),
+    )
+    lines = emit_change_stream(
+        ce, ["event_type", "value_m"], collection_col="coll"
+    )
+    log = shared_change_stream(
+        spark, lines, fields_from_schema("event_type string, value_m bigint")
+    )
+    # a url lives in exactly one collection, so the per-url winner rule
+    # is unchanged; the routing column rides through the window
+    w = winner_window(
+        log.withColumnRenamed("_id", "url"), drop_tombstones=True
+    )
+    return w.select(
+        F.col("stream").alias("collection"),
+        "url",
+        "_ab_cdc_lsn",
+        "event_type",
+        "value_m",
+        F.col("_resume_token").alias("resume_token"),
+    )
+
+
+O_MONGO_DB_WATCH_ROUTE = f"""
+WITH {CE_SQL}, {WINNERS_SQL}
+SELECT CASE WHEN substr(md5(url), 1, 1) < '8'
+            THEN 'pages_a' ELSE 'pages_b' END AS collection,
+       url, _ab_cdc_lsn, event_type, value_m,
+       printf('%016X', _ab_cdc_lsn) AS resume_token
+FROM w WHERE rn = 1 AND _ab_cdc_deleted_at IS NULL
+"""
+
+
 def q_kafka_avro_wire_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Confluent wire-format topic read (sources/avro_wire.py): every
     message is 0x00 + 4-byte schema id + schemaless Avro body, and the
@@ -7235,6 +7293,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_mysql_binlog_order": q_cdc_mysql_binlog_order,
         "mongo_schemaless_read": q_mongo_schemaless_read,
         "mongo_change_stream_read": q_mongo_change_stream_read,
+        "mongo_db_watch_route": q_mongo_db_watch_route,
         "kafka_avro_wire_read": q_kafka_avro_wire_read,
         "docs_ndv_sketch": q_docs_ndv_sketch,
         "docs_weighted_sample": q_docs_weighted_sample,
@@ -7376,6 +7435,7 @@ def oracle_sql() -> dict[str, str]:
         "cdc_mysql_binlog_order": O_CDC_MYSQL_BINLOG_ORDER,
         "mongo_schemaless_read": O_MONGO_SCHEMALESS_READ,
         "mongo_change_stream_read": O_MONGO_CHANGE_STREAM_READ,
+        "mongo_db_watch_route": O_MONGO_DB_WATCH_ROUTE,
         "kafka_avro_wire_read": O_KAFKA_AVRO_WIRE_READ,
         "docs_ndv_sketch": O_DOCS_NDV_SKETCH,
         "docs_weighted_sample": O_DOCS_WEIGHTED_SAMPLE,

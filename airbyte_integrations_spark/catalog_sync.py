@@ -283,6 +283,27 @@ def _seed_state(state: dict | None, stream: str):
 # ------------------------------------------------------------ the loop
 
 
+def _mongo_fields(spark: SparkSession, source: dict):
+    """Resolve a mongo-flavored source document's field list: "fields"
+    (embedded FieldInfo tuple), "value_schema" (DDL string — the
+    JSON-CLI form), or "sample_path" (JSONL of example documents to
+    run sampled discovery over)."""
+    from airbyte_integrations_spark.sources.mongo import (
+        discover_collection,
+        fields_from_schema,
+    )
+
+    if "fields" in source:
+        return source["fields"]
+    if "value_schema" in source:
+        return fields_from_schema(source["value_schema"])
+    if "sample_path" in source:
+        return discover_collection(spark, source["sample_path"])
+    raise ValueError(
+        "mongo source needs one of fields/value_schema/sample_path"
+    )
+
+
 def _read_stream_events(
     spark: SparkSession, cs: ConfiguredStream, table: LakeTable, state: dict | None
 ):
@@ -309,6 +330,19 @@ def _read_stream_events(
                 cs.source["value_schema"],
                 cs.source.get("stream_col", "stream"),
                 dialect=cs.source.get("dialect", "postgres"),
+            )
+        elif "mongo_path" in cs.source:
+            # database-level change stream (db.watch()): one stream for
+            # every collection, routed by ns.coll — sources/mongo.py
+            from airbyte_integrations_spark.sources.mongo import (
+                shared_change_stream,
+            )
+
+            ev = shared_change_stream(
+                spark,
+                cs.source["mongo_path"],
+                _mongo_fields(spark, cs.source),
+                cs.source.get("stream_col", "stream"),
             )
         else:
             ev = (
@@ -433,21 +467,10 @@ def _read_stream_events(
         # "value_schema" (DDL string — the JSON-CLI form), or
         # "sample_path" (JSONL of example documents to discover from).
         from airbyte_integrations_spark.sources.mongo import (
-            discover_collection,
-            fields_from_schema,
             parse_change_stream,
         )
 
-        if "fields" in cs.source:
-            mfields = cs.source["fields"]
-        elif "value_schema" in cs.source:
-            mfields = fields_from_schema(cs.source["value_schema"])
-        elif "sample_path" in cs.source:
-            mfields = discover_collection(spark, cs.source["sample_path"])
-        else:
-            raise ValueError(
-                "mongo_cdc source needs one of fields/value_schema/sample_path"
-            )
+        mfields = _mongo_fields(spark, cs.source)
         lines = spark.read.text(cs.source["path"]).filter(
             F.length(F.trim("value")) > 0
         )
@@ -849,6 +872,19 @@ def sync_shared_log(
             first["value_schema"],
             first.get("stream_col", "stream"),
             dialect=first.get("dialect", "postgres"),
+        )
+    elif "mongo_path" in first:
+        # database-level change stream (db.watch()): every collection in
+        # one stream, ns.coll routes — sources/mongo.py
+        from airbyte_integrations_spark.sources.mongo import (
+            shared_change_stream,
+        )
+
+        log = shared_change_stream(
+            spark,
+            first["mongo_path"],
+            _mongo_fields(spark, first),
+            first.get("stream_col", "stream"),
         )
     else:
         log = first["df"] if "df" in first else spark.read.parquet(first["path"])

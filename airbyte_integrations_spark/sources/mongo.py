@@ -295,6 +295,16 @@ def change_stream_schema(doc_schema: T.StructType) -> T.StructType:
             T.StructField("operationType", T.StringType(), True),
             T.StructField("clusterTime", _CLUSTER_TS, True),
             T.StructField(
+                "ns",
+                T.StructType(
+                    [
+                        T.StructField("db", T.StringType(), True),
+                        T.StructField("coll", T.StringType(), True),
+                    ]
+                ),
+                True,
+            ),
+            T.StructField(
                 "documentKey",
                 T.StructType([T.StructField("_id", T.StringType(), True)]),
                 True,
@@ -338,6 +348,7 @@ def parse_change_stream(
     fields: tuple[FieldInfo, ...],
     json_col: str = "value",
     malformed: str = "error",
+    include_collection: bool = False,
 ) -> DataFrame:
     """Change-stream JSONL -> change-event frame (one from_json
     projection). Payload columns come from ``fullDocument`` under the
@@ -363,6 +374,9 @@ def parse_change_stream(
     payload = [
         _renamed(p["fullDocument"], f) for f in fields if f.name != PRIMARY_KEY
     ]
+    extra = (
+        [p["ns"]["coll"].alias("_collection")] if include_collection else []
+    )
     return lines.select(
         p["documentKey"]["_id"].alias(PRIMARY_KEY),
         *payload,
@@ -373,6 +387,7 @@ def parse_change_stream(
         p["operationType"].alias("_op"),
         F.md5(raw).alias("_airbyte_ab_id"),
         updated.alias("_airbyte_emitted_at"),
+        *extra,
     )
 
 
@@ -382,17 +397,33 @@ def emit_change_stream(
     key_col: str = "url",
     lsn_col: str = "_ab_cdc_lsn",
     deleted_col: str = "_ab_cdc_deleted_at",
+    collection_col: str | None = None,
+    db_name: str = "db",
 ) -> DataFrame:
     """Change-event frame -> change-stream JSONL (the fixture
     generator / inverse). clusterTime (t, i) is the lsn split along the
     same fold; the resume token is the zero-padded hex of the folded
     position (opaque to consumers, monotone like real tokens); deletes
-    render with documentKey only."""
+    render with documentKey only. ``collection_col`` names a per-row
+    column rendered as ``ns.coll`` — the database-level ``db.watch()``
+    wire, where one stream carries every collection's events and ``ns``
+    routes them (server change-events API; Debezium's mongodb connector
+    names each record's stream from exactly this field)."""
     is_del = F.col(deleted_col).isNotNull()
     lsn = F.col(lsn_col).cast("long")
     doc = F.struct(
         F.col(key_col).alias("_id"),
         *[F.col(c) for c in value_cols],
+    )
+    ns = (
+        [
+            F.struct(
+                F.lit(db_name).alias("db"),
+                F.col(collection_col).alias("coll"),
+            ).alias("ns")
+        ]
+        if collection_col is not None
+        else []
     )
     envelope = F.struct(
         F.struct(
@@ -407,10 +438,41 @@ def emit_change_stream(
                 (lsn % F.lit(1 << 32)).alias("i"),
             ).alias("$timestamp")
         ).alias("clusterTime"),
+        *ns,
         F.struct(F.col(key_col).alias("_id")).alias("documentKey"),
         F.when(~is_del, doc).alias("fullDocument"),
     )
     return events.select(F.to_json(envelope).alias("value"))
+
+
+def shared_change_stream(
+    spark: SparkSession,
+    path: str | DataFrame,
+    fields: tuple[FieldInfo, ...],
+    stream_col: str = "stream",
+    malformed: str = "error",
+) -> DataFrame:
+    """Database-level change-stream JSONL -> the interleaved shared-log
+    frame `sync_shared_log` consumes: one total clusterTime order across
+    collections, routed by ``stream_col`` = the event's ``ns.coll``
+    (``db.watch()`` emits ONE stream for every collection in the
+    database — the Mongo analogue of the multi-table Debezium envelope
+    log, and the shape the reference's mongodb CDC connector tails with
+    a single resume token for the whole connection). ``fields`` is the
+    UNION of the member collections' discovered fields (same contract
+    as the Debezium path's single value_schema): absent fields decode
+    null, and BsonTimestamp positions are global, so the GLOBAL-state
+    lock-step loop applies unchanged. Still one from_json projection."""
+    lines = path if isinstance(path, DataFrame) else (
+        spark.read.text(path).filter(F.length(F.trim("value")) > 0)
+    )
+    return (
+        parse_change_stream(
+            lines, fields, malformed=malformed, include_collection=True
+        )
+        .drop("_op")
+        .withColumnRenamed("_collection", stream_col)
+    )
 
 
 def latest_resume_token(events: DataFrame) -> str | None:

@@ -339,6 +339,98 @@ def test_catalog_mongo_cdc_key_only_deletes_merge(spark, tmp_path):
     assert stream_table(spark, lake, "coll").current_version() == v
 
 
+def test_db_level_change_stream_routes_collections(spark):
+    """db.watch() wire: one stream, every collection, ns.coll routes."""
+    from airbyte_integrations_spark.gen import gen_change_events
+    from airbyte_integrations_spark.sources.mongo import (
+        emit_change_stream,
+        fields_from_schema,
+        shared_change_stream,
+    )
+
+    ce = gen_change_events(spark, 200, n_urls=30).withColumn(
+        "coll", F.when(F.col("_ab_cdc_lsn") % 2 == 0, "pages_a").otherwise("pages_b")
+    )
+    lines = emit_change_stream(
+        ce, ["text", "lang"], collection_col="coll", db_name="crawl"
+    )
+    # ns renders per-row
+    one = json.loads(lines.first()["value"])
+    assert one["ns"]["db"] == "crawl" and one["ns"]["coll"] in ("pages_a", "pages_b")
+    log = shared_change_stream(
+        spark, lines, fields_from_schema("text string, lang string")
+    )
+    got = {
+        (r["stream"], r["_ab_cdc_lsn"] % 2)
+        for r in log.select("stream", "_ab_cdc_lsn").collect()
+    }
+    assert got == {("pages_a", 0), ("pages_b", 1)}
+    # resume tokens ride; positions are the global BsonTimestamp order
+    assert log.filter(F.col("_resume_token").isNull()).count() == 0
+
+
+def test_multi_collection_change_stream_global_state_sync(spark, tmp_path):
+    """Two collections' changes in ONE database-level change stream,
+    synced lock-step with GLOBAL state through the cdc_shared machinery
+    — the Mongo analogue of the multi-table Debezium envelope log,
+    key-only deletes included."""
+    from airbyte_integrations_spark.gen import gen_change_events
+    from airbyte_integrations_spark.sources.mongo import emit_change_stream
+    from tests.util import assert_frames_equal, duckdb_winners
+
+    cols = ["text", "lang"]
+    ev_a = gen_change_events(spark, 360, n_urls=40).withColumn(
+        "_ab_cdc_lsn", 2 * F.col("_ab_cdc_lsn")
+    ).withColumn("coll", F.lit("pages_a"))
+    ev_b = gen_change_events(spark, 180, n_urls=25, seed="cdc2").withColumn(
+        "_ab_cdc_lsn", 2 * F.col("_ab_cdc_lsn") + 1
+    ).withColumn("coll", F.lit("pages_b"))
+    wal = ev_a.unionByName(ev_b)
+    path = str(tmp_path / "dbwatch")
+    emit_change_stream(wal, cols, collection_col="coll").coalesce(2).write.text(path)
+
+    members = tuple(
+        ConfiguredStream(
+            config=SyncConfig(stream=n, primary_key=("_id",), n_buckets=4),
+            source={
+                "kind": "cdc_shared",
+                "group": "dbwatch",
+                "mongo_path": path,
+                "value_schema": "text string, lang string",
+            },
+        )
+        for n in ("pages_a", "pages_b")
+    )
+    lake = str(tmp_path / "lake")
+    msgs = read_catalog(
+        spark, ConfiguredCatalog(streams=members), lake, max_events_per_epoch=250
+    )
+    assert msgs and all(m["state"]["state_type"] == "GLOBAL" for m in msgs)
+    for name, src in (("pages_a", ev_a), ("pages_b", ev_b)):
+        got = (
+            stream_table(spark, lake, name)
+            .read_live()
+            .select(F.col("_id").alias("url"), *cols, "_ab_cdc_lsn")
+            .toPandas()
+        )
+        want = duckdb_winners(src.drop("coll").toPandas())[
+            ["url"] + cols + ["_ab_cdc_lsn"]
+        ]
+        assert_frames_equal(got, want, sort_cols=("url",))
+    # key-only deletes really removed rows
+    assert (
+        stream_table(spark, lake, "pages_a").read_live().count()
+        < ev_a.select("url").distinct().count()
+    )
+    # idempotent re-run through the catalog arm
+    assert (
+        read_catalog(
+            spark, ConfiguredCatalog(streams=members), lake, max_events_per_epoch=250
+        )
+        == []
+    )
+
+
 # --------------------------------------------------- discovery -> catalog
 
 
