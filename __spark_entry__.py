@@ -7020,6 +7020,130 @@ FROM w WHERE rn = 1 AND _ab_cdc_deleted_at IS NULL
 """
 
 
+def q_mongo_patch_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partial-image change-stream replay (sources/mongo.py
+    update_description + operators/patch.py mask folds): the DEFAULT
+    MongoDB update wire carries only updateDescription.updatedFields
+    ($set) and removedFields ($unset) — no fullDocument — so the final
+    state is a per-key per-COLUMN overlay, where an explicit $unset
+    must null out an earlier value (a plain latest-non-null fold gets
+    this wrong). Ops are derived deterministically from the log (first
+    event per url = insert/full image; later = sparse updates with
+    lsn%3 / lsn%2 field touch rules and $unset value_m on lsn%14),
+    rendered to the real wire and decoded back with _w_ write masks,
+    then folded in ONE mask-aware hash aggregation (map-side partial;
+    hot keys cost O(n_mappers)). The oracle recomputes per-column
+    last-write-after-last-delete straight from the log. Scale shape:
+    one from_json decode projection + one key-grouped agg — no joins,
+    no windows."""
+    from airbyte_integrations_spark.operators.patch import coalesce_patches
+    from airbyte_integrations_spark.sources.mongo import (
+        emit_change_stream,
+        fields_from_schema,
+        parse_change_stream,
+    )
+
+    tune_session(spark)
+    ce = change_events(spark, sf_dir)
+    lsn = F.col("_ab_cdc_lsn")
+    rn = F.row_number().over(
+        Window.partitionBy("url").orderBy(lsn.asc())
+    )
+    ev = (
+        ce.withColumn("rn", rn)
+        .withColumn(
+            "op", F.when(F.col("rn") == 1, "insert").otherwise("update")
+        )
+        .withColumn(
+            "removed",
+            F.when(
+                (F.col("op") == "update") & (lsn % 14 == 0),
+                F.array(F.lit("value_m")),
+            ).otherwise(F.array().cast("array<string>")),
+        )
+        .withColumn(
+            "event_type",
+            F.when(
+                (F.col("op") == "insert") | (lsn % 3 != 0), F.col("event_type")
+            ),
+        )
+        .withColumn(
+            "value_m",
+            F.when(
+                (F.col("op") == "insert")
+                | ((lsn % 2 != 0) & (lsn % 14 != 0)),
+                F.col("value_m"),
+            ),
+        )
+    )
+    lines = emit_change_stream(
+        ev, ["event_type", "value_m"], op_col="op", removed_col="removed"
+    )
+    parsed = parse_change_stream(
+        lines,
+        fields_from_schema("event_type string, value_m bigint"),
+        update_description=True,
+    )
+    out = coalesce_patches(
+        parsed.withColumnRenamed("_id", "url"),
+        patch_cols=("event_type", "value_m"),
+        mask_cols=("_w_event_type", "_w_value_m"),
+    )
+    return out.select("url", "_ab_cdc_lsn", "event_type", "value_m")
+
+
+O_MONGO_PATCH_FOLD = f"""
+WITH {CE_SQL},
+r AS (
+  SELECT url, _ab_cdc_lsn AS lsn, event_type, value_m,
+         _ab_cdc_deleted_at IS NOT NULL AS is_del,
+         row_number() OVER (PARTITION BY url ORDER BY _ab_cdc_lsn) AS rn
+  FROM ce
+),
+o AS (
+  SELECT *, CASE WHEN is_del THEN 'delete'
+                 WHEN rn = 1 THEN 'insert' ELSE 'update' END AS op
+  FROM r
+),
+d AS (SELECT url, max(lsn) AS dlsn FROM o WHERE op = 'delete' GROUP BY 1),
+etw AS (
+  SELECT o.url, max(o.lsn) AS mlsn
+  FROM o LEFT JOIN d USING (url)
+  WHERE (o.op = 'insert' OR (o.op = 'update' AND o.lsn % 3 <> 0))
+    AND (d.dlsn IS NULL OR o.lsn > d.dlsn)
+  GROUP BY 1
+),
+et AS (
+  SELECT w.url, o.event_type AS v
+  FROM etw w JOIN o ON o.url = w.url AND o.lsn = w.mlsn
+),
+vmw AS (
+  SELECT o.url, max(o.lsn) AS mlsn
+  FROM o LEFT JOIN d USING (url)
+  WHERE (o.op = 'insert'
+         OR (o.op = 'update' AND (o.lsn % 2 <> 0 OR o.lsn % 14 = 0)))
+    AND (d.dlsn IS NULL OR o.lsn > d.dlsn)
+  GROUP BY 1
+),
+vm AS (
+  SELECT w.url,
+         CASE WHEN o.op = 'update' AND o.lsn % 14 = 0 THEN NULL
+              ELSE o.value_m END AS v
+  FROM vmw w JOIN o ON o.url = w.url AND o.lsn = w.mlsn
+),
+win AS (
+  SELECT url, lsn, is_del,
+         row_number() OVER (PARTITION BY url ORDER BY lsn DESC) AS rnw
+  FROM o
+)
+SELECT w.url, w.lsn AS _ab_cdc_lsn, et.v AS event_type, vm.v AS value_m
+FROM win w
+LEFT JOIN et ON et.url = w.url
+LEFT JOIN vm ON vm.url = w.url
+WHERE w.rnw = 1 AND NOT w.is_del
+"""
+
+
 def q_kafka_avro_wire_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Confluent wire-format topic read (sources/avro_wire.py): every
     message is 0x00 + 4-byte schema id + schemaless Avro body, and the
@@ -7294,6 +7418,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mongo_schemaless_read": q_mongo_schemaless_read,
         "mongo_change_stream_read": q_mongo_change_stream_read,
         "mongo_db_watch_route": q_mongo_db_watch_route,
+        "mongo_patch_fold": q_mongo_patch_fold,
         "kafka_avro_wire_read": q_kafka_avro_wire_read,
         "docs_ndv_sketch": q_docs_ndv_sketch,
         "docs_weighted_sample": q_docs_weighted_sample,
@@ -7436,6 +7561,7 @@ def oracle_sql() -> dict[str, str]:
         "mongo_schemaless_read": O_MONGO_SCHEMALESS_READ,
         "mongo_change_stream_read": O_MONGO_CHANGE_STREAM_READ,
         "mongo_db_watch_route": O_MONGO_DB_WATCH_ROUTE,
+        "mongo_patch_fold": O_MONGO_PATCH_FOLD,
         "kafka_avro_wire_read": O_KAFKA_AVRO_WIRE_READ,
         "docs_ndv_sketch": O_DOCS_NDV_SKETCH,
         "docs_weighted_sample": O_DOCS_WEIGHTED_SAMPLE,

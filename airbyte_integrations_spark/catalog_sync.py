@@ -474,7 +474,12 @@ def _read_stream_events(
         lines = spark.read.text(cs.source["path"]).filter(
             F.length(F.trim("value")) > 0
         )
-        ev = parse_change_stream(lines, mfields).drop("_op")
+        ev = parse_change_stream(
+            lines,
+            mfields,
+            update_description=bool(cs.source.get("update_description")),
+            nested_updates=cs.source.get("nested_updates", "error"),
+        ).drop("_op")
         if cfg.sync_mode == SyncMode.INCREMENTAL and table.watermark(cfg.stream) is None:
             seed, _ = _seed_state(state, cfg.stream)
             if seed is not None:
@@ -717,6 +722,25 @@ def _sync_stream(
         # declarative incremental paths above declare their record
         # schema explicitly — their schema IS the field list.)
         events = select_fields(events, cfg)
+        patch_cols = patch_mask_cols = None
+        if cs.source.get("kind") == "mongo_cdc" and cs.source.get(
+            "update_description"
+        ):
+            # partial-image apply: payload columns + their _w_ masks
+            # from the decode feed the patch overlay (patch_apply.py)
+            if cfg.selected_fields:
+                raise ValueError(
+                    f"stream {cfg.stream!r}: field selection would drop the "
+                    "_w_ write masks a partial-image (update_description) "
+                    "apply folds on; select fields at discovery instead"
+                )
+            names = [
+                f.name
+                for f in _mongo_fields(spark, cs.source)
+                if f.name != "_id"
+            ]
+            patch_cols = tuple(names)
+            patch_mask_cols = tuple("_w_" + n for n in names)
         if (
             cfg.sync_mode == SyncMode.INCREMENTAL
             and cfg.destination_sync_mode == DestinationSyncMode.APPEND_DEDUP
@@ -730,6 +754,8 @@ def _sync_stream(
                 cfg,
                 max_events_per_epoch=max_events_per_epoch,
                 extract_missing_text=extract_missing_text,
+                patch_cols=patch_cols,
+                patch_mask_cols=patch_mask_cols,
                 # row-balanced epoch planning for bursty logs, opt-in
                 # per stream (SyncConfig.properties)
                 balanced=bool(cfg.properties.get("balanced_epochs")),

@@ -74,7 +74,7 @@ def _ord_struct(
     return F.struct(*fields)
 
 
-def coalesce_patches(
+def fold_patch_writes(
     df: DataFrame,
     key: tuple[str, ...] = ("url",),
     patch_cols: tuple[str, ...] = (),
@@ -82,16 +82,25 @@ def coalesce_patches(
     secondary: tuple[str, ...] = CDC_SECONDARY,
     ab_id: str = "_airbyte_ab_id",
     tombstone_col: str = "_ab_cdc_deleted_at",
+    mask_cols: tuple[str, ...] | None = None,
 ) -> DataFrame:
-    """Fold a partial-image event stream into one row per live key.
+    """The raw per-key fold every patch consumer shares: ONE mask-aware
+    hash aggregation (map-side partial), keeping the write structs.
 
-    Returns: key columns, the overall winner's (cursor, *secondary,
-    ab_id) metadata, and for each patch column its latest non-null
-    value written after the key's last delete (NULL if never written
-    since). Keys whose latest event is a delete are dropped.
-    """
+    Returns one row per key: key columns, ``_w`` (the overall winner's
+    ordering struct + metadata, tombstone included), ``_t`` (ordering
+    of the key's last delete, null if none), and per patch column i a
+    struct ``_pi {o, v}`` = the key's LATEST WRITE of that column
+    (null if never written). With ``mask_cols`` (one boolean column per
+    patch column), "written" means the mask is true — which lets an
+    EXPLICIT null win (MongoDB `$unset` / removedFields, a full-image
+    replace dropping a field); without masks it falls back to
+    value-is-not-null (sparse after-images, where null means
+    untouched)."""
     if not patch_cols:
         raise ValueError("patch_cols must name at least one column")
+    if mask_cols is not None and len(mask_cols) != len(patch_cols):
+        raise ValueError("mask_cols must align 1:1 with patch_cols")
     o = _ord_struct(df, cursor, secondary, ab_id)
     meta = F.struct(
         *[F.col(c) for c in (cursor, *secondary)],
@@ -102,27 +111,55 @@ def coalesce_patches(
         F.max(F.when(F.col(tombstone_col).isNotNull(), o)).alias("_t"),
     ]
     for i, c in enumerate(patch_cols):
+        wrote = (
+            F.col(mask_cols[i]) if mask_cols is not None else F.col(c).isNotNull()
+        )
         aggs.append(
             F.max(
-                F.when(F.col(c).isNotNull(), F.struct(o.alias("o"), F.col(c).alias("v")))
+                F.when(wrote, F.struct(o.alias("o"), F.col(c).alias("v")))
             ).alias(f"_p{i}")
         )
-    agg = df.groupBy(*[F.col(k) for k in key]).agg(*aggs)
+    return df.groupBy(*[F.col(k) for k in key]).agg(*aggs)
+
+
+def patch_value(i: int, c: str, tomb: Column | None = None) -> Column:
+    """Post-fold projection of patch column i: its latest write, kept
+    only if it postdates the key's last delete (struct comparison over
+    the full ordering tuple); NULL if never written since."""
+    t = F.col("_t") if tomb is None else tomb
+    return F.when(
+        F.col(f"_p{i}").isNotNull() & (t.isNull() | (F.col(f"_p{i}.o") > t)),
+        F.col(f"_p{i}.v"),
+    ).alias(c)
+
+
+def coalesce_patches(
+    df: DataFrame,
+    key: tuple[str, ...] = ("url",),
+    patch_cols: tuple[str, ...] = (),
+    cursor: str = "_ab_cdc_lsn",
+    secondary: tuple[str, ...] = CDC_SECONDARY,
+    ab_id: str = "_airbyte_ab_id",
+    tombstone_col: str = "_ab_cdc_deleted_at",
+    mask_cols: tuple[str, ...] | None = None,
+) -> DataFrame:
+    """Fold a partial-image event stream into one row per live key.
+
+    Returns: key columns, the overall winner's (cursor, *secondary,
+    ab_id) metadata, and for each patch column its latest write after
+    the key's last delete (NULL if never written since). Keys whose
+    latest event is a delete are dropped. ``mask_cols`` as in
+    fold_patch_writes (explicit-null writes win)."""
+    agg = fold_patch_writes(
+        df, key, patch_cols, cursor, secondary, ab_id, tombstone_col, mask_cols
+    )
     live = agg.filter(F.col("_w.m._tomb").isNull())
     out_cols: list[Column] = [*[F.col(k) for k in key]]
     out_cols.append(F.col(f"_w.o._ab").alias(ab_id))
     for c in (cursor, *secondary):
         out_cols.append(F.col(f"_w.m.{c}").alias(c))
     for i, c in enumerate(patch_cols):
-        # keep the field only if its latest write postdates the last
-        # delete (struct comparison over the full ordering tuple)
-        out_cols.append(
-            F.when(
-                F.col(f"_p{i}").isNotNull()
-                & (F.col("_t").isNull() | (F.col(f"_p{i}.o") > F.col("_t"))),
-                F.col(f"_p{i}.v"),
-            ).alias(c)
-        )
+        out_cols.append(patch_value(i, c))
     return live.select(*out_cols)
 
 
@@ -134,13 +171,18 @@ def coalesce_patches_window(
     secondary: tuple[str, ...] = CDC_SECONDARY,
     ab_id: str = "_airbyte_ab_id",
     tombstone_col: str = "_ab_cdc_deleted_at",
+    mask_cols: tuple[str, ...] | None = None,
 ) -> DataFrame:
     """Literal ordered-window fold (`last ignorenulls` ascending) —
     the clarity/equivalence cross-check, one sort per key partition.
     Events at or before a key's last delete are filtered first (the
-    delete reset), so `last` only sees post-delete writes."""
+    delete reset), so `last` only sees post-delete writes. With
+    ``mask_cols``, each write is wrapped in a single-field struct so an
+    explicit null write is itself a non-null element `last` can pick."""
     if not patch_cols:
         raise ValueError("patch_cols must name at least one column")
+    if mask_cols is not None and len(mask_cols) != len(patch_cols):
+        raise ValueError("mask_cols must align 1:1 with patch_cols")
     o = _ord_struct(df, cursor, secondary, ab_id)
     with_o = df.withColumn("_o", o)
     last_del = (
@@ -156,12 +198,18 @@ def coalesce_patches_window(
         .orderBy(F.col("_o").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    def _write(i: int, c: str) -> Column:
+        if mask_cols is None:
+            return F.last(F.col(c), ignorenulls=True).over(w)
+        wrapped = F.when(F.col(mask_cols[i]), F.struct(F.col(c).alias("v")))
+        return F.last(wrapped, ignorenulls=True).over(w)["v"]
+
     folded = live.select(
         *[F.col(k) for k in key],
         F.col("_o"),
         F.col(ab_id),
         *[F.col(c) for c in (cursor, *secondary)],
-        *[F.last(F.col(c), ignorenulls=True).over(w).alias(f"__f_{c}") for c in patch_cols],
+        *[_write(i, c).alias(f"__f_{c}") for i, c in enumerate(patch_cols)],
     )
     wn = Window.partitionBy(*key).orderBy(F.col("_o").desc())
     return (

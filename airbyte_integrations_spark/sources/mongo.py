@@ -284,34 +284,52 @@ _CLUSTER_TS = T.StructType(
 )
 
 
-def change_stream_schema(doc_schema: T.StructType) -> T.StructType:
-    return T.StructType(
-        [
-            T.StructField(
-                "_id",
-                T.StructType([T.StructField("_data", T.StringType(), True)]),
-                True,
+def change_stream_schema(
+    doc_schema: T.StructType, update_description: bool = False
+) -> T.StructType:
+    fields = [
+        T.StructField(
+            "_id",
+            T.StructType([T.StructField("_data", T.StringType(), True)]),
+            True,
+        ),
+        T.StructField("operationType", T.StringType(), True),
+        T.StructField("clusterTime", _CLUSTER_TS, True),
+        T.StructField(
+            "ns",
+            T.StructType(
+                [
+                    T.StructField("db", T.StringType(), True),
+                    T.StructField("coll", T.StringType(), True),
+                ]
             ),
-            T.StructField("operationType", T.StringType(), True),
-            T.StructField("clusterTime", _CLUSTER_TS, True),
+            True,
+        ),
+        T.StructField(
+            "documentKey",
+            T.StructType([T.StructField("_id", T.StringType(), True)]),
+            True,
+        ),
+        T.StructField("fullDocument", doc_schema, True),
+    ]
+    if update_description:
+        fields.append(
             T.StructField(
-                "ns",
+                "updateDescription",
                 T.StructType(
                     [
-                        T.StructField("db", T.StringType(), True),
-                        T.StructField("coll", T.StringType(), True),
+                        T.StructField("updatedFields", doc_schema, True),
+                        T.StructField(
+                            "removedFields",
+                            T.ArrayType(T.StringType()),
+                            True,
+                        ),
                     ]
                 ),
                 True,
-            ),
-            T.StructField(
-                "documentKey",
-                T.StructType([T.StructField("_id", T.StringType(), True)]),
-                True,
-            ),
-            T.StructField("fullDocument", doc_schema, True),
-        ]
-    )
+            )
+        )
+    return T.StructType(fields)
 
 
 def cluster_time_lsn(t: Column, i: Column) -> Column:
@@ -349,6 +367,8 @@ def parse_change_stream(
     json_col: str = "value",
     malformed: str = "error",
     include_collection: bool = False,
+    update_description: bool = False,
+    nested_updates: str = "error",
 ) -> DataFrame:
     """Change-stream JSONL -> change-event frame (one from_json
     projection). Payload columns come from ``fullDocument`` under the
@@ -360,31 +380,96 @@ def parse_change_stream(
     ``_resume_token``, ``_op``, ``_airbyte_ab_id``,
     ``_airbyte_emitted_at``. ``malformed`` handles non-JSON lines like
     the Debezium parser: "error" (default) fails the job, "skip" drops
-    exactly the corrupt lines, "permissive" keeps all-null rows."""
+    exactly the corrupt lines, "permissive" keeps all-null rows.
+
+    ``update_description=True`` decodes the DEFAULT server wire for
+    updates (no ``fullDocument`` unless updateLookup is on): an update
+    event carries only ``updateDescription.updatedFields`` ($set) and
+    ``.removedFields`` ($unset). Each payload column then gains a
+    boolean sibling ``_w_<name>`` — "this event WROTE this field":
+    true for every field on insert/replace (a replace drops absent
+    fields, so absence is itself a write of null), true on update iff
+    the field is in updatedFields or removedFields, false on delete.
+    The masks feed `operators/patch.fold_patch_writes(mask_cols=...)`,
+    where an explicit $unset null WINS over an earlier value — a plain
+    sparse fold would wrongly keep it. ``nested_updates``: a dotted
+    updatedFields key (sub-document surgery, e.g. "meta.k") cannot be
+    represented as a top-level column write — "error" (default) fails
+    the job on the first such event, "ignore" skips those keys."""
     from airbyte_integrations_spark.sources.debezium import _parsed_with_policy
 
-    env = change_stream_schema(_raw_doc_schema(fields))
+    if nested_updates not in ("error", "ignore"):
+        raise ValueError("nested_updates must be 'error' or 'ignore'")
+    env = change_stream_schema(
+        _raw_doc_schema(fields), update_description=update_description
+    )
     raw = F.col(json_col)
     lines, p = _parsed_with_policy(lines, raw, env, malformed)
     t = p["clusterTime"]["$timestamp"]["t"]
     i = p["clusterTime"]["$timestamp"]["i"]
     lsn = cluster_time_lsn(t, i)
     updated = F.timestamp_seconds(t)
-    is_del = p["operationType"] == F.lit("delete")
-    payload = [
-        _renamed(p["fullDocument"], f) for f in fields if f.name != PRIMARY_KEY
-    ]
+    op = p["operationType"]
+    is_del = op == F.lit("delete")
+    is_upd = op == F.lit("update")
+    payload_fields = [f for f in fields if f.name != PRIMARY_KEY]
+    if update_description:
+        upd = p["updateDescription"]
+        # written-key set from the raw JSON text (a $set to null is a
+        # write the typed struct cannot distinguish from absence)
+        upd_keys = F.coalesce(
+            F.json_object_keys(
+                F.get_json_object(raw, "$.updateDescription.updatedFields")
+            ),
+            F.array().cast("array<string>"),
+        )
+        removed = F.coalesce(
+            upd["removedFields"], F.array().cast("array<string>")
+        )
+        written_keys = F.array_union(upd_keys, removed)
+        dotted = F.exists(written_keys, lambda k: k.contains("."))
+        payload = [
+            F.when(is_upd, _renamed(upd["updatedFields"], f))
+            .otherwise(_renamed(p["fullDocument"], f))
+            .alias(f.name)
+            for f in payload_fields
+        ]
+
+        def _mask(f: FieldInfo) -> Column:
+            wrote = F.when(
+                is_upd, F.array_contains(written_keys, f.path)
+            ).otherwise(~is_del)
+            if nested_updates == "error":
+                wrote = F.when(
+                    is_upd & dotted,
+                    F.raise_error(
+                        F.concat(
+                            F.lit(
+                                "nested (dotted) updatedFields path cannot "
+                                "patch a top-level column; event: "
+                            ),
+                            raw,
+                        )
+                    ).cast("boolean"),
+                ).otherwise(wrote)
+            return wrote.alias("_w_" + f.name)
+
+        masks = [_mask(f) for f in payload_fields]
+    else:
+        payload = [_renamed(p["fullDocument"], f) for f in payload_fields]
+        masks = []
     extra = (
         [p["ns"]["coll"].alias("_collection")] if include_collection else []
     )
     return lines.select(
         p["documentKey"]["_id"].alias(PRIMARY_KEY),
         *payload,
+        *masks,
         lsn.alias("_ab_cdc_lsn"),
         updated.alias("_ab_cdc_updated_at"),
         F.when(is_del, updated).alias("_ab_cdc_deleted_at"),
         p["_id"]["_data"].alias("_resume_token"),
-        p["operationType"].alias("_op"),
+        op.alias("_op"),
         F.md5(raw).alias("_airbyte_ab_id"),
         updated.alias("_airbyte_emitted_at"),
         *extra,
@@ -399,6 +484,8 @@ def emit_change_stream(
     deleted_col: str = "_ab_cdc_deleted_at",
     collection_col: str | None = None,
     db_name: str = "db",
+    op_col: str | None = None,
+    removed_col: str | None = None,
 ) -> DataFrame:
     """Change-event frame -> change-stream JSONL (the fixture
     generator / inverse). clusterTime (t, i) is the lsn split along the
@@ -408,7 +495,16 @@ def emit_change_stream(
     column rendered as ``ns.coll`` — the database-level ``db.watch()``
     wire, where one stream carries every collection's events and ``ns``
     routes them (server change-events API; Debezium's mongodb connector
-    names each record's stream from exactly this field)."""
+    names each record's stream from exactly this field).
+
+    ``op_col`` names a column of operation types; rows marked
+    ``update`` render the DEFAULT (no-updateLookup) update wire —
+    ``updateDescription`` with updatedFields = the row's NON-NULL
+    payload columns (to_json's null-dropping produces the sparse
+    rendering) and removedFields from ``removed_col`` (array<string>,
+    the $unset paths) — and carry NO fullDocument. An explicit $set to
+    null is not expressible this way; unset travels via removedFields,
+    matching how drivers surface it. Deletes always win over op_col."""
     is_del = F.col(deleted_col).isNotNull()
     lsn = F.col(lsn_col).cast("long")
     doc = F.struct(
@@ -425,13 +521,23 @@ def emit_change_stream(
         if collection_col is not None
         else []
     )
+    if op_col is not None:
+        op = F.when(is_del, F.lit("delete")).otherwise(F.col(op_col))
+    else:
+        op = F.when(is_del, F.lit("delete")).otherwise(F.lit("replace"))
+    is_upd = op == F.lit("update")
+    full_doc = F.when(~is_del & ~is_upd, doc)
+    upd_members = [
+        F.struct(*[F.col(c) for c in value_cols]).alias("updatedFields")
+    ]
+    if removed_col is not None:
+        upd_members.append(F.col(removed_col).alias("removedFields"))
+    update_desc = F.when(is_upd, F.struct(*upd_members))
     envelope = F.struct(
         F.struct(
             F.lpad(F.hex(lsn), 16, "0").alias("_data")
         ).alias("_id"),
-        F.when(is_del, F.lit("delete")).otherwise(F.lit("replace")).alias(
-            "operationType"
-        ),
+        op.alias("operationType"),
         F.struct(
             F.struct(
                 F.expr(f"CAST({lsn_col} AS BIGINT) div CAST({1 << 32} AS BIGINT)").alias("t"),
@@ -440,7 +546,8 @@ def emit_change_stream(
         ).alias("clusterTime"),
         *ns,
         F.struct(F.col(key_col).alias("_id")).alias("documentKey"),
-        F.when(~is_del, doc).alias("fullDocument"),
+        full_doc.alias("fullDocument"),
+        update_desc.alias("updateDescription"),
     )
     return events.select(F.to_json(envelope).alias("value"))
 

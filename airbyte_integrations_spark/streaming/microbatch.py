@@ -353,6 +353,8 @@ def run_sync(
     balanced: bool = False,
     heartbeat_position: int | None = None,
     refresh_views: list | None = None,
+    patch_cols: tuple[str, ...] | None = None,
+    patch_mask_cols: tuple[str, ...] | None = None,
 ) -> list[Epoch]:
     """One bounded sync: plan epochs past the committed watermark and
     apply each as dedup -> MERGE -> atomic commit (+ lineage).
@@ -371,7 +373,14 @@ def run_sync(
     contract).
 
     Returns the epochs applied. Safe to re-run at any time (idempotent
-    per epoch); safe to kill at any point (snapshot isolation)."""
+    per epoch); safe to kill at any point (snapshot isolation).
+
+    ``patch_cols`` switches the apply to PARTIAL-image semantics
+    (lakehouse/patch_apply.py): each epoch's per-column latest writes
+    overlay the key's current row instead of replacing it, with
+    ``patch_mask_cols`` naming the per-column written flags (MongoDB
+    updateDescription decode emits ``_w_<name>``). Epoch planning,
+    commit-log idempotence, lineage, and compaction are unchanged."""
     lsn_col = config.cursor_field[0]
     wm = table.watermark(config.stream)
     if tx_col is not None and balanced:
@@ -423,20 +432,40 @@ def run_sync(
         else:
             lineage = compute_lineage(batch, config.stream, ep.epoch_id, lsn_col)
             write_lineage(lineage, table.root, ep.epoch_id)
-        merge_into(
-            table,
-            batch,
-            stream=config.stream,
-            epoch=ep.epoch_id,
-            epoch_meta={"from_lsn": ep.from_lsn, "to_lsn": ep.to_lsn},
-            cursor=lsn_col,
-            secondary=config.secondary_order,
-            transform_winners=transform,
-            mode=config.write_mode,
-            dedup_impl=config.dedup_impl,
-            key=config.primary_key,
-            n_buckets=config.n_buckets,
-        )
+        if patch_cols is not None:
+            from airbyte_integrations_spark.lakehouse.patch_apply import (
+                merge_patches_into,
+            )
+
+            merge_patches_into(
+                table,
+                batch,
+                patch_cols,
+                stream=config.stream,
+                epoch=ep.epoch_id,
+                epoch_meta={"from_lsn": ep.from_lsn, "to_lsn": ep.to_lsn},
+                cursor=lsn_col,
+                secondary=config.secondary_order,
+                mask_cols=patch_mask_cols,
+                mode=config.write_mode,
+                key=config.primary_key,
+                n_buckets=config.n_buckets,
+            )
+        else:
+            merge_into(
+                table,
+                batch,
+                stream=config.stream,
+                epoch=ep.epoch_id,
+                epoch_meta={"from_lsn": ep.from_lsn, "to_lsn": ep.to_lsn},
+                cursor=lsn_col,
+                secondary=config.secondary_order,
+                transform_winners=transform,
+                mode=config.write_mode,
+                dedup_impl=config.dedup_impl,
+                key=config.primary_key,
+                n_buckets=config.n_buckets,
+            )
     if heartbeat_position is not None and table.exists() and (
         max_epochs is None or len(epochs) < max_epochs
     ):

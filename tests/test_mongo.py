@@ -431,6 +431,192 @@ def test_multi_collection_change_stream_global_state_sync(spark, tmp_path):
     )
 
 
+def _ud_events(spark):
+    evs = [
+        {"_id": {"_data": "u-1"}, "operationType": "insert",
+         "clusterTime": {"$timestamp": {"t": 100, "i": 1}},
+         "documentKey": {"_id": "d1"},
+         "fullDocument": {"_id": "d1", "n": 5, "seq": 1}},
+        {"_id": {"_data": "u-2"}, "operationType": "update",
+         "clusterTime": {"$timestamp": {"t": 100, "i": 2}},
+         "documentKey": {"_id": "d1"},
+         "updateDescription": {"updatedFields": {"seq": 2},
+                               "removedFields": []}},
+        {"_id": {"_data": "u-3"}, "operationType": "update",
+         "clusterTime": {"$timestamp": {"t": 100, "i": 3}},
+         "documentKey": {"_id": "d1"},
+         "updateDescription": {"updatedFields": {},
+                               "removedFields": ["n"]}},
+        {"_id": {"_data": "u-4"}, "operationType": "insert",
+         "clusterTime": {"$timestamp": {"t": 100, "i": 4}},
+         "documentKey": {"_id": "d2"},
+         "fullDocument": {"_id": "d2", "n": 7, "seq": 3}},
+        {"_id": {"_data": "u-5"}, "operationType": "delete",
+         "clusterTime": {"$timestamp": {"t": 101, "i": 1}},
+         "documentKey": {"_id": "d2"}},
+    ]
+    return spark.createDataFrame([(json.dumps(e),) for e in evs], "value string")
+
+
+def test_update_description_decode_masks(spark):
+    """The DEFAULT update wire (no updateLookup): updatedFields/$set,
+    removedFields/$unset, and the _w_ write masks that let an explicit
+    null win in the patch fold."""
+    from airbyte_integrations_spark.sources.mongo import (
+        fields_from_schema,
+        parse_change_stream,
+    )
+    from airbyte_integrations_spark.operators.patch import coalesce_patches
+
+    fields = fields_from_schema("n bigint, seq bigint")
+    ev = parse_change_stream(_ud_events(spark), fields, update_description=True)
+    rows = {r["_resume_token"]: r for r in ev.collect()}
+    # insert: every field written
+    assert rows["u-1"]["_w_n"] and rows["u-1"]["_w_seq"]
+    assert rows["u-1"]["n"] == 5 and rows["u-1"]["seq"] == 1
+    # $set seq only: n untouched (NOT written), value null
+    assert rows["u-2"]["_w_seq"] and not rows["u-2"]["_w_n"]
+    assert rows["u-2"]["seq"] == 2 and rows["u-2"]["n"] is None
+    # $unset n: written with null
+    assert rows["u-3"]["_w_n"] and rows["u-3"]["n"] is None
+    assert not rows["u-3"]["_w_seq"]
+    # delete: nothing written
+    assert not rows["u-5"]["_w_n"] and not rows["u-5"]["_w_seq"]
+    # fold: d1 ends at n=null (unset wins over the insert's 5), seq=2;
+    # d2's winner is the tombstone -> dropped
+    out = coalesce_patches(
+        ev.withColumnRenamed("_id", "url"),
+        patch_cols=("n", "seq"), mask_cols=("_w_n", "_w_seq"),
+    )
+    got = {r["url"]: (r["n"], r["seq"]) for r in out.collect()}
+    assert got == {"d1": (None, 2)}
+
+
+def test_update_description_nested_path_policy(spark):
+    from airbyte_integrations_spark.sources.mongo import (
+        fields_from_schema,
+        parse_change_stream,
+    )
+
+    dotted = spark.createDataFrame(
+        [(json.dumps({
+            "_id": {"_data": "u-9"}, "operationType": "update",
+            "clusterTime": {"$timestamp": {"t": 102, "i": 1}},
+            "documentKey": {"_id": "d1"},
+            "updateDescription": {"updatedFields": {"meta.k": 2},
+                                  "removedFields": []},
+        }),)],
+        "value string",
+    )
+    fields = fields_from_schema("n bigint, seq bigint")
+    with pytest.raises(Exception, match="nested"):
+        parse_change_stream(
+            dotted, fields, update_description=True
+        ).collect()
+    ok = parse_change_stream(
+        dotted, fields, update_description=True, nested_updates="ignore"
+    ).collect()
+    assert len(ok) == 1 and not ok[0]["_w_n"] and not ok[0]["_w_seq"]
+
+
+def test_catalog_mongo_update_description_end_to_end(spark, tmp_path):
+    """Patch semantics through the whole loop: emit the default update
+    wire from a generated op-typed log, sync via mongo_cdc with
+    update_description, and converge to the mask-aware whole-log fold
+    — epochs split mid-stream, idempotent re-run."""
+    from pyspark.sql import Window
+    from airbyte_integrations_spark.gen import gen_change_events
+    from airbyte_integrations_spark.operators.patch import coalesce_patches
+    from airbyte_integrations_spark.sources.mongo import (
+        emit_change_stream,
+        fields_from_schema,
+        parse_change_stream,
+    )
+
+    ce = gen_change_events(spark, 900, n_urls=80, seed="mongoud")
+    rn = F.row_number().over(
+        Window.partitionBy("url").orderBy(F.col("_ab_cdc_lsn").asc())
+    )
+    lsn = F.col("_ab_cdc_lsn")
+    ev = (
+        ce.withColumn("rn", rn)
+        .withColumn(
+            "op",
+            F.when(F.col("rn") == 1, "insert").otherwise("update"),
+        )
+        .withColumn(
+            "removed",
+            F.when(
+                (F.col("op") == "update") & (lsn % 14 == 0),
+                F.array(F.lit("lang")),
+            ).otherwise(F.array().cast("array<string>")),
+        )
+        .withColumn(
+            "text",
+            F.when((F.col("op") == "insert") | (lsn % 3 != 0), F.col("text")),
+        )
+        .withColumn(
+            "lang",
+            F.when(
+                (F.col("op") == "insert")
+                | ((lsn % 2 != 0) & (lsn % 14 != 0)),
+                F.col("lang"),
+            ),
+        )
+    )
+    path = str(tmp_path / "udstream")
+    emit_change_stream(
+        ev, ["text", "lang"], op_col="op", removed_col="removed"
+    ).coalesce(1).write.text(path)
+
+    fields = fields_from_schema("text string, lang string")
+    parsed = parse_change_stream(
+        spark.read.text(path), fields, update_description=True
+    )
+    want = (
+        coalesce_patches(
+            parsed.withColumnRenamed("_id", "url"),
+            patch_cols=("text", "lang"),
+            mask_cols=("_w_text", "_w_lang"),
+        )
+        .select("url", "_ab_cdc_lsn", "text", "lang")
+        .toPandas()
+    )
+    # sanity: the wire really contains untouched-vs-unset distinctions
+    assert parsed.filter(
+        F.col("_w_lang") & F.col("lang").isNull()
+        & F.col("_ab_cdc_deleted_at").isNull()
+    ).count() > 0
+
+    cat = ConfiguredCatalog(
+        streams=(
+            ConfiguredStream(
+                config=SyncConfig(stream="coll", primary_key=("_id",), n_buckets=4),
+                source={
+                    "kind": "mongo_cdc",
+                    "path": path,
+                    "value_schema": "text string, lang string",
+                    "update_description": True,
+                },
+            ),
+        )
+    )
+    lake = str(tmp_path / "lake")
+    read_catalog(spark, cat, lake, max_events_per_epoch=150)
+    t = stream_table(spark, lake, "coll")
+    got = (
+        t.read_live()
+        .select(F.col("_id").alias("url"), "_ab_cdc_lsn", "text", "lang")
+        .toPandas()
+    )
+    from tests.util import assert_frames_equal
+
+    assert_frames_equal(got, want, sort_cols=("url",))
+    v = t.current_version()
+    read_catalog(spark, cat, lake, max_events_per_epoch=150)
+    assert stream_table(spark, lake, "coll").current_version() == v
+
+
 # --------------------------------------------------- discovery -> catalog
 
 

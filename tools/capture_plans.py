@@ -837,6 +837,66 @@ def main() -> None:
         "the mixed-type rule costs zero extra passes",
     )
 
+    # ---- check 45: update-description decode (the default Mongo
+    # update wire) is still one projection — masks derived inline
+    from airbyte_integrations_spark.sources.mongo import (
+        emit_change_stream,
+        fields_from_schema,
+        parse_change_stream,
+    )
+
+    ud_lines = emit_change_stream(
+        ev.withColumn("op", F.lit("update")).withColumn(
+            "removed", F.array(F.lit("lang"))
+        ),
+        ["url", "lang"],
+        op_col="op",
+        removed_col="removed",
+    )
+    ud_parsed = parse_change_stream(
+        ud_lines,
+        fields_from_schema("url string, lang string"),
+        update_description=True,
+    )
+    ud_plan = ud_parsed._jdf.queryExecution().executedPlan().toString()
+    check(
+        "update-description decode: $set/$unset write masks are inline "
+        "codegen (json_object_keys + array_contains) in the same "
+        "one-projection from_json parse, zero Python, zero Exchange",
+        "from_json" in ud_plan
+        and "get_json" in ud_plan
+        and "array_contains" in ud_plan
+        and "BatchEvalPython" not in ud_plan
+        and "ArrowEvalPython" not in ud_plan
+        and "Exchange" not in ud_plan,
+        "partial-image events decode as a narrow projection; the "
+        "untouched-vs-unset distinction costs no extra pass",
+    )
+
+    # ---- check 46: mask-aware patch fold is ONE hash agg with
+    # map-side partial combine (hot keys cost O(n_mappers))
+    from airbyte_integrations_spark.operators.patch import coalesce_patches
+
+    pf = ev.withColumn("wa", F.col("_ab_cdc_lsn") % 3 != 0).withColumn(
+        "a", F.when(F.col("wa"), F.col("lang"))
+    )
+    p_plan = (
+        coalesce_patches(pf, patch_cols=("a",), mask_cols=("wa",))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    check(
+        "patch fold: per-column latest-write overlay is ONE hash "
+        "aggregation with partial_max below the key Exchange, zero "
+        "Python, no per-key sort",
+        "partial_max" in p_plan
+        and p_plan.count("Exchange") == 1
+        and "BatchEvalPython" not in p_plan
+        and "ArrowEvalPython" not in p_plan
+        and "Window" not in p_plan,
+        "10^10 partial-image events fold at map-side-combine cost; "
+        "the window variant exists only as the equivalence oracle",
+    )
+
     out = ["# PLANS — physical-plan evidence (generated by tools/capture_plans.py)", ""]
     ok_all = True
     for name, ok, ev in CHECKS:
