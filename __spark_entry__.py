@@ -6855,6 +6855,64 @@ FROM w WHERE rn = 1 AND _ab_cdc_deleted_at IS NULL
 """
 
 
+def q_cdc_mssql_lsn_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-Server-dialect Debezium decode: 10-byte Lsn positions as
+    colon-separated fixed-width hex (sources/debezium.py mssql_lsn —
+    the reference's Lsn.compareTo target-position rule,
+    MssqlCdcTargetPosition.java:32-47, with the commit hex riding as
+    the reference's string _ab_cdc_lsn injector value,
+    MssqlCdcConnectorMetadataInjector.java:17-18). Events are grouped
+    into transactions (commit = next multiple of 7), rendered to the
+    envelope wire, decoded back through the hex fold, and replayed to
+    the final latest-wins state on the folded position; the oracle
+    picks winners by the source lsn directly and re-derives the commit
+    hex arithmetically, so value equality proves the fold is
+    order-isomorphic and the commit/change split survives the round
+    trip. Scale shape: one from_json codegen projection (split + conv
+    arithmetic inline), map-side-combining winner agg."""
+    from airbyte_integrations_spark.sources.debezium import (
+        emit_debezium,
+        parse_debezium,
+    )
+
+    tune_session(spark)
+    ce = change_events(spark, sf_dir).withColumn(
+        "commit", (F.floor(F.col("_ab_cdc_lsn") / 7) + 1) * 7
+    )
+    lines = emit_debezium(
+        ce,
+        ["url", "event_type", "value_m"],
+        dialect="mssql",
+        commit_lsn_col="commit",
+    )
+    parsed = parse_debezium(
+        lines, "url string, event_type string, value_m bigint", dialect="mssql"
+    )
+    w = winner_window(parsed, drop_tombstones=True)
+    return w.select(
+        "url",
+        F.col("_ab_cdc_commit_lsn").alias("commit_lsn"),
+        F.col("_ab_cdc_event_serial_no").alias("serial_no"),
+        _us("_ab_cdc_updated_at").alias("updated_us"),
+        "event_type",
+        "value_m",
+    )
+
+
+O_CDC_MSSQL_LSN_ORDER = f"""
+WITH {CE_SQL}, {WINNERS_SQL}
+SELECT url,
+       printf('%08X:%08X:%04X',
+              ((_ab_cdc_lsn // 7 + 1) * 7) >> 36,
+              (((_ab_cdc_lsn // 7 + 1) * 7) >> 10) % (1 << 26),
+              ((_ab_cdc_lsn // 7 + 1) * 7) % 1024) AS commit_lsn,
+       CAST(1 AS BIGINT) AS serial_no,
+       epoch_us(_ab_cdc_updated_at) AS updated_us,
+       event_type, value_m
+FROM w WHERE rn = 1 AND _ab_cdc_deleted_at IS NULL
+"""
+
+
 def q_mongo_schemaless_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Schemaless-collection discovery + typed read (sources/mongo.py —
     source-mongodb-v2's sampled field/type discovery, MongoUtils
@@ -7415,6 +7473,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_global_state_sync": q_cdc_global_state_sync,
         "cdc_debezium_envelope": q_cdc_debezium_envelope,
         "cdc_mysql_binlog_order": q_cdc_mysql_binlog_order,
+        "cdc_mssql_lsn_order": q_cdc_mssql_lsn_order,
         "mongo_schemaless_read": q_mongo_schemaless_read,
         "mongo_change_stream_read": q_mongo_change_stream_read,
         "mongo_db_watch_route": q_mongo_db_watch_route,
@@ -7558,6 +7617,7 @@ def oracle_sql() -> dict[str, str]:
         "cdc_global_state_sync": O_CDC_GLOBAL_STATE_SYNC,
         "cdc_debezium_envelope": O_CDC_DEBEZIUM_ENVELOPE,
         "cdc_mysql_binlog_order": O_CDC_MYSQL_BINLOG_ORDER,
+        "cdc_mssql_lsn_order": O_CDC_MSSQL_LSN_ORDER,
         "mongo_schemaless_read": O_MONGO_SCHEMALESS_READ,
         "mongo_change_stream_read": O_MONGO_CHANGE_STREAM_READ,
         "mongo_db_watch_route": O_MONGO_DB_WATCH_ROUTE,

@@ -62,7 +62,31 @@ _MYSQL_SOURCE_SCHEMA = T.StructType(
     ]
 )
 
-_DIALECT_SOURCE = {"postgres": _SOURCE_SCHEMA, "mysql": _MYSQL_SOURCE_SCHEMA}
+# SQL Server's Debezium source block: positions are 10-byte log
+# sequence numbers rendered as colon-separated fixed-width hex
+# "vlfSeqNo:blockOffset:slotNo" (io.debezium Lsn.toString). change_lsn
+# identifies THIS change; commit_lsn is the enclosing transaction's
+# commit record (>= every change_lsn in the tx); event_serial_no
+# disambiguates multi-event operations (an update emits delete+insert
+# pairs sharing a change_lsn in some capture modes).
+_MSSQL_SOURCE_SCHEMA = T.StructType(
+    [
+        T.StructField("ts_ms", T.LongType(), True),
+        T.StructField("ts_us", T.LongType(), True),
+        T.StructField("commit_lsn", T.StringType(), True),
+        T.StructField("change_lsn", T.StringType(), True),
+        T.StructField("event_serial_no", T.LongType(), True),
+        T.StructField("table", T.StringType(), True),
+        T.StructField("schema", T.StringType(), True),
+        T.StructField("db", T.StringType(), True),
+    ]
+)
+
+_DIALECT_SOURCE = {
+    "postgres": _SOURCE_SCHEMA,
+    "mysql": _MYSQL_SOURCE_SCHEMA,
+    "mssql": _MSSQL_SOURCE_SCHEMA,
+}
 
 # Bits reserved for the within-file byte offset when folding MySQL's
 # (file, pos) pair into the engine's single monotone position. MySQL
@@ -91,6 +115,73 @@ def mysql_binlog_lsn(file: Column | str, pos: Column | str) -> Column:
     p = F.col(pos) if isinstance(pos, str) else pos
     seq = F.regexp_extract(f, r"(\d+)$", 1).cast("long")
     return (seq * F.lit(1 << _BINLOG_POS_BITS) + p).cast("long")
+
+
+# Bit budget for folding SQL Server's 80-bit (vlf, block, slot) LSN
+# into the engine's 63-bit monotone position: 27 bits of VLF sequence
+# (2^27 VLFs ~= exabytes of log through one instance at 64 MiB VLFs),
+# 26 bits of block offset (a 32 GiB VLF at 512-byte log blocks), 10
+# bits of slot (a 60 KiB log block floors record size at ~60 bytes).
+# Positions outside the budget FAIL LOUDLY (raise_error in the decode
+# projection) instead of silently mis-ordering — the same strict-
+# rejection contract as the Avro union decoder.
+_MSSQL_VLF_BITS = 27
+_MSSQL_BLOCK_BITS = 26
+_MSSQL_SLOT_BITS = 10
+
+
+def mssql_lsn(change_lsn: Column | str) -> Column:
+    """Fold SQL Server's hex LSN string into one monotone long:
+    ``vlf * 2^36 + block * 2^10 + slot``.
+
+    The reference's target position wraps io.debezium Lsn and compares
+    its 10-byte binary (MssqlCdcTargetPosition.java:32-41 via
+    Lsn.compareTo) — equivalent to comparing the zero-padded hex parts
+    numerically, which is exactly what the fold preserves whenever the
+    parts fit the documented bit budget; any overflow raises in-query.
+    Pure codegen (split + conv + integer arithmetic)."""
+    c = F.col(change_lsn) if isinstance(change_lsn, str) else change_lsn
+    parts = F.split(c, ":")
+    vlf = F.conv(parts[0], 16, 10).cast("long")
+    block = F.conv(parts[1], 16, 10).cast("long")
+    slot = F.conv(parts[2], 16, 10).cast("long")
+    bad = (
+        (vlf >= F.lit(1 << _MSSQL_VLF_BITS))
+        | (block >= F.lit(1 << _MSSQL_BLOCK_BITS))
+        | (slot >= F.lit(1 << _MSSQL_SLOT_BITS))
+    )
+    folded = (
+        vlf * F.lit(1 << (_MSSQL_BLOCK_BITS + _MSSQL_SLOT_BITS))
+        + block * F.lit(1 << _MSSQL_SLOT_BITS)
+        + slot
+    ).cast("long")
+    return F.when(
+        bad,
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    "mssql lsn outside the 27/26/10-bit fold budget: "
+                ),
+                c,
+            )
+        ).cast("long"),
+    ).otherwise(folded)
+
+
+def mssql_lsn_hex(lsn: Column | str) -> Column:
+    """Inverse rendering: engine position -> the colon-separated
+    fixed-width hex Lsn string (8/8/4 digits, Lsn.toString shape)."""
+    v = (F.col(lsn) if isinstance(lsn, str) else lsn).cast("long")
+    # bit shifts, not `/`: float division loses exactness past 2^53
+    vlf = F.shiftright(v, _MSSQL_BLOCK_BITS + _MSSQL_SLOT_BITS)
+    block = F.shiftright(v, _MSSQL_SLOT_BITS) % F.lit(1 << _MSSQL_BLOCK_BITS)
+    slot = v % F.lit(1 << _MSSQL_SLOT_BITS)
+    return F.concat_ws(
+        ":",
+        F.lpad(F.hex(vlf), 8, "0"),
+        F.lpad(F.hex(block), 8, "0"),
+        F.lpad(F.hex(slot), 4, "0"),
+    )
 
 
 def envelope_schema(
@@ -180,6 +271,17 @@ def parse_debezium(
     (MySqlCdcConnectorMetadataInjector.java:17-20, declared at
     MySqlSource.java:54-55,93-94).
 
+    ``dialect="mssql"``: positions are SQL Server's 10-byte LSNs as
+    colon-separated hex strings. ``_ab_cdc_lsn`` is synthesized from
+    ``source.change_lsn`` via :func:`mssql_lsn` (order-isomorphic to
+    the reference's Lsn.compareTo, MssqlCdcTargetPosition.java:32-47,
+    within the documented bit budget — overflow raises); the commit
+    hex rides as ``_ab_cdc_commit_lsn`` — the exact value the
+    reference injects as its string ``_ab_cdc_lsn``
+    (MssqlCdcConnectorMetadataInjector.java:17-18, declared string at
+    MssqlSource.java:59,405) — plus ``_ab_cdc_event_serial_no``. Use
+    the commit hex as ``tx_col`` for transaction-aligned epochs.
+
     ``malformed`` decides what a non-JSON line does: "error" (default)
     fails the job with Spark's FAILFAST diagnostics — a corrupt WAL
     tail should stop the sync, not silently emit a null-keyed row;
@@ -204,6 +306,18 @@ def parse_debezium(
         injector = [
             p["source"]["file"].alias("_ab_cdc_log_file"),
             p["source"]["pos"].alias("_ab_cdc_log_pos"),
+        ]
+    elif dialect == "mssql":
+        # engine position from change_lsn (unique per change; orders
+        # same-transaction events, which share commit_lsn). The commit
+        # hex rides as _ab_cdc_commit_lsn — the exact value the
+        # reference injects as its string _ab_cdc_lsn
+        # (MssqlCdcConnectorMetadataInjector.java:17-18) — and doubles
+        # as the tx_col for transaction-aligned epoch planning.
+        lsn = mssql_lsn(p["source"]["change_lsn"])
+        injector = [
+            p["source"]["commit_lsn"].alias("_ab_cdc_commit_lsn"),
+            p["source"]["event_serial_no"].alias("_ab_cdc_event_serial_no"),
         ]
     else:
         lsn = p["source"]["lsn"]
@@ -233,6 +347,7 @@ def emit_debezium(
     table_col: str | None = None,
     dialect: str = "postgres",
     binlog_file_size: int = 1 << _BINLOG_POS_BITS,
+    commit_lsn_col: str | None = None,
 ) -> DataFrame:
     """Change-event frame -> envelope JSONL (one ``value`` column).
 
@@ -278,6 +393,25 @@ def emit_debezium(
             F.format_string("mysql-bin.%06d", seq).alias("file"),
             (lsn % size).alias("pos"),
             F.lit(1).cast("long").alias("server_id"),
+            tbl.alias("table"),
+        )
+    elif dialect == "mssql":
+        # change_lsn from the engine position via the exact hex
+        # inverse; commit_lsn from ``commit_lsn_col`` when given (a
+        # long column holding the transaction's commit position — by
+        # construction >= every member change_lsn, like the server's
+        # commit record), else the row's own position (autocommit).
+        commit = (
+            F.col(commit_lsn_col).cast("long")
+            if commit_lsn_col is not None
+            else lsn
+        )
+        src = F.struct(
+            F.floor(us / 1000).cast("long").alias("ts_ms"),
+            us.alias("ts_us"),
+            mssql_lsn_hex(commit).alias("commit_lsn"),
+            mssql_lsn_hex(lsn).alias("change_lsn"),
+            F.lit(1).cast("long").alias("event_serial_no"),
             tbl.alias("table"),
         )
     elif dialect == "postgres":
@@ -357,6 +491,12 @@ def events_from_decoded_envelopes(
         injector = [
             src["file"].alias("_ab_cdc_log_file"),
             src["pos"].alias("_ab_cdc_log_pos"),
+        ]
+    elif dialect == "mssql":
+        lsn = mssql_lsn(src["change_lsn"])
+        injector = [
+            src["commit_lsn"].alias("_ab_cdc_commit_lsn"),
+            src["event_serial_no"].alias("_ab_cdc_event_serial_no"),
         ]
     elif dialect == "postgres":
         lsn = src["lsn"]

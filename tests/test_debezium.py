@@ -18,6 +18,7 @@ from airbyte_integrations_spark.config import SyncConfig
 from airbyte_integrations_spark.gen import gen_change_events
 from airbyte_integrations_spark.sources.debezium import (
     emit_debezium,
+    mssql_lsn,
     parse_debezium,
 )
 from tests.util import assert_frames_equal, duckdb_winners
@@ -395,3 +396,144 @@ def test_malformed_line_policies(spark):
     assert kept.filter(F.col("url").isNull()).count() == 2
     with pytest.raises(ValueError, match="malformed"):
         parse_debezium(lines, VALUE_DDL, malformed="drop")
+
+
+# ---------------------------------------------------------------- MSSQL
+# dialect: 10-byte Lsn positions as colon-separated fixed-width hex.
+# The reference compares them via io.debezium Lsn.compareTo
+# (MssqlCdcTargetPosition.java:32-47) and injects the commit hex string
+# as its _ab_cdc_lsn (MssqlCdcConnectorMetadataInjector.java:17-18,
+# string-typed at MssqlSource.java:59,405).
+
+
+def test_mssql_roundtrip_exact(spark):
+    ev = _events(spark)
+    lines = emit_debezium(ev, VALUE_COLS, dialect="mssql")
+    back = parse_debezium(lines, VALUE_DDL, dialect="mssql")
+    proj = lambda df: df.select(  # noqa: E731
+        *VALUE_COLS,
+        "_ab_cdc_lsn",
+        F.unix_micros("_ab_cdc_updated_at").alias("upd_us"),
+        F.unix_micros("_ab_cdc_deleted_at").alias("del_us"),
+    ).toPandas()
+    # hex inverse + fold are exact mutual inverses
+    assert_frames_equal(proj(ev), proj(back), sort_cols=("_ab_cdc_lsn",))
+    row = back.orderBy("_ab_cdc_lsn").limit(1).collect()[0]
+    # autocommit fixture: commit == change; serial_no 1
+    assert row["_ab_cdc_commit_lsn"].count(":") == 2
+    assert row["_ab_cdc_event_serial_no"] == 1
+    parts = row["_ab_cdc_commit_lsn"].split(":")
+    assert (len(parts[0]), len(parts[1]), len(parts[2])) == (8, 8, 4)
+
+
+def test_mssql_lsn_compare_rule(spark):
+    """vlf-first, then block, then slot — a later VLF outranks any
+    block/slot in an earlier one (Lsn.compareTo over the raw bytes)."""
+
+    def env(commit, change, text):
+        return json.dumps(
+            {
+                "before": None,
+                "after": {"url": "https://x.example/1", "text": text, "lang": "en"},
+                "source": {
+                    "version": "1.9.6.Final", "connector": "sqlserver",
+                    "name": "mssql", "ts_ms": 1700000000123,
+                    "snapshot": "false", "db": "crawl", "schema": "dbo",
+                    "table": "pages", "commit_lsn": commit,
+                    "change_lsn": change, "event_serial_no": 1,
+                },
+                "op": "u",
+                "ts_ms": 1700000000456,
+            }
+        )
+
+    lines = spark.createDataFrame(
+        [
+            (env("00000025:00000448:0003", "00000025:00000448:0003", "old"),),
+            (env("00000026:00000001:0001", "00000026:00000001:0001", "new"),),
+            (env("00000025:00000448:0002", "00000025:00000448:0002", "older"),),
+        ],
+        "value string",
+    )
+    rows = {
+        r["text"]: r
+        for r in parse_debezium(lines, VALUE_DDL, dialect="mssql").collect()
+    }
+    assert rows["older"]["_ab_cdc_lsn"] < rows["old"]["_ab_cdc_lsn"]
+    assert rows["old"]["_ab_cdc_lsn"] < rows["new"]["_ab_cdc_lsn"]
+    assert rows["old"]["_ab_cdc_commit_lsn"] == "00000025:00000448:0003"
+    assert rows["old"]["_ab_cdc_lsn"] == (0x25 << 36) + (0x448 << 10) + 3
+
+
+def test_mssql_fold_budget_overflow_raises(spark):
+    import pytest
+
+    env = {
+        "before": None,
+        "after": {"url": "u", "text": "t", "lang": "en"},
+        "source": {
+            "ts_ms": 1, "commit_lsn": "10000000:00000000:0000",
+            "change_lsn": "10000000:00000000:0000", "event_serial_no": 1,
+            "table": "pages",
+        },
+        "op": "u", "ts_ms": 1,
+    }
+    lines = spark.createDataFrame([(json.dumps(env),)], "value string")
+    with pytest.raises(Exception, match="fold budget"):
+        parse_debezium(lines, VALUE_DDL, dialect="mssql").collect()
+
+
+def test_mssql_commit_lsn_tx_alignment(spark):
+    """commit_lsn groups a transaction's changes; the tx-aligned epoch
+    planner over _ab_cdc_commit_lsn must never split one."""
+    from airbyte_integrations_spark.streaming.microbatch import plan_epochs_tx
+
+    ev = _events(spark, n=400).withColumn(
+        "commit", (F.floor(F.col("_ab_cdc_lsn") / 7) + 1) * 7
+    )
+    lines = emit_debezium(ev, VALUE_COLS, dialect="mssql", commit_lsn_col="commit")
+    back = parse_debezium(lines, VALUE_DDL, dialect="mssql")
+    # commit hex >= change hex per row, equal only at tx end
+    cmp = back.select(
+        mssql_lsn("_ab_cdc_commit_lsn").alias("c"), F.col("_ab_cdc_lsn").alias("l")
+    )
+    assert cmp.filter(F.col("c") < F.col("l")).count() == 0
+    epochs = plan_epochs_tx(back, None, 60, "_ab_cdc_commit_lsn")
+    assert len(epochs) > 1
+    spans = back.groupBy("_ab_cdc_commit_lsn").agg(
+        F.min("_ab_cdc_lsn").alias("lo"), F.max("_ab_cdc_lsn").alias("hi")
+    )
+    for ep in epochs:
+        split = spans.filter(
+            (F.col("lo") <= F.lit(ep.to_lsn)) & (F.col("hi") > F.lit(ep.to_lsn))
+        ).count()
+        assert split == 0, (ep, "boundary splits a transaction")
+
+
+def test_catalog_debezium_mssql_kind_end_to_end(spark, tmp_path):
+    ev = _events(spark, n=600)
+    path = str(tmp_path / "dbz_mssql_jsonl")
+    emit_debezium(ev, VALUE_COLS, dialect="mssql").write.text(path)
+    cat = ConfiguredCatalog(
+        streams=(
+            ConfiguredStream(
+                config=SyncConfig(stream="pages", n_buckets=4),
+                source={
+                    "kind": "debezium",
+                    "path": path,
+                    "value_schema": VALUE_DDL,
+                    "dialect": "mssql",
+                },
+            ),
+        )
+    )
+    lake = str(tmp_path / "lake")
+    read_catalog(spark, cat, lake, max_events_per_epoch=250)
+    got = (
+        stream_table(spark, lake, "pages").read().select(*VALUE_COLS).toPandas()
+    )
+    want = duckdb_winners(ev.toPandas())[VALUE_COLS]
+    assert_frames_equal(got, want, sort_cols=("url",))
+    v = stream_table(spark, lake, "pages").current_version()
+    read_catalog(spark, cat, lake, max_events_per_epoch=250)
+    assert stream_table(spark, lake, "pages").current_version() == v
