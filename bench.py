@@ -241,6 +241,80 @@ def bench_mongo_cdc_ingest(spark, n_events: int, n_urls: int) -> dict:
     return {"sec": dt, "events_per_sec": n_events / dt}
 
 
+def bench_patch_ingest(spark, n_events: int, n_urls: int) -> dict:
+    """Partial-image ingest: decode the default Mongo update wire
+    (updateDescription/$set/$unset, _w_ masks inline) + patch-overlay
+    MERGE into a MoR table (fold_patch_writes one-agg + touched-bucket
+    overlay, lakehouse/patch_apply.py). Wire generation is not timed;
+    decode + apply is."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from airbyte_integrations_spark.sources.mongo import (
+        emit_change_stream,
+        fields_from_schema,
+        parse_change_stream,
+    )
+
+    base = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    root = tempfile.mkdtemp(prefix="bench_patch_", dir=base)
+    log = os.path.join(root, "log")
+    lsn = F.col("_ab_cdc_lsn")
+    ev = (
+        gen_change_events(spark, n_events, n_urls=n_urls)
+        .select(*BENCH_COLS)
+        .withColumn(
+            "op",
+            F.when(
+                F.row_number().over(
+                    Window.partitionBy("url").orderBy(lsn.asc())
+                )
+                == 1,
+                "insert",
+            ).otherwise("update"),
+        )
+        .withColumn(
+            "removed",
+            F.when(
+                (F.col("op") == "update") & (lsn % 14 == 0),
+                F.array(F.lit("lang")),
+            ).otherwise(F.array().cast("array<string>")),
+        )
+        .withColumn(
+            "text",
+            F.when((F.col("op") == "insert") | (lsn % 3 != 0), F.col("text")),
+        )
+        .withColumn(
+            "lang",
+            F.when(
+                (F.col("op") == "insert")
+                | ((lsn % 2 != 0) & (lsn % 14 != 0)),
+                F.col("lang"),
+            ),
+        )
+    )
+    emit_change_stream(
+        ev, ["text", "lang"], op_col="op", removed_col="removed"
+    ).repartition(16).write.text(log)
+    fields = fields_from_schema("text string, lang string")
+    table = LakeTable(spark, os.path.join(root, "lake"))
+    cfg = SyncConfig(
+        stream="pages", primary_key=("_id",), n_buckets=64, write_mode="mor"
+    )
+    t0 = time.perf_counter()
+    events = parse_change_stream(
+        spark.read.text(log), fields, update_description=True
+    ).drop("_op", "_resume_token")
+    run_sync(
+        spark, events, table, cfg,
+        extract_missing_text=False, compact_threshold=None,
+        patch_cols=("text", "lang"), patch_mask_cols=("_w_text", "_w_lang"),
+    )
+    dt = time.perf_counter() - t0
+    shutil.rmtree(root, ignore_errors=True)
+    return {"sec": dt, "events_per_sec": n_events / dt}
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -323,6 +397,12 @@ def main() -> None:
         spark, max(n_events // 4, 100_000), n_urls=max(n_events // 80, 1000)
     )
     timings["mongo_cdc_ingest"] = round(mcs["sec"], 3)
+
+    # partial-image mode (updateDescription decode + patch-overlay MERGE)
+    patch = bench_patch_ingest(
+        spark, max(n_events // 4, 100_000), n_urls=max(n_events // 80, 1000)
+    )
+    timings["patch_ingest"] = round(patch["sec"], 3)
 
     out = {
         "metric": "change-events/sec sustained MERGE-apply (CDC replay into lake table)",
