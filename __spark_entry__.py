@@ -7020,6 +7020,102 @@ FROM w WHERE rn = 1 AND _ab_cdc_deleted_at IS NULL
 """
 
 
+def q_cdc_publish_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Outbound replication (destinations/cdf_publish): the lake table
+    publishes its OWN row-level changes to a partitioned log —
+    baseline snapshot at the first publish, changed-rows-only deltas
+    after (table.changes: metadata-pruned bucket diff), exactly-once
+    per version range via the destination's idempotent-producer epoch
+    log — and a downstream consumer tails that feed back into a second
+    lake table. The log is split at half its lsn range: ingest+publish
+    (baseline), ingest the rest, publish (delta), consume the whole
+    topic into table B. Returned: table B's live state with each key's
+    feed round (1 = arrived in the baseline, 2 = republished in the
+    delta); the oracle recomputes both straight from the log — value
+    equality proves the diff emits exactly the keys whose live image
+    changed, tombstones delete downstream, and the two-hop replication
+    converges to the direct winner replay. Scale shape: the delta
+    publish reads only buckets whose file lists changed; the feed
+    append is one per-partition-sequence job."""
+    import tempfile
+
+    from airbyte_integrations_spark.config import SyncConfig
+    from airbyte_integrations_spark.destinations.cdf_publish import (
+        consume_published,
+        publish_changes,
+    )
+    from airbyte_integrations_spark.destinations.partitioned_log import (
+        read_topic,
+        resolve_topic,
+    )
+    from airbyte_integrations_spark.lakehouse.table import LakeTable
+    from airbyte_integrations_spark.sources.partitioned_log import (
+        sync_partitioned_log,
+    )
+    from airbyte_integrations_spark.streaming.microbatch import run_sync
+
+    tune_session(spark)
+    ce = change_events(spark, sf_dir)
+    hi = int(ce.agg(F.max("_ab_cdc_lsn")).collect()[0][0])
+    w = hi // 2
+    scratch = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    root = tempfile.mkdtemp(prefix="pub_entry_", dir=scratch)
+    a = LakeTable(spark, root + "/a")
+    log = root + "/feed"
+    cfg = SyncConfig(stream="pages", n_buckets=8)
+    run_sync(
+        spark, ce.filter(F.col("_ab_cdc_lsn") <= w), a, cfg,
+        max_events_per_epoch=max(w // 2, 1),
+        extract_missing_text=False, compact_threshold=None,
+    )
+    publish_changes(spark, a, log, "pages")
+    run_sync(
+        spark, ce, a, cfg,
+        max_events_per_epoch=max(hi // 2, 1),
+        extract_missing_text=False, compact_threshold=None,
+    )
+    publish_changes(spark, a, log, "pages")
+    feed = read_topic(
+        spark, log, resolve_topic("{namespace}.{stream}", None, "pages")
+    )
+    b = LakeTable(spark, root + "/b")
+    sync_partitioned_log(
+        spark, consume_published(feed), b,
+        SyncConfig(stream="pages", n_buckets=8, secondary_order=()),
+        compact_threshold=None,
+    )
+    # feed positions are publication versions (2 distinct values here);
+    # a scalar min + projection beats a global-window rank (no
+    # single-partition Window — the deciles lesson)
+    v0 = int(feed.agg(F.min("_ab_cdc_lsn")).collect()[0][0])
+    feed_rounds = feed.groupBy("url").agg(
+        F.max(
+            F.when(F.col("_ab_cdc_lsn") > F.lit(v0), 2).otherwise(1)
+        ).alias("feed_round")
+    )
+    return (
+        b.read_live()
+        .select("url", "event_type", "value_m")
+        .join(feed_rounds, "url")
+    )
+
+
+O_CDC_PUBLISH_FEED = f"""
+WITH {CE_SQL}, {WINNERS_SQL},
+hi AS (SELECT max(_ab_cdc_lsn) AS h FROM ce),
+final_live AS (
+  SELECT url, event_type, value_m FROM w
+  WHERE rn = 1 AND _ab_cdc_deleted_at IS NULL
+),
+delta AS (
+  SELECT DISTINCT url FROM ce, hi WHERE _ab_cdc_lsn > h // 2
+)
+SELECT f.url, f.event_type, f.value_m,
+       CASE WHEN d.url IS NULL THEN 1 ELSE 2 END AS feed_round
+FROM final_live f LEFT JOIN delta d ON f.url = d.url
+"""
+
+
 def q_mongo_db_watch_route(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Database-level change stream (db.watch(), sources/mongo.py
     shared_change_stream): ONE stream carries every collection's events
@@ -7478,6 +7574,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mongo_change_stream_read": q_mongo_change_stream_read,
         "mongo_db_watch_route": q_mongo_db_watch_route,
         "mongo_patch_fold": q_mongo_patch_fold,
+        "cdc_publish_feed": q_cdc_publish_feed,
         "kafka_avro_wire_read": q_kafka_avro_wire_read,
         "docs_ndv_sketch": q_docs_ndv_sketch,
         "docs_weighted_sample": q_docs_weighted_sample,
@@ -7622,6 +7719,7 @@ def oracle_sql() -> dict[str, str]:
         "mongo_change_stream_read": O_MONGO_CHANGE_STREAM_READ,
         "mongo_db_watch_route": O_MONGO_DB_WATCH_ROUTE,
         "mongo_patch_fold": O_MONGO_PATCH_FOLD,
+        "cdc_publish_feed": O_CDC_PUBLISH_FEED,
         "kafka_avro_wire_read": O_KAFKA_AVRO_WIRE_READ,
         "docs_ndv_sketch": O_DOCS_NDV_SKETCH,
         "docs_weighted_sample": O_DOCS_WEIGHTED_SAMPLE,
