@@ -67,6 +67,7 @@ def stream_sync(
     value_schema=None,
     dialect: str = "postgres",
     fields=None,
+    update_description: bool = False,
 ):
     """Start a continuous ingest query; returns the StreamingQuery.
 
@@ -114,9 +115,9 @@ def stream_sync(
             reader = reader.option(
                 "maxFilesPerTrigger", str(max_files_per_trigger)
             )
-        events = parse_change_stream(reader.text(log_dir), fields).drop(
-            "_op", "_resume_token"
-        )
+        events = parse_change_stream(
+            reader.text(log_dir), fields, update_description=update_description
+        ).drop("_op", "_resume_token")
     else:
         reader = spark.readStream.schema(
             schema if schema is not None else spark.read.parquet(log_dir).schema
@@ -147,6 +148,40 @@ def stream_sync(
         lineage_epoch = STREAM_EPOCH_BASE + int(batch_id)  # metrics label only
         lineage = compute_lineage(batch, config.stream, lineage_epoch, lsn_col)
         write_lineage(lineage, table.root, lineage_epoch)
+        if update_description:
+            # partial-image tail: per-column latest writes overlay the
+            # key's current row (lakehouse/patch_apply.py). PRECONDITION
+            # (unlike the full-image arm's keep_tombstones defense):
+            # the tail is totally ordered — exactly the change-stream
+            # contract, where resume tokens define one server order and
+            # files append in it. Per-trigger splits of an ordered tail
+            # compose by the epoch-composition law; delivering batches
+            # OUT of order is undetectably lossy for patches (an old
+            # write would shadow a newer column), so disordered logs
+            # belong to the bounded path's lsn-planned epochs instead.
+            from airbyte_integrations_spark.lakehouse.patch_apply import (
+                merge_patches_into,
+            )
+
+            names = tuple(f.name for f in fields if f.name != "_id")
+            merge_patches_into(
+                table,
+                batch,
+                names,
+                stream=config.stream,
+                epoch=epoch,
+                epoch_meta={"stream_batch_id": int(batch_id)},
+                cursor=lsn_col,
+                secondary=config.secondary_order,
+                mask_cols=tuple("_w_" + n for n in names),
+                mode=config.write_mode,
+                key=config.primary_key,
+                n_buckets=config.n_buckets,
+            )
+            if compact_threshold is not None:
+                table.compact(max_files_per_bucket=compact_threshold)
+            _refresh_views()
+            return
         merge_into(
             table,
             batch,

@@ -265,3 +265,96 @@ def test_stream_sync_mongo_change_stream_tail(spark, tmp_path):
     )
     q2.awaitTermination()
     assert table.current_version() == v
+
+
+def test_stream_sync_update_description_patch_tail(spark, tmp_path):
+    """source_format='mongo_cdc' + update_description: the DEFAULT
+    update wire ($set/$unset, no fullDocument) tails through the
+    patch-overlay MERGE per trigger; per-trigger splits of the ordered
+    stream compose to the whole-log mask fold, and checkpoint restart
+    re-applies nothing."""
+    import json
+    from pyspark.sql import Window
+
+    from airbyte_integrations_spark.operators.patch import coalesce_patches
+    from airbyte_integrations_spark.sources.mongo import (
+        emit_change_stream,
+        fields_from_schema,
+        parse_change_stream,
+    )
+
+    lsn = F.col("_ab_cdc_lsn")
+    ev = (
+        gen_change_events(spark, 1200, n_urls=70, seed="streamud")
+        .select(*COLS)
+        .withColumn(
+            "op",
+            F.when(
+                F.row_number().over(
+                    Window.partitionBy("url").orderBy(lsn.asc())
+                )
+                == 1,
+                "insert",
+            ).otherwise("update"),
+        )
+        .withColumn(
+            "removed",
+            F.when(
+                (F.col("op") == "update") & (lsn % 14 == 0),
+                F.array(F.lit("lang")),
+            ).otherwise(F.array().cast("array<string>")),
+        )
+        .withColumn(
+            "text",
+            F.when((F.col("op") == "insert") | (lsn % 3 != 0), F.col("text")),
+        )
+        .withColumn(
+            "lang",
+            F.when(
+                (F.col("op") == "insert") | ((lsn % 2 != 0) & (lsn % 14 != 0)),
+                F.col("lang"),
+            ),
+        )
+    )
+    log = str(tmp_path / "udcs")
+    # ordered tail: files append in stream order
+    for cond in ("_ab_cdc_lsn <= 600", "_ab_cdc_lsn > 600"):
+        emit_change_stream(
+            ev.filter(cond).orderBy("_ab_cdc_lsn"),
+            ["text", "lang"], op_col="op", removed_col="removed",
+        ).coalesce(1).write.mode("append").text(log)
+    fields = fields_from_schema("text string, lang string")
+    table = LakeTable(spark, str(tmp_path / "lake"))
+    cfg = SyncConfig(stream="pages", primary_key=("_id",), n_buckets=4)
+    q = stream_sync(
+        spark, log, table, cfg, str(tmp_path / "ck"),
+        max_files_per_trigger=1, source_format="mongo_cdc", fields=fields,
+        update_description=True,
+    )
+    q.awaitTermination()
+    assert len(table.committed_epochs("pages")) == 2
+    parsed = parse_change_stream(
+        spark.read.text(log), fields, update_description=True
+    )
+    want = (
+        coalesce_patches(
+            parsed.withColumnRenamed("_id", "url"),
+            patch_cols=("text", "lang"), mask_cols=("_w_text", "_w_lang"),
+        )
+        .select(F.col("url").alias("_id"), "_ab_cdc_lsn", "text", "lang")
+    )
+    got = table.read_live().select("_id", "_ab_cdc_lsn", "text", "lang")
+    assert got.count() == want.count() > 0
+    assert got.exceptAll(want).count() == 0
+    # an $unset survived the split-trigger overlay
+    assert got.filter(F.col("lang").isNull()).count() > 0
+
+    # restart with no new events: nothing re-applies
+    v = table.current_version()
+    q2 = stream_sync(
+        spark, log, table, cfg, str(tmp_path / "ck"),
+        max_files_per_trigger=1, source_format="mongo_cdc", fields=fields,
+        update_description=True,
+    )
+    q2.awaitTermination()
+    assert table.current_version() == v
