@@ -85,12 +85,21 @@ def merge_patches_into(
         )
 
     key = tuple(table.key_cols())
-    extra = [
-        c for c in patch_cols
-        if c not in {f.name for f in table.schema.fields}
-    ]
+    have = {f.name for f in table.schema.fields}
+    extra = [c for c in patch_cols if c not in have]
     if extra:
         raise ValueError(f"patch column(s) {extra} not in table schema")
+    # the overlay rebuilds FULL rows from key + patch_cols + winner
+    # metadata; a payload column outside patch_cols would be silently
+    # nulled on the rewrite — reject loudly instead
+    meta = {cursor, ab_id, tombstone_col, *secondary, "_bucket"}
+    uncovered = sorted(have - set(key) - set(patch_cols) - meta)
+    if uncovered:
+        raise ValueError(
+            f"table payload column(s) {uncovered} are not in patch_cols; "
+            "a patch apply must cover every payload column or it would "
+            "null them on rewrite"
+        )
     nb = table.n_buckets
     ids = sorted(
         r["_b"]

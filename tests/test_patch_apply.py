@@ -92,6 +92,21 @@ def test_epoch_composition_matches_whole_log_fold(spark, tmp_path, mode):
     assert table.current_version() == v
 
 
+def test_uncovered_payload_column_rejected(spark, tmp_path):
+    """Patching a table whose payload has columns outside patch_cols
+    would null them on the COW rewrite — must reject loudly."""
+    ev = _masked_events(spark, n=200, seed="guard")
+    table = LakeTable(spark, str(tmp_path / "g"))
+    merge_patches_into(
+        table, ev, ("a", "b"), stream="docs", epoch=0,
+        mask_cols=("wa", "wb"), key=("url",), n_buckets=2,
+    )
+    with pytest.raises(ValueError, match="not in patch_cols"):
+        merge_patches_into(
+            table, ev, ("a",), stream="docs", epoch=1, mask_cols=("wa",)
+        )
+
+
 def test_cross_epoch_delete_reset(spark, tmp_path):
     """A value written in epoch 1 must NOT leak past a delete applied
     in epoch 2, even when the key is re-created in epoch 3."""
