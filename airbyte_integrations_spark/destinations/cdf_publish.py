@@ -51,9 +51,10 @@ _PUB_KEY = "_pub_key"
 
 
 def published_version(log_root: str, topic: str) -> int:
-    """Highest to_version this topic has durably recorded (0 = never
-    published — the next publish emits the baseline snapshot)."""
-    out = 0
+    """Highest to_version this topic has durably recorded (-1 = never
+    published — the next publish emits the baseline snapshot; lake
+    version numbering starts at 0, so 0 is a REAL publishable head)."""
+    out = -1
     for k in producer_epochs(log_root, topic):
         if k.startswith(_EPOCH_PREFIX):
             out = max(out, int(k.split(":")[2]))
@@ -86,7 +87,7 @@ def publish_changes(
     if head <= frm:
         return None
     key = table.key_cols()
-    if frm == 0:
+    if frm < 0:
         df = table.read_live().withColumn("_change_type", F.lit("insert"))
     else:
         df = table.changes(frm, head)

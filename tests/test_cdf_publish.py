@@ -106,3 +106,22 @@ def test_publish_delta_is_change_rows_only(spark, tmp_path):
     # crash-retry of the same range: recorded epoch, no double append
     assert publish_changes(spark, a, log, "pages") is None
     assert read_topic(spark, log, topic).count() == n_total
+
+
+def test_single_epoch_table_publishes_baseline(spark, tmp_path):
+    """Lake versions start at 0 — a table whose whole history is one
+    epoch (current_version == 0) must still baseline-publish."""
+    a = LakeTable(spark, str(tmp_path / "a"))
+    ev = gen_change_events(spark, 200, n_urls=30, seed="v0").select(*COLS)
+    run_sync(
+        spark, ev, a, SyncConfig(stream="pages", n_buckets=2),
+        max_events_per_epoch=10_000, extract_missing_text=False,
+        compact_threshold=None,
+    )
+    assert a.current_version() == 0
+    log = str(tmp_path / "feed")
+    assert publish_changes(spark, a, log, "pages") is not None
+    topic = resolve_topic("{namespace}.{stream}", None, "pages")
+    assert published_version(log, topic) == 0
+    assert read_topic(spark, log, topic).count() == a.read_live().count() > 0
+    assert publish_changes(spark, a, log, "pages") is None
