@@ -86,9 +86,11 @@ def merge_patches_into(
 
     key = tuple(table.key_cols())
     have = {f.name for f in table.schema.fields}
-    extra = [c for c in patch_cols if c not in have]
-    if extra:
-        raise ValueError(f"patch column(s) {extra} not in table schema")
+    # a patch column the table does not know yet is ADDITIVE schema
+    # evolution (the reference's additive null-backfill rule, SURVEY
+    # §2.9): the overlay reads null for every current row and
+    # merge_into's schema-merge widens the table on apply
+    new_cols = {c for c in patch_cols if c not in have}
     # the overlay rebuilds FULL rows from key + patch_cols + winner
     # metadata; a payload column outside patch_cols would be silently
     # nulled on the rewrite — reject loudly instead
@@ -105,9 +107,17 @@ def merge_patches_into(
         r["_b"]
         for r in fold.select(bucket_expr(key, nb).alias("_b")).distinct().collect()
     )
+    batch_types = dict(batch.dtypes)
     old = table.read_live(buckets=ids).select(
         *[F.col(k) for k in key],
-        *[F.col(c).alias(f"__old_{c}") for c in patch_cols],
+        *[
+            (
+                F.lit(None).cast(batch_types[c])
+                if c in new_cols
+                else F.col(c)
+            ).alias(f"__old_{c}")
+            for c in patch_cols
+        ],
     )
     joined = fold.join(old, list(key), "left")
     overlaid = [

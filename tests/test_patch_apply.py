@@ -144,3 +144,41 @@ def test_cross_epoch_delete_reset(spark, tmp_path):
         mask_cols=("wa", "wb"),
     )
     assert table.read_live().count() == 0
+
+
+def test_additive_patch_column_widens_schema(spark, tmp_path):
+    """A patch column the table does not know yet is additive schema
+    evolution: current rows read null, merge widens the table, and the
+    new field folds per-column like any other (SURVEY §2.9)."""
+    import datetime as dt
+
+    TS = dt.datetime(2021, 1, 1)
+    base_schema = (
+        "url string, _ab_cdc_lsn long, _ab_cdc_updated_at timestamp, "
+        "_airbyte_emitted_at timestamp, _airbyte_ab_id string, "
+        "_ab_cdc_deleted_at timestamp, a string, wa boolean"
+    )
+    table = LakeTable(spark, str(tmp_path / "w"))
+    merge_patches_into(
+        table,
+        spark.createDataFrame(
+            [("k1", 1, TS, TS, "i1", None, "a1", True),
+             ("k2", 2, TS, TS, "i2", None, "a2", True)],
+            base_schema,
+        ),
+        ("a",), stream="docs", epoch=0, mask_cols=("wa",),
+        key=("url",), n_buckets=2,
+    )
+    # epoch 1 declares a NEW column b: k1 writes it, k2 untouched
+    wide = spark.createDataFrame(
+        [("k1", 3, TS, TS, "i3", None, None, False, 7, True)],
+        base_schema + ", b long, wb boolean",
+    )
+    merge_patches_into(
+        table, wide, ("a", "b"), stream="docs", epoch=1,
+        mask_cols=("wa", "wb"),
+    )
+    rows = {r["url"]: r for r in table.read_live().collect()}
+    assert set(rows) == {"k1", "k2"}
+    assert rows["k1"]["a"] == "a1" and rows["k1"]["b"] == 7
+    assert rows["k2"]["a"] == "a2" and rows["k2"]["b"] is None
