@@ -845,3 +845,90 @@ def test_change_stream_malformed_policies(spark):
     with pytest.raises(Exception, match="FAILFAST|Malformed"):
         parse_change_stream(lines, fields).collect()
     assert parse_change_stream(lines, fields, malformed="skip").count() == 4
+
+
+def test_json_cli_db_watch_and_update_description(spark, tmp_path):
+    """The two newest mongo arms through the JSON CLI: a db.watch()
+    shared stream routed by ns.coll with GLOBAL state, and an
+    update-description read whose records carry the _w_ write masks."""
+    import io
+
+    from airbyte_integrations_spark.entrypoint import run
+    from airbyte_integrations_spark.gen import gen_change_events
+    from airbyte_integrations_spark.sources.mongo import emit_change_stream
+
+    ce = gen_change_events(spark, 300, n_urls=40).withColumn(
+        "coll",
+        F.when(F.col("_ab_cdc_lsn") % 2 == 0, "pages_a").otherwise("pages_b"),
+    )
+    watch = str(tmp_path / "dbwatch")
+    emit_change_stream(
+        ce, ["text", "lang"], collection_col="coll"
+    ).coalesce(1).write.text(watch)
+    ud = str(tmp_path / "ud")
+    _ud_events(spark).coalesce(1).write.text(ud)
+
+    cfg = tmp_path / "config.json"
+    cfg.write_text(json.dumps({"log_path": watch}))
+    cat = tmp_path / "catalog.json"
+    cat.write_text(
+        json.dumps(
+            {
+                "streams": [
+                    *(
+                        {
+                            "name": n,
+                            "sync_mode": "incremental",
+                            "destination_sync_mode": "append_dedup",
+                            "primary_key": ["_id"],
+                            "source": {
+                                "kind": "cdc_shared",
+                                "group": "dbwatch",
+                                "mongo_path": watch,
+                                "value_schema": "text string, lang string",
+                            },
+                        }
+                        for n in ("pages_a", "pages_b")
+                    ),
+                    {
+                        "name": "ud",
+                        "sync_mode": "incremental",
+                        "destination_sync_mode": "append_dedup",
+                        "primary_key": ["_id"],
+                        "source": {
+                            "kind": "mongo_cdc",
+                            "path": ud,
+                            "value_schema": "n bigint, seq bigint",
+                            "update_description": True,
+                        },
+                    },
+                ]
+            }
+        )
+    )
+    buf = io.StringIO()
+    code = run(
+        ["read", "--config", str(cfg), "--catalog", str(cat)],
+        spark=spark,
+        out=buf,
+    )
+    assert code == 0
+    msgs = [json.loads(ln) for ln in buf.getvalue().splitlines()]
+    by_stream = {}
+    for m in msgs:
+        if m["type"] == "RECORD":
+            by_stream.setdefault(m["record"]["stream"], []).append(
+                m["record"]["data"]
+            )
+    # db.watch routing: both collections, counts match the parity split
+    n_a = ce.filter("_ab_cdc_lsn % 2 = 0").count()
+    assert len(by_stream["pages_a"]) == n_a
+    assert len(by_stream["pages_b"]) == ce.count() - n_a
+    # GLOBAL state for the shared group
+    states = [m["state"] for m in msgs if m["type"] == "STATE"]
+    assert any(s.get("state_type") == "GLOBAL" for s in states)
+    # update-description records surface the write masks: the $set-seq
+    # event wrote seq but NOT n
+    ud_recs = {d["_resume_token"]: d for d in by_stream["ud"]}
+    assert ud_recs["u-2"]["_w_seq"] and not ud_recs["u-2"]["_w_n"]
+    assert ud_recs["u-3"]["_w_n"] and ud_recs["u-3"]["n"] is None
