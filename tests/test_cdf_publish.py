@@ -125,3 +125,33 @@ def test_single_epoch_table_publishes_baseline(spark, tmp_path):
     assert published_version(log, topic) == 0
     assert read_topic(spark, log, topic).count() == a.read_live().count() > 0
     assert publish_changes(spark, a, log, "pages") is None
+
+
+def test_feed_renders_as_debezium_wire(spark, tmp_path):
+    """The published feed composes with the envelope emitters: a
+    downstream Kafka consumer can be handed Debezium JSONL of the
+    feed, and the parse inverse recovers the same per-key state."""
+    from airbyte_integrations_spark.sources.debezium import (
+        emit_debezium,
+        parse_debezium,
+    )
+
+    a = LakeTable(spark, str(tmp_path / "a"))
+    _ingest(spark, a, 0, 500)
+    log = str(tmp_path / "feed")
+    publish_changes(spark, a, log, "pages")
+    _ingest(spark, a, 500, 700)
+    publish_changes(spark, a, log, "pages")
+    topic = resolve_topic("{namespace}.{stream}", None, "pages")
+    feed = consume_published(read_topic(spark, log, topic))
+    wire = emit_debezium(feed, ["url", "text", "lang"])
+    back = parse_debezium(wire, "url string, text string, lang string")
+    pick = lambda df: {  # noqa: E731
+        (r["url"], r["_ab_cdc_lsn"]): (
+            r["text"], r["lang"], r["_ab_cdc_deleted_at"] is not None
+        )
+        for r in df.select(
+            "url", "_ab_cdc_lsn", "text", "lang", "_ab_cdc_deleted_at"
+        ).collect()
+    }
+    assert pick(back) == pick(feed) and len(pick(feed)) > 0
