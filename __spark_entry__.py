@@ -6902,7 +6902,7 @@ def q_cdc_mssql_lsn_order(spark: SparkSession, sf_dir: str) -> DataFrame:
 O_CDC_MSSQL_LSN_ORDER = f"""
 WITH {CE_SQL}, {WINNERS_SQL}
 SELECT url,
-       printf('%08X:%08X:%04X',
+       printf('%08x:%08x:%04x',
               ((_ab_cdc_lsn // 7 + 1) * 7) >> 36,
               (((_ab_cdc_lsn // 7 + 1) * 7) >> 10) % (1 << 26),
               ((_ab_cdc_lsn // 7 + 1) * 7) % 1024) AS commit_lsn,

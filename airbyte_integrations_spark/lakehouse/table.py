@@ -1359,6 +1359,17 @@ class LakeTable:
                     f"zorder_by column(s) {bad} missing or non-numeric "
                     "(z-order normalization needs numeric bounds)"
                 )
+            # validate the interleave budget BEFORE want_props mutates
+            # pending table props — a late interleave_bits raise would
+            # otherwise leave a clustering claim that silently attaches
+            # to the next unrelated commit
+            if len(zorder_by) < 2:
+                raise ValueError("z-order needs at least 2 columns")
+            if zorder_bits * len(zorder_by) > 62:
+                raise ValueError(
+                    f"bits*n_cols = {zorder_bits * len(zorder_by)} "
+                    "exceeds the 62-bit key"
+                )
             fragmented = sorted(
                 {int(b) for b in m["files"]} | {int(b) for b in dmap}
             )

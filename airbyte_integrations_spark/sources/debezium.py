@@ -176,11 +176,16 @@ def mssql_lsn_hex(lsn: Column | str) -> Column:
     vlf = F.shiftright(v, _MSSQL_BLOCK_BITS + _MSSQL_SLOT_BITS)
     block = F.shiftright(v, _MSSQL_SLOT_BITS) % F.lit(1 << _MSSQL_BLOCK_BITS)
     slot = v % F.lit(1 << _MSSQL_SLOT_BITS)
-    return F.concat_ws(
-        ":",
-        F.lpad(F.hex(vlf), 8, "0"),
-        F.lpad(F.hex(block), 8, "0"),
-        F.lpad(F.hex(slot), 4, "0"),
+    # lowercase to match io.debezium Lsn.toString byte-for-byte (the
+    # codec round-trips either case, but emitted fixtures should be
+    # wire-identical to real logs)
+    return F.lower(
+        F.concat_ws(
+            ":",
+            F.lpad(F.hex(vlf), 8, "0"),
+            F.lpad(F.hex(block), 8, "0"),
+            F.lpad(F.hex(slot), 4, "0"),
+        )
     )
 
 
@@ -314,7 +319,14 @@ def parse_debezium(
         # reference injects as its string _ab_cdc_lsn
         # (MssqlCdcConnectorMetadataInjector.java:17-18) — and doubles
         # as the tx_col for transaction-aligned epoch planning.
-        lsn = mssql_lsn(p["source"]["change_lsn"])
+        # Snapshot ('r') events carry change_lsn=null with only
+        # commit_lsn set (io.debezium SqlServer snapshot source block);
+        # commit_lsn >= every member change_lsn, so coalescing keeps
+        # the ordering contract instead of silently dropping snapshot
+        # rows to a null position.
+        lsn = mssql_lsn(
+            F.coalesce(p["source"]["change_lsn"], p["source"]["commit_lsn"])
+        )
         injector = [
             p["source"]["commit_lsn"].alias("_ab_cdc_commit_lsn"),
             p["source"]["event_serial_no"].alias("_ab_cdc_event_serial_no"),

@@ -114,10 +114,13 @@ def _element_type(vdf: DataFrame, key: str) -> T.DataType:
     """Array element type: union the element aliases (one more explode
     agg); a single scalar alias keeps its type, anything else falls to
     string (the reference types array items as untyped ARRAY)."""
+    arr = vdf.select(
+        F.try_variant_get(F.col("v"), "$" + _path_seg(key), "variant").alias("v")
+    )
     elems = vdf.sparkSession.sql(
         "SELECT DISTINCT schema_of_variant(e.value) AS ty "
-        f"FROM {{vdf}}, LATERAL variant_explode(try_variant_get(v, '$.{key}', 'variant')) AS e",
-        vdf=vdf,
+        "FROM {arr}, LATERAL variant_explode(v) AS e",
+        arr=arr,
     )
     aliases = {
         _alias(r["ty"]) for r in elems.collect() if r["ty"] is not None
@@ -130,7 +133,10 @@ def _element_type(vdf: DataFrame, key: str) -> T.DataType:
 def _discover_level(vdf: DataFrame, depth: int, max_depth: int) -> tuple[FieldInfo, ...]:
     fields: list[FieldInfo] = []
     for key, aliases in _key_types(vdf):
-        recursable = bool(_IDENT.match(key))
+        # any key expressible as a path segment (identifier or bracket-
+        # quotable) recurses/types normally; a key holding both quote
+        # chars is inexpressible and fails loudly in _path_seg below
+        recursable = "'" not in key or '"' not in key
         if len(aliases) != 1:
             # mixed types => string + rename (transformName:224-226)
             fields.append(
@@ -139,8 +145,10 @@ def _discover_level(vdf: DataFrame, depth: int, max_depth: int) -> tuple[FieldIn
             continue
         a = aliases[0]
         if a == "object" and recursable and depth < max_depth:
-            sub = vdf.selectExpr(
-                f"try_variant_get(v, '$.{key}', 'variant') AS v"
+            sub = vdf.select(
+                F.try_variant_get(
+                    F.col("v"), "$" + _path_seg(key), "variant"
+                ).alias("v")
             ).filter(F.col("v").isNotNull())
             children = _discover_level(sub, depth + 1, max_depth)
             dtype = T.StructType(
@@ -184,8 +192,27 @@ def collection_schema(fields: tuple[FieldInfo, ...]) -> T.StructType:
     return T.StructType([T.StructField(f.name, f.dtype, True) for f in fields])
 
 
+def _path_seg(key: str) -> str:
+    """One variant-path segment for an arbitrary Mongo field name:
+    ``.key`` for identifier keys, bracket notation otherwise (the
+    parser accepts either quote char but supports NO escaping inside
+    the quotes, so pick the one the key doesn't contain; a key holding
+    BOTH quote chars is inexpressible as a path and fails loudly —
+    same strict-rejection contract as the lsn bit-budget overflow)."""
+    if _IDENT.match(key):
+        return "." + key
+    if '"' not in key:
+        return f'["{key}"]'
+    if "'" not in key:
+        return f"['{key}']"
+    raise ValueError(
+        f"field name {key!r} contains both quote characters and cannot "
+        "be expressed as a variant path segment"
+    )
+
+
 def _extract(v: Column, prefix: str, f: FieldInfo) -> Column:
-    path = f"{prefix}.{f.path}"
+    path = prefix + _path_seg(f.path)
     if isinstance(f.dtype, T.StructType):
         sub = F.when(
             F.try_variant_get(v, path, "variant").isNotNull(),

@@ -84,6 +84,24 @@ def stream_sync(
     with the same checkpoint_dir — interrupted batches re-apply
     idempotently."""
     lsn_col = config.cursor_field[0]
+    if update_description:
+        # the patch arm folds per-column latest writes; it only exists
+        # for the change-stream wire and bypasses transform/dedup_impl,
+        # so reject incompatible knobs at entry instead of crashing (or
+        # silently ignoring them) at the first trigger
+        if source_format != "mongo_cdc" or fields is None:
+            raise ValueError(
+                "update_description=True needs source_format='mongo_cdc' "
+                "with fields (partial images exist only on the "
+                "change-stream wire)"
+            )
+        if extract_missing_text:
+            raise ValueError(
+                "update_description=True cannot combine with "
+                "extract_missing_text: the patch apply merges partial "
+                "column writes and never sees a full html image to "
+                "extract from — extract on the read side instead"
+            )
     if source_format == "debezium":
         # raw Debezium envelope JSONL tail (the embedded-engine wire):
         # decode rides INSIDE the streaming plan as the same one-

@@ -537,3 +537,71 @@ def test_catalog_debezium_mssql_kind_end_to_end(spark, tmp_path):
     v = stream_table(spark, lake, "pages").current_version()
     read_catalog(spark, cat, lake, max_events_per_epoch=250)
     assert stream_table(spark, lake, "pages").current_version() == v
+
+
+def test_mssql_snapshot_null_change_lsn_coalesces_to_commit(spark):
+    """Real SQL Server snapshot ('r') events carry change_lsn=null with
+    only commit_lsn set (io.debezium SqlServer snapshot source block);
+    the reference injects commit_lsn as its _ab_cdc_lsn
+    (MssqlCdcConnectorMetadataInjector.java:17-18). The decode must
+    coalesce to commit_lsn — never a silent null position that
+    lsn-based epoch planning would drop or mis-order."""
+
+    def env(commit, change, url, op):
+        return json.dumps(
+            {
+                "before": None,
+                "after": {"url": url, "text": "t", "lang": "en"},
+                "source": {
+                    "connector": "sqlserver", "ts_ms": 1700000000123,
+                    "snapshot": "true" if op == "r" else "false",
+                    "db": "crawl", "schema": "dbo", "table": "pages",
+                    "commit_lsn": commit, "change_lsn": change,
+                    "event_serial_no": 1,
+                },
+                "op": op,
+                "ts_ms": 1700000000456,
+            }
+        )
+
+    lines = spark.createDataFrame(
+        [
+            # snapshot read: change_lsn absent on the real wire
+            (env("0000002a:00000100:0001", None, "https://x/1", "r"),),
+            # streamed change after the snapshot
+            (env("0000002b:00000010:0001", "0000002b:00000008:0002",
+                 "https://x/2", "u"),),
+        ],
+        "value string",
+    )
+    rows = {
+        r["url"]: r
+        for r in parse_debezium(lines, VALUE_DDL, dialect="mssql").collect()
+    }
+    snap, streamed = rows["https://x/1"], rows["https://x/2"]
+    assert snap["_ab_cdc_lsn"] == (0x2A << 36) + (0x100 << 10) + 1
+    assert streamed["_ab_cdc_lsn"] == (0x2B << 36) + (0x8 << 10) + 2
+    # the snapshot position (its commit) orders before the later change
+    assert snap["_ab_cdc_lsn"] < streamed["_ab_cdc_lsn"]
+
+
+def test_mssql_hex_rendering_is_lowercase_wire_identical(spark):
+    """Emitted hex must match io.debezium Lsn.toString byte-for-byte —
+    lowercase fixed-width (8/8/4) — so fixtures are wire-identical to
+    genuine logs, and the codec round-trips either case."""
+    from airbyte_integrations_spark.sources.debezium import (
+        mssql_lsn,
+        mssql_lsn_hex,
+    )
+
+    val = (0xABC << 36) + (0xDEF << 10) + 0x3A
+    df = spark.range(1).select(F.lit(val).alias("lsn"))
+    rendered = df.select(mssql_lsn_hex("lsn").alias("h")).collect()[0]["h"]
+    assert rendered == "00000abc:00000def:003a"
+    for h in (rendered, rendered.upper()):
+        back = (
+            spark.range(1)
+            .select(mssql_lsn(F.lit(h)).alias("l"))
+            .collect()[0]["l"]
+        )
+        assert back == val

@@ -932,3 +932,44 @@ def test_json_cli_db_watch_and_update_description(spark, tmp_path):
     ud_recs = {d["_resume_token"]: d for d in by_stream["ud"]}
     assert ud_recs["u-2"]["_w_seq"] and not ud_recs["u-2"]["_w_n"]
     assert ud_recs["u-3"]["_w_n"] and ud_recs["u-3"]["n"] is None
+
+
+def test_discovery_and_read_arbitrary_field_names(spark):
+    """Keys with dots, spaces, brackets and quotes extract as LITERAL
+    fields (bracket-notation variant paths), never as nested lookups —
+    the reference handles arbitrary Mongo field names
+    (MongoUtils.getUniqueFields unions raw document keys)."""
+    docs = [
+        {"_id": "d1", "a.b": 1, "c d": 2, "e'f": 3, 'g"h': 4,
+         "i[j]": 5, "seq": 1, "obj.x": {"k": 9}, "arr.y": [1, 2]},
+        {"_id": "d2", "a.b": 10, "seq": 2},
+    ]
+    lines = spark.createDataFrame(
+        [(json.dumps(d),) for d in docs], "value string"
+    )
+    fields = discover_collection(spark, lines.select("value"))
+    by_name = {f.name: f for f in fields}
+    for k in ("a.b", "c d", "e'f", 'g"h', "i[j]"):
+        assert k in by_name, k
+    # dotted object key recurses into a real struct; dotted array key
+    # types its elements
+    assert isinstance(by_name["obj.x"].dtype, T.StructType)
+    assert isinstance(by_name["arr.y"].dtype, T.ArrayType)
+    assert isinstance(by_name["arr.y"].dtype.elementType, T.LongType)
+    out = {
+        r["_id"]: r
+        for r in read_collection(spark, lines.select("value"), fields).collect()
+    }
+    r1 = out["d1"]
+    assert r1["a.b"] == 1 and r1["c d"] == 2 and r1["e'f"] == 3
+    assert r1['g"h'] == 4 and r1["i[j]"] == 5
+    assert r1["obj.x"]["k"] == 9 and list(r1["arr.y"]) == [1, 2]
+    r2 = out["d2"]
+    assert r2["a.b"] == 10 and r2["c d"] is None
+
+
+def test_both_quote_chars_field_name_fails_loudly(spark):
+    from airbyte_integrations_spark.sources.mongo import _path_seg
+
+    with pytest.raises(ValueError, match="both quote"):
+        _path_seg("""a'b"c""")

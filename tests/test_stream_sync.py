@@ -358,3 +358,36 @@ def test_stream_sync_update_description_patch_tail(spark, tmp_path):
     )
     q2.awaitTermination()
     assert table.current_version() == v
+
+
+def test_stream_sync_update_description_rejects_bad_combinations(spark, tmp_path):
+    """update_description only exists on the change-stream wire: any
+    other source_format (or missing fields) is rejected at entry, and
+    extract_missing_text cannot ride the patch arm (partial images
+    never carry a full html column to extract from)."""
+    import pytest
+
+    from airbyte_integrations_spark.sources.mongo import fields_from_schema
+
+    table = LakeTable(spark, str(tmp_path / "t"))
+    cfg = SyncConfig(stream="pages", n_buckets=2)
+    fields = fields_from_schema("n bigint")
+    with pytest.raises(ValueError, match="mongo_cdc"):
+        stream_sync(
+            spark, str(tmp_path / "log"), table, cfg,
+            str(tmp_path / "ck"), source_format="parquet",
+            update_description=True,
+        )
+    with pytest.raises(ValueError, match="needs source_format"):
+        stream_sync(
+            spark, str(tmp_path / "log"), table, cfg,
+            str(tmp_path / "ck"), source_format="mongo_cdc",
+            update_description=True,  # fields missing
+        )
+    with pytest.raises(ValueError, match="extract_missing_text"):
+        stream_sync(
+            spark, str(tmp_path / "log"), table, cfg,
+            str(tmp_path / "ck"), source_format="mongo_cdc",
+            fields=fields, update_description=True,
+            extract_missing_text=True,
+        )

@@ -101,3 +101,22 @@ def test_zorder_rejects_non_numeric_and_both_strategies(spark, zordered):
         zordered.compact(zorder_by=("url", "_ab_cdc_lsn"))
     with pytest.raises(ValueError, match="not both"):
         zordered.compact(sort_by="value_m", zorder_by=("_ab_cdc_lsn", "value_m"))
+
+
+def test_zorder_budget_validated_before_pending_props(spark, tmp_path):
+    """A single-column zorder_by or an over-budget bits*n must fail
+    BEFORE want_props mutates pending table props — otherwise the
+    rejected clustering claim silently attaches to the next unrelated
+    commit."""
+    ev = gen_change_events(spark, 400, n_urls=200).withColumn(
+        "value_m", F.pmod(F.xxhash64("url"), F.lit(1000))
+    )
+    table = LakeTable(spark, str(tmp_path / "t"))
+    run_sync(spark, ev, table, SyncConfig(stream="pages", n_buckets=2),
+             extract_missing_text=False, compact_threshold=None)
+    with pytest.raises(ValueError, match="at least 2"):
+        table.compact(zorder_by=("_ab_cdc_lsn",))
+    assert not table._pending_props
+    with pytest.raises(ValueError, match="62-bit"):
+        table.compact(zorder_by=("_ab_cdc_lsn", "value_m"), zorder_bits=32)
+    assert not table._pending_props
