@@ -1593,15 +1593,18 @@ def q_emb_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-5 neighbors for a CONSTANT-BUDGET query
     sample — the eval oracle for the ANN paths (emb_ann_lsh_topk /
     emb_ann_ivf_topk are the production shapes). The query set is the
-    1,000 vectors with the smallest md5(vec_id) (deterministic sample,
-    TakeOrderedAndProject — constant driver/executor memory), so eval
-    cost is O(n·|Q|) with |Q| FIXED: it no longer grows with the
-    corpus (a %-based query set made even the eval harness O(n²)).
-    Similarity coarsened to floor(cos*100) and ranked by
-    (sim_c DESC, neighbor id ASC) so ordering is float-rounding-proof
-    across engines."""
+    min(1000, ceil(n/10)) vectors with the smallest md5(vec_id)
+    (deterministic sample, TakeOrderedAndProject — constant driver/
+    executor memory): at scale the budget is the CONSTANT 1,000, so
+    eval cost is O(n·|Q|) with |Q| fixed (a %-based query set made
+    even the eval harness O(n²)); the ceil(n/10) arm only trims small
+    local sweeps, where a 1,000-query budget would cost more than the
+    corpus itself. Similarity coarsened to floor(cos*100) and ranked
+    by (sim_c DESC, neighbor id ASC) so ordering is
+    float-rounding-proof across engines."""
     tune_session(spark)
     emb = load(spark, sf_dir, "embeddings")
+    budget = min(1000, -(-emb.count() // 10))  # one bounded scalar agg
     dbl = F.transform(F.col("embedding"), lambda x: x.cast("double"))
     base = emb.select(
         F.col("vec_id"),
@@ -1613,7 +1616,7 @@ def q_emb_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
             "qkey", F.md5(F.col("vec_id").cast("string").cast("binary"))
         )
         .orderBy(F.col("qkey").asc(), F.col("vec_id").asc())
-        .limit(1000)
+        .limit(budget)
         .select(
             F.col("vec_id").alias("qid"), F.col("v").alias("qv"), F.col("nrm").alias("qn")
         )
@@ -1650,8 +1653,14 @@ WITH base AS (
   FROM embeddings
 ),
 base2 AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM base),
-q AS (SELECT vec_id AS qid, v AS qv, nrm AS qn FROM base2
-      ORDER BY md5(CAST(vec_id AS VARCHAR)) ASC, vec_id ASC LIMIT 1000),
+b AS (SELECT least(1000, CAST(ceil(count(*) / 10.0) AS BIGINT)) AS n
+      FROM embeddings),
+q AS (SELECT qid, qv, qn FROM (
+        SELECT vec_id AS qid, v AS qv, nrm AS qn,
+               row_number() OVER (
+                 ORDER BY md5(CAST(vec_id AS VARCHAR)) ASC, vec_id ASC) AS qrn
+        FROM base2
+      ) WHERE qrn <= (SELECT n FROM b)),
 pairs AS (
   SELECT q.qid, c.vec_id AS cid,
          CAST(floor(list_dot_product(q.qv, c.v) / (q.qn * c.nrm) * 100) AS BIGINT) AS sim_c
@@ -3737,8 +3746,14 @@ def q_cdc_host_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     replication monitor reads (host = the url authority, extracted
     with the same rule as functions/curation.url_host). Dataflow:
     winner replay (kept tombstones) → ONE host-keyed map-side-combining
-    agg over ~#hosts groups → rank over the metadata-sized aggregate
-    (the window sees #hosts rows, never the corpus)."""
+    agg over ~#hosts groups → DISTRIBUTED total rank over the
+    aggregate. #hosts is ~10^8 at the 10^10-page design point, so a
+    bare `Window.orderBy` (every host row into ONE reducer) is the
+    single-reducer scale-killer; instead the rank uses the same
+    range-sharded local-rank + P-row offset-map technique as
+    q_docs_length_deciles: repartitionByRange on the rank key → P
+    parallel per-shard windows → driver-side P-row offsets inlined as
+    a literal map (bounded metadata, P = shuffle partitions)."""
     tune_session(spark)
     ce = change_events(spark, sf_dir)
     w = winner_window(ce, drop_tombstones=False)
@@ -3752,10 +3767,31 @@ def q_cdc_host_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.max(_us("_ab_cdc_updated_at")).alias("last_update_us"),
     )
-    rank = Window.orderBy(F.col("n_live").desc(), F.col("host").asc())
-    return agg.select(
+    key = [F.col("n_live").desc(), F.col("host").asc()]
+    # persist so the offset count and the ranked pass see the SAME pid
+    # assignment (AQE may re-coalesce otherwise)
+    loc = (
+        agg.repartitionByRange(32, *key)
+        .withColumn("pid", F.spark_partition_id())
+        .withColumn(
+            "lrn", F.row_number().over(Window.partitionBy("pid").orderBy(*key))
+        )
+        .persist()
+    )
+    sizes = sorted(
+        (r["pid"], r["c"])
+        for r in loc.groupBy("pid").agg(F.count(F.lit(1)).alias("c")).collect()
+    )
+    offs, acc = {}, 0
+    for pid, c in sizes:
+        offs[pid] = acc
+        acc += c
+    off_map = F.create_map(
+        *[F.lit(x) for pid_off in offs.items() for x in pid_off]
+    )
+    return loc.select(
         "host", "n_live", "n_deleted", "last_update_us",
-        F.row_number().over(rank).alias("rank"),
+        (off_map[F.col("pid")] + F.col("lrn")).cast("int").alias("rank"),
     )
 
 
@@ -5037,9 +5073,10 @@ def q_emb_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     search against exact brute-force top-3, per query ("measure, don't
     guess": the eval harness that justifies the bucket-bit / nprobe
     choice before a 10^10-vector rollout). The brute-force side is the
-    labeled oracle baseline restricted to the constant 1,000-query md5
-    budget (|Q| x N with |Q| FIXED — the eval shape, never the serving
-    path); the ANN side is the same
+    labeled oracle baseline restricted to the min(1000, ceil(n/10))
+    md5 query budget (constant 1,000 at scale — |Q| x N with |Q|
+    FIXED, the eval shape, never the serving path; the ceil(n/10) arm
+    only trims small local sweeps); the ANN side is the same
     bucket-keyed join the serving query uses. Integer floor(cos*100)
     scoring + cid tiebreak keep both rankings engine-exact. Bucket
     width here is 2 bits (vs the serving query's 8): the synthetic
@@ -5061,12 +5098,13 @@ def q_emb_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sqrt(F.aggregate(dbl, F.lit(0.0), lambda a, x: a + x * x)).alias("nrm"),
         F.concat(*bits).alias("bucket"),
     )
+    budget = min(1000, -(-emb.count() // 10))  # one bounded scalar agg
     q = (
         base.withColumn(
             "_qkey", F.md5(F.col("vec_id").cast("string").cast("binary"))
         )
         .orderBy(F.col("_qkey").asc(), F.col("vec_id").asc())
-        .limit(1000)
+        .limit(budget)
         .select(
             F.col("vec_id").alias("qid"), F.col("v").alias("qv"),
             F.col("nrm").alias("qn"), F.col("bucket"),
@@ -5121,8 +5159,14 @@ WITH base AS (
   FROM embeddings
 ),
 base2 AS (SELECT vec_id, v, bucket, sqrt(list_dot_product(v, v)) AS nrm FROM base),
-q AS (SELECT vec_id AS qid, v AS qv, nrm AS qn, bucket FROM base2
-      ORDER BY md5(CAST(vec_id AS VARCHAR)) ASC, vec_id ASC LIMIT 1000),
+b AS (SELECT least(1000, CAST(ceil(count(*) / 10.0) AS BIGINT)) AS n
+      FROM embeddings),
+q AS (SELECT qid, qv, qn, bucket FROM (
+        SELECT vec_id AS qid, v AS qv, nrm AS qn, bucket,
+               row_number() OVER (
+                 ORDER BY md5(CAST(vec_id AS VARCHAR)) ASC, vec_id ASC) AS qrn
+        FROM base2
+      ) WHERE qrn <= (SELECT n FROM b)),
 exact AS (
   SELECT qid, cid FROM (
     SELECT q.qid, c.vec_id AS cid,

@@ -413,6 +413,18 @@ def main() -> None:
             "map; the corpus-wide total order never funnels into one reducer",
         )
 
+        hs_plan = (
+            ent.q_cdc_host_stats(spark, sf_small)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        check(
+            "host stats: NO single-partition rank window (range-sharded rank)",
+            "Exchange SinglePartition" not in hs_plan,
+            "per-host agg ranked via repartitionByRange + per-shard "
+            "row_number + literal offset map; ~10^8 hosts never funnel "
+            "into one reducer",
+        )
+
         from pyspark.sql import types as T
 
         from airbyte_integrations_spark.sources.http import (
