@@ -7582,6 +7582,222 @@ FROM live, b WHERE _ab_cdc_lsn BETWEEN llo AND lhi
 """
 
 
+# ------------------------------------------------- destination sinks (r5)
+
+def q_dest_jdbc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JDBC destination staged-write lifecycle live on embedded Derby
+    (destinations/jdbc.py — destination-jdbc's buffered-consumer
+    lifecycle, JdbcBufferedConsumerFactory.java:119-197): the CDC log
+    splits into two append_dedup syncs (tmp-table stage → one-
+    transaction publish each), the second sync's winners beating the
+    first's published rows through the dialect-minimal delete+insert
+    publish, then the FINAL DATABASE TABLE is read back over JDBC.
+    Value equality vs the plain winner rule proves staging, the
+    transactional publish, cross-sync dedup, and the Spark↔SQL type
+    round-trip all preserve exact values (tombstone winners ride as
+    flagged rows — the destination has no tombstone concept, matching
+    the reference's soft-delete handoff to normalization).
+
+    Scale shape: Spark's JDBC writer opens one connection PER PARTITION
+    writing batched inserts in parallel (the reference streams every
+    record through one connection); winners reduce Spark-side
+    (map-side-combining) before staging, so the publish SQL is two
+    statements regardless of batch size."""
+    import tempfile
+
+    from airbyte_integrations_spark.destinations.jdbc import (
+        JdbcDestination,
+        JdbcDestinationConfig,
+    )
+
+    tune_session(spark)
+    derby = "org.apache.derby.jdbc.EmbeddedDriver"
+    ce = change_events(spark, sf_dir).select(
+        "url",
+        "event_type",
+        "value_m",
+        F.col("_ab_cdc_lsn").alias("lsn"),
+        _us("_ab_cdc_updated_at").alias("updated_us"),
+        F.col("_ab_cdc_deleted_at").isNotNull().cast("int").alias("is_deleted"),
+    )
+    hi = int(ce.agg(F.max("lsn")).collect()[0][0])  # bounded scalar
+    scratch = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    db = tempfile.mkdtemp(prefix="jdbcdest_entry_", dir=scratch) + "/db"
+    dest = JdbcDestination(
+        spark,
+        JdbcDestinationConfig(url=f"jdbc:derby:{db};create=true", driver=derby),
+    )
+    coltypes = "url VARCHAR(300), event_type VARCHAR(40)"
+    for half in (
+        ce.filter(F.col("lsn") <= hi // 2),
+        ce.filter(F.col("lsn") > hi // 2),
+    ):
+        dest.write(
+            half,
+            "pages_final",
+            mode="append_dedup",
+            primary_key=("url",),
+            cursor="lsn",
+            create_table_column_types=coltypes,
+        )
+    return (
+        spark.read.format("jdbc")
+        .option("url", f"jdbc:derby:{db}")
+        .option("driver", derby)
+        .option("dbtable", "PAGES_FINAL")
+        .load()
+        .select("url", "event_type", "value_m", "lsn", "updated_us", "is_deleted")
+    )
+
+
+O_DEST_JDBC_ROUNDTRIP = f"""
+WITH {CE_SQL}, {WINNERS_SQL}
+SELECT url, event_type, value_m,
+       _ab_cdc_lsn AS lsn,
+       epoch_us(_ab_cdc_updated_at) AS updated_us,
+       CAST(_ab_cdc_deleted_at IS NOT NULL AS INTEGER) AS is_deleted
+FROM w WHERE rn = 1
+"""
+
+
+def q_dest_files_object_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Object-store files destination lifecycle (destinations/files.py
+    — destination-s3's template-pathed sync,
+    S3StorageOperations.java:69-87 path resolution, :138,197 part-id
+    continuation, :240-258 overwrite cleanup by the regex-widened
+    template): a decoy prior sync is laid down, an OVERWRITE sync
+    cleans it via the template regex and writes gzip JSONL part files
+    under the resolved object path, a second APPEND sync at the same
+    sync time continues part ids without clobbering, and every written
+    object is re-read back through Spark's native reader. In-query
+    asserts pin the path⇄regex parity (every written path fullmatches
+    object_path_regex; the decoy is physically gone; append never
+    reused a part id); the oracle pins value fidelity of the
+    write→move→re-read round trip.
+
+    Scale shape: one part file per partition via Spark's native JSON
+    writer (JVM, codegen) — the publish is a rename, not a rewrite."""
+    import re as _re
+    import tempfile
+    from datetime import datetime, timezone
+
+    from airbyte_integrations_spark.destinations.files import (
+        FilesDestination,
+        FilesDestinationConfig,
+        object_path_regex,
+    )
+
+    tune_session(spark)
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+    scratch = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    root = tempfile.mkdtemp(prefix="filesdest_entry_", dir=scratch)
+    cfg = FilesDestinationConfig(root=root, format="jsonl", gzip=True)
+    dest = FilesDestination(spark, cfg)
+    ns, stream = "Crawl", "Pages Corpus"
+    dt = datetime(2024, 5, 17, 3, 4, 5, 678000, tzinfo=timezone.utc)
+    decoy = dest.write(
+        docs.limit(10), stream, namespace=ns, mode="append",
+        sync_dt=datetime(2023, 1, 2, tzinfo=timezone.utc),
+    )
+    w1 = dest.write(
+        docs.filter(F.col("doc_id") % 2 == 0).repartition(4),
+        stream, namespace=ns, mode="overwrite", sync_dt=dt,
+    )
+    w2 = dest.write(
+        docs.filter(F.col("doc_id") % 2 == 1).repartition(4),
+        stream, namespace=ns, mode="append", sync_dt=dt,
+    )
+    rx = _re.compile(object_path_regex(cfg.path_format, ns, stream))
+    for rel in decoy + w1 + w2:
+        assert rx.fullmatch(rel), f"path escapes the template regex: {rel}"
+    for rel in decoy:
+        assert not os.path.exists(
+            os.path.join(root, rel)
+        ), f"overwrite left a prior-sync object: {rel}"
+    assert not (set(w1) & set(w2)), "append reused a part id"
+    for rel in w1 + w2:
+        assert os.path.exists(os.path.join(root, rel)), rel
+    return spark.read.schema(
+        "doc_id bigint, lang string, source string, n_chars bigint"
+    ).json([os.path.join(root, rel) for rel in w1 + w2])
+
+
+O_DEST_FILES_OBJECT_PATHS = """
+SELECT doc_id, lang, source, n_chars FROM documents
+"""
+
+
+def q_dest_renormalize_rebuild(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full rebuild from the raw tier (normalization.py renormalize()
+    — the "drop the final tables and rebuild" operation the raw tier
+    exists for; the reference runs it as a full-refresh dbt build over
+    `_airbyte_raw_*`, stream_processor.py:234-311): the CDC log lands
+    in raw across two epoch commits, the final table builds
+    INCREMENTALLY (file-diff normalization), then renormalize()
+    rebuilds a FRESH final from one full raw scan. The query asserts
+    frame equality of the rebuilt and incrementally-built tables
+    (both directions, including the dbt-parity hashid and the pinned
+    normalized_at) and returns the REBUILT table's live rows; the
+    oracle is the plain winner rule, so equality also proves the raw
+    JSON round trip preserved exact values through the rebuild path.
+
+    Scale shape: the rebuild is one embarrassingly-parallel full scan
+    + the same map-side-combining winner MERGE as the CDC apply; the
+    equality check is two exceptAll counts (hash joins), no collect."""
+    import tempfile
+    from datetime import datetime
+
+    from airbyte_integrations_spark.config import SyncConfig
+    from airbyte_integrations_spark.lakehouse.table import LakeTable
+    from airbyte_integrations_spark.normalization import (
+        normalize_into,
+        renormalize,
+        write_raw,
+    )
+
+    tune_session(spark)
+    ce = change_events(spark, sf_dir)
+    hi = int(ce.agg(F.max("_ab_cdc_lsn")).collect()[0][0])
+    scratch = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    base = tempfile.mkdtemp(prefix="renorm_entry_", dir=scratch)
+    raw = LakeTable(spark, base + "/raw")
+    final = LakeTable(spark, base + "/final")
+    ddl = (
+        "url string, _ab_cdc_lsn bigint, _ab_cdc_updated_at timestamp_ntz, "
+        "_ab_cdc_deleted_at timestamp_ntz, event_type string, value_m bigint"
+    )
+    cfg = SyncConfig(stream="pages", n_buckets=8)
+    at = datetime(2024, 5, 17, 0, 0, 0)
+    mid = hi // 2
+    write_raw(raw, ce.filter(F.col("_ab_cdc_lsn") <= mid), "pages", epoch=1)
+    normalize_into(raw, final, cfg, ddl, normalized_at=at)
+    write_raw(raw, ce.filter(F.col("_ab_cdc_lsn") > mid), "pages", epoch=2)
+    normalize_into(raw, final, cfg, ddl, normalized_at=at)
+    rebuilt = renormalize(spark, raw, base + "/rebuilt", cfg, ddl, normalized_at=at)
+    a = final.read_live().select(*sorted(final.read_live().columns))
+    b = rebuilt.read_live().select(*sorted(rebuilt.read_live().columns))
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0, (
+        "renormalize() rebuild diverged from the incrementally-built final"
+    )
+    return rebuilt.read_live().select(
+        "url",
+        "_ab_cdc_lsn",
+        _us("_ab_cdc_updated_at").alias("updated_us"),
+        "event_type",
+        "value_m",
+    )
+
+
+O_DEST_RENORMALIZE_REBUILD = f"""
+WITH {CE_SQL}, {WINNERS_SQL}
+SELECT url, _ab_cdc_lsn, epoch_us(_ab_cdc_updated_at) AS updated_us,
+       event_type, value_m
+FROM w WHERE rn = 1 AND _ab_cdc_deleted_at IS NULL
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "cdc_latest_wins": q_cdc_latest_wins,
@@ -7614,6 +7830,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_debezium_envelope": q_cdc_debezium_envelope,
         "cdc_mysql_binlog_order": q_cdc_mysql_binlog_order,
         "cdc_mssql_lsn_order": q_cdc_mssql_lsn_order,
+        "dest_jdbc_roundtrip": q_dest_jdbc_roundtrip,
+        "dest_files_object_paths": q_dest_files_object_paths,
+        "dest_renormalize_rebuild": q_dest_renormalize_rebuild,
         "mongo_schemaless_read": q_mongo_schemaless_read,
         "mongo_change_stream_read": q_mongo_change_stream_read,
         "mongo_db_watch_route": q_mongo_db_watch_route,
@@ -7759,6 +7978,9 @@ def oracle_sql() -> dict[str, str]:
         "cdc_debezium_envelope": O_CDC_DEBEZIUM_ENVELOPE,
         "cdc_mysql_binlog_order": O_CDC_MYSQL_BINLOG_ORDER,
         "cdc_mssql_lsn_order": O_CDC_MSSQL_LSN_ORDER,
+        "dest_jdbc_roundtrip": O_DEST_JDBC_ROUNDTRIP,
+        "dest_files_object_paths": O_DEST_FILES_OBJECT_PATHS,
+        "dest_renormalize_rebuild": O_DEST_RENORMALIZE_REBUILD,
         "mongo_schemaless_read": O_MONGO_SCHEMALESS_READ,
         "mongo_change_stream_read": O_MONGO_CHANGE_STREAM_READ,
         "mongo_db_watch_route": O_MONGO_DB_WATCH_ROUTE,
