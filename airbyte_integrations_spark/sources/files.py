@@ -260,10 +260,32 @@ def read_files_incremental(
             )
         df = _read_feather(spark, [p for p, _m in files])
     else:
+        # source-s3 csv advanced_options `column_names`
+        # (csv_spec.py:68-70): names for a HEADER-LESS csv. Spark
+        # mapping: read with header=false (the default) -> positional
+        # _c0.. columns, renamed positionally. Mutually exclusive with
+        # header=true (the file either has a header row or it doesn't).
+        column_names = options.pop("column_names", None)
+        if column_names is not None:
+            if fmt != "csv":
+                raise ValueError("column_names applies to csv only")
+            if isinstance(column_names, str):
+                column_names = [c.strip() for c in column_names.split(",")]
+            if str(options.get("header", "false")).lower() == "true":
+                raise ValueError(
+                    "column_names is for header-less csv; drop header=true"
+                )
         reader = spark.read
         for k, v in options.items():
             reader = reader.option(k, v)
         df = reader.format(fmt).load([p for p, _m in files])
+        if column_names is not None:
+            if len(column_names) != len(df.columns):
+                raise ValueError(
+                    f"column_names has {len(column_names)} names but the "
+                    f"csv has {len(df.columns)} columns"
+                )
+            df = df.toDF(*column_names)
         df = df.withColumn(URL_COL, F.input_file_name())
     # input_file_name()/binaryFile return percent-encoded URIs; a file
     # named "my data.csv" comes back as .../my%20data.csv. Key the map

@@ -337,3 +337,37 @@ def test_read_files_with_path_pattern(spark, tmp_path):
         header="true",
     )
     assert df2 is None and st2 == state
+
+
+def test_csv_headerless_column_names(spark, tmp_path):
+    """source-s3 advanced_options `column_names` parity
+    (source-s3/.../csv_spec.py:68-70): a header-less csv reads with the
+    given names positionally; count mismatch and header=true conflict
+    fail loudly; a name list also arrives comma-joined (the spec's
+    JSON string form)."""
+    import pytest
+
+    from airbyte_integrations_spark.sources.files import read_files_incremental
+
+    root = str(tmp_path / "in")
+    os.makedirs(root)
+    with open(os.path.join(root, "a.csv"), "w") as f:
+        f.write("u1,10,en\nu2,20,de\n")
+    df, _ = read_files_incremental(
+        spark, root, fmt="csv", column_names=["url", "n", "lang"]
+    )
+    rows = {r["url"]: (r["n"], r["lang"]) for r in df.collect()}
+    assert rows == {"u1": ("10", "en"), "u2": ("20", "de")}
+    # comma-joined string form + typed read via inferSchema
+    df2, _ = read_files_incremental(
+        spark, root, fmt="csv", column_names="url, n, lang", inferSchema="true"
+    )
+    assert {r["n"] for r in df2.collect()} == {10, 20}
+    with pytest.raises(ValueError, match="4 names"):
+        read_files_incremental(spark, root, fmt="csv", column_names=["a", "b", "c", "d"])[0].columns
+    with pytest.raises(ValueError, match="header"):
+        read_files_incremental(
+            spark, root, fmt="csv", column_names=["a", "b", "c"], header="true"
+        )
+    with pytest.raises(ValueError, match="csv only"):
+        read_files_incremental(spark, root, fmt="json", column_names=["a"])
