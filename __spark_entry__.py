@@ -7798,6 +7798,115 @@ FROM w WHERE rn = 1 AND _ab_cdc_deleted_at IS NULL
 """
 
 
+def q_search_index_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Search-index destination lifecycle under CDC
+    (destinations/search_index.py — destination-elasticsearch's
+    upsert-by-PK text index, ElasticsearchConnection.java:146-183, with
+    the temp-index-swap publish,
+    ElasticsearchAirbyteMessageConsumerFactory.java:104-117): epoch 1
+    indexes every document, epoch 2 UPDATES every doc_id%5==0 document
+    (appending two 'spark' tokens — the stored document is wholly
+    replaced, so postings must reflect the new text only), epoch 3
+    TOMBSTONES every doc_id%7==0 document, epoch 3 replays
+    idempotently, then publish() builds the term-bucket-partitioned
+    postings and a fixed 3-query set scores top-10 per query. The
+    oracle recomputes the final corpus state directly and re-derives
+    tf/df/scores, so value equality pins upsert-replace, delete,
+    replay, tokenization, publish, bucket-pruned scan, and the
+    integer-exact scoring end to end.
+
+    Scale shape: upserts are the engine's MERGE; publish is one
+    tokenize scan + map-side-combining (doc, term) agg partitioned by
+    term bucket; the query reads ONLY its terms' bucket partitions and
+    broadcast-joins the metadata-sized df/query tables."""
+    import tempfile
+
+    from airbyte_integrations_spark.destinations.search_index import SearchIndex
+
+    tune_session(spark)
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    scratch = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    idx = SearchIndex(
+        spark, tempfile.mkdtemp(prefix="searchix_entry_", dir=scratch) + "/ix"
+    )
+
+    def cdcify(df: DataFrame, base: int, dead: bool = False) -> DataFrame:
+        lsn = (F.lit(base) + F.col("doc_id")).cast("long")
+        ts = F.lit("2024-01-01 00:00:00").cast("timestamp")
+        return df.select(
+            "doc_id",
+            "text",
+            lsn.alias("_ab_cdc_lsn"),
+            ts.alias("_ab_cdc_updated_at"),
+            (ts if dead else F.lit(None).cast("timestamp")).alias(
+                "_ab_cdc_deleted_at"
+            ),
+            F.md5(lsn.cast("string")).alias("_airbyte_ab_id"),
+            ts.alias("_airbyte_emitted_at"),
+        )
+
+    idx.upsert(cdcify(docs, 1_000_000), epoch=1, n_buckets=8)
+    upd = docs.filter(F.col("doc_id") % 5 == 0).withColumn(
+        "text", F.concat(F.col("text"), F.lit(" spark spark"))
+    )
+    idx.upsert(cdcify(upd, 2_000_000), epoch=2, n_buckets=8)
+    dead = docs.filter(F.col("doc_id") % 7 == 0)
+    idx.upsert(cdcify(dead, 3_000_000, dead=True), epoch=3, n_buckets=8)
+    v = idx.table.current_version()
+    idx.upsert(cdcify(dead, 3_000_000, dead=True), epoch=3, n_buckets=8)
+    assert idx.table.current_version() == v, "epoch replay committed"
+    idx.publish(n_term_buckets=32)
+    queries_df = spark.createDataFrame(
+        [
+            (1, "spark"), (1, "join"), (1, "merge"),
+            (2, "window"), (2, "sort"), (2, "group"),
+            (3, "customer"), (3, "query"), (3, "table"),
+        ],
+        "query_id int, term string",
+    )
+    return idx.query(queries_df, k=10)
+
+
+O_SEARCH_INDEX_LIFECYCLE = r"""
+WITH q(query_id, term) AS (
+  VALUES (1,'spark'),(1,'join'),(1,'merge'),
+         (2,'window'),(2,'sort'),(2,'group'),
+         (3,'customer'),(3,'query'),(3,'table')
+),
+fin AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 5 = 0 THEN text || ' spark spark' ELSE text END AS text
+  FROM documents WHERE doc_id % 7 <> 0
+),
+tok AS (
+  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+  FROM fin
+),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf
+  FROM tok WHERE term IN (SELECT DISTINCT term FROM q) AND term <> ''
+  GROUP BY 1, 2
+),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+scored AS (
+  SELECT q.query_id, tf.doc_id,
+         sum((tf.tf * 1000000) // dfreq.df) AS score_m,
+         count(*) AS n_terms_hit
+  FROM tf JOIN dfreq USING (term) JOIN q USING (term)
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY score_m DESC, doc_id ASC) AS rank
+  FROM scored
+)
+SELECT CAST(query_id AS INTEGER) AS query_id, CAST(rank AS INTEGER) AS rank,
+       doc_id, CAST(score_m AS BIGINT) AS score_m,
+       CAST(n_terms_hit AS BIGINT) AS n_terms_hit
+FROM ranked WHERE rank <= 10
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "cdc_latest_wins": q_cdc_latest_wins,
@@ -7833,6 +7942,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dest_jdbc_roundtrip": q_dest_jdbc_roundtrip,
         "dest_files_object_paths": q_dest_files_object_paths,
         "dest_renormalize_rebuild": q_dest_renormalize_rebuild,
+        "search_index_lifecycle": q_search_index_lifecycle,
         "mongo_schemaless_read": q_mongo_schemaless_read,
         "mongo_change_stream_read": q_mongo_change_stream_read,
         "mongo_db_watch_route": q_mongo_db_watch_route,
@@ -7981,6 +8091,7 @@ def oracle_sql() -> dict[str, str]:
         "dest_jdbc_roundtrip": O_DEST_JDBC_ROUNDTRIP,
         "dest_files_object_paths": O_DEST_FILES_OBJECT_PATHS,
         "dest_renormalize_rebuild": O_DEST_RENORMALIZE_REBUILD,
+        "search_index_lifecycle": O_SEARCH_INDEX_LIFECYCLE,
         "mongo_schemaless_read": O_MONGO_SCHEMALESS_READ,
         "mongo_change_stream_read": O_MONGO_CHANGE_STREAM_READ,
         "mongo_db_watch_route": O_MONGO_DB_WATCH_ROUTE,
