@@ -122,7 +122,6 @@ def test_query_prunes_to_term_buckets(spark, tmp_path):
     idx.upsert(_batch(spark, rows), epoch=1, n_buckets=2)
     idx.publish(n_term_buckets=16)
     q = _queries(spark, [(1, "term3")])
-    plan = idx.query(q)._sc if False else None  # noqa: F841
     out = idx.query(q)
     # correctness
     assert [r["doc_id"] for r in out.collect()] == [3]
