@@ -23,7 +23,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from airbyte_integrations_spark.operators.dedup import winner_agg, winner_window
 from airbyte_integrations_spark.operators.scd import scd2
-from airbyte_integrations_spark.session import tune_session
+from airbyte_integrations_spark.session import register_persist, tune_session
 from airbyte_integrations_spark.testdata import CE_SQL, change_events, load
 
 def _us(col: str) -> F.Column:
@@ -3403,6 +3403,10 @@ def q_cdc_incremental_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_chunks=4,
         wal_step_events=max(hi // 6, 1),
     )
+    # the lifecycle is fully materialized into the lake table above;
+    # release the cached log now (a leaked cache accumulates heap
+    # pressure across the driver's 140-query bench sweep)
+    ce.unpersist()
     return table.read_live().select(*payload)
 
 
@@ -3769,14 +3773,15 @@ def q_cdc_host_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     key = [F.col("n_live").desc(), F.col("host").asc()]
     # persist so the offset count and the ranked pass see the SAME pid
-    # assignment (AQE may re-coalesce otherwise)
-    loc = (
+    # assignment (AQE may re-coalesce otherwise); engine-tracked so the
+    # next query's tune_session releases it — the returned frame is
+    # consumed before the next driver-contract query runs
+    loc = register_persist(
         agg.repartitionByRange(32, *key)
         .withColumn("pid", F.spark_partition_id())
         .withColumn(
             "lrn", F.row_number().over(Window.partitionBy("pid").orderBy(*key))
         )
-        .persist()
     )
     sizes = sorted(
         (r["pid"], r["c"])
@@ -4381,13 +4386,14 @@ def q_docs_length_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune_session(spark)
     docs = load(spark, sf_dir, "documents").select("n_chars", "doc_id")
     key = [F.col("n_chars").asc(), F.col("doc_id").asc()]
-    loc = (
+    # engine-tracked persist: released by the next query's tune_session
+    # (the returned frame is consumed before the next query runs)
+    loc = register_persist(
         docs.repartitionByRange(32, *key)
         .withColumn("pid", F.spark_partition_id())
         .withColumn(
             "lrn", F.row_number().over(Window.partitionBy("pid").orderBy(*key))
         )
-        .persist()
     )
     sizes = sorted(
         (r["pid"], r["c"])

@@ -57,6 +57,13 @@ class JdbcDestinationConfig:
     user: str | None = None
     password: str | None = None
     batch_size: int = 10_000
+    # Cap on staging connections (Spark JDBC `numPartitions`: coalesces
+    # the frame before writing). Real databases bound concurrent
+    # writers — the reference streams every record through ONE
+    # connection; 8 keeps the parallel-stage win without opening a
+    # connection per shuffle partition (an embedded/single-node target
+    # serializes them anyway, so extra connections are pure overhead).
+    write_partitions: int = 8
     options: dict = field(default_factory=dict)
 
 
@@ -83,6 +90,8 @@ class JdbcDestination:
     def _jdbc_props(self) -> dict:
         c = self.config
         props = {"batchsize": str(self.config.batch_size)}
+        if c.write_partitions:
+            props["numPartitions"] = str(int(c.write_partitions))
         if c.driver:
             props["driver"] = c.driver
         if c.user:
@@ -239,12 +248,14 @@ class JdbcDestination:
         conn.setAutoCommit(False)
         st = conn.createStatement()
         try:
+            final_created = False
             if not self._table_exists(conn, final):
                 # CREATE ... AS SELECT WITH NO DATA clones tmp's dialect
                 # types (onStart's createTableQuery analogue)
                 st.executeUpdate(
                     f"CREATE TABLE {qfinal} AS SELECT * FROM {qtmp} WITH NO DATA"
                 )
+                final_created = True
             else:
                 # additive evolution: new batch columns appear nullable
                 existing = {c for c in self._columns(conn, final)}
@@ -283,6 +294,23 @@ class JdbcDestination:
                     for k in primary_key
                 )
                 qcur = quote_identifier(cursor)
+                # PK indexes turn the two correlated-EXISTS probes from
+                # nested-loop O(|final| x |tmp|) scans into index
+                # lookups — on index-less engines (embedded Derby) the
+                # quadratic probe dominates the whole publish. The
+                # final-table index is created once and persists across
+                # syncs (the reference's final tables are PK-indexed);
+                # the tmp index costs one O(n log n) build per sync.
+                pk_cols = ", ".join(quote_identifier(k) for k in primary_key)
+                if final_created:
+                    st.executeUpdate(
+                        f"CREATE INDEX {quote_identifier('ix_' + self._fold(conn, final) + '_pk')} "
+                        f"ON {qfinal} ({pk_cols})"
+                    )
+                st.executeUpdate(
+                    f"CREATE INDEX {quote_identifier('ix_' + self._fold(conn, tmp) + '_pk')} "
+                    f"ON {qtmp} ({pk_cols})"
+                )
                 # (a) final rows beaten (or tied) by a staged winner go.
                 # A NULL final cursor always loses (it carries no order
                 # information; without the OR arm the NULL comparison

@@ -129,17 +129,24 @@ class SearchIndex:
         ).filter(F.length("term") > 0)
         tf = tok.groupBy(kc, "term").agg(F.count("*").alias("tf"))
         bucket = F.pmod(F.xxhash64("term"), F.lit(n_term_buckets)).alias("bucket")
-        tf.select(kc, "term", "tf", bucket).write.partitionBy("bucket").mode(
-            "overwrite"
-        ).parquet(os.path.join(out, "postings"))
-        (
-            tf.groupBy("term")
-            .agg(F.count("*").alias("df"))
-            .select("term", "df", bucket)
-            .write.partitionBy("bucket")
-            .mode("overwrite")
-            .parquet(os.path.join(out, "terms"))
-        )
+        # tf feeds BOTH serving tables (postings, then per-term df);
+        # persist so the full tokenize scan + (doc, term) agg — the
+        # expensive part of a publish — runs once, not once per write.
+        tf.persist()
+        try:
+            tf.select(kc, "term", "tf", bucket).write.partitionBy("bucket").mode(
+                "overwrite"
+            ).parquet(os.path.join(out, "postings"))
+            (
+                tf.groupBy("term")
+                .agg(F.count("*").alias("df"))
+                .select("term", "df", bucket)
+                .write.partitionBy("bucket")
+                .mode("overwrite")
+                .parquet(os.path.join(out, "terms"))
+            )
+        finally:
+            tf.unpersist()
         tmp = os.path.join(self.serve_root, f".{SERVE_MANIFEST}.tmp")
         with open(tmp, "w") as f:
             json.dump(

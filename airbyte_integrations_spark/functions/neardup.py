@@ -74,26 +74,35 @@ def lsh_candidate_pairs(
     """Docs sharing any band bucket, as (id_a < id_b) pairs.
 
     bands = n_hashes / band_size; band key = md5(concat of its rows).
-    Self-join per band via groupBy(band_key) + pair explosion keeps the
-    shuffle keyed on band buckets (no cartesian)."""
+    All bands ride ONE keyed self-join: each signature explodes into
+    its (band_idx, band) rows and the join key is the pair — bands are
+    disjoint in band_idx, so this is exactly the union of the per-band
+    self-joins, in one Exchange instead of n_bands of them (one
+    candidate-keyed shuffle; still no cartesian). Same banding shape
+    as lsh_candidates_vs_index."""
     n_bands = n_hashes // band_size
-    pairs = None
-    for b in range(n_bands):
-        cols = [F.col(f"mh{b * band_size + j}") for j in range(band_size)]
-        banded = signatures.select(
-            F.col(id_col), F.md5(F.concat_ws("|", *cols)).alias("band")
-        )
-        lhs = banded.alias("l")
-        rhs = banded.alias("r")
-        p = (
-            lhs.join(rhs, on="band")
-            .filter(F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
-            .select(
-                F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b")
+    band_keys = [
+        F.md5(
+            F.concat_ws(
+                "|", *[F.col(f"mh{b * band_size + j}") for j in range(band_size)]
             )
         )
-        pairs = p if pairs is None else pairs.unionByName(p)
-    return pairs.distinct()
+        for b in range(n_bands)
+    ]
+    banded = signatures.select(
+        F.col(id_col),
+        F.posexplode(F.array(*band_keys)).alias("band_idx", "band"),
+    )
+    lhs = banded.alias("l")
+    rhs = banded.alias("r")
+    return (
+        lhs.join(rhs, on=["band_idx", "band"])
+        .filter(F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
+        .select(
+            F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
 
 
 def lsh_candidates_vs_index(

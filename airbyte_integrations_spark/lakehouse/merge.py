@@ -42,6 +42,7 @@ from pyspark.sql import types as T
 from airbyte_integrations_spark.lakehouse.table import LakeTable, bucket_expr, conform
 from airbyte_integrations_spark.operators.dedup import (
     winner_agg,
+    winner_agg_bucketed,
     winner_join,
     winner_salted,
     winner_window,
@@ -110,10 +111,22 @@ def merge_into(
         missing = [k for k in key if k not in batch.columns]
         if missing:
             raise ValueError(f"batch is missing primary-key column(s) {missing}")
-        winners = batch_winners(
-            batch, key, cursor, secondary, ab_id,
-            drop_tombstones=not keep_tombstones,
-        )
+        aligned = dedup_impl == "agg"
+        if aligned:
+            # same single-exchange bucket-keyed dedup as the MoR epoch
+            # path below: the first epoch's write layout is known here
+            # (key/n_buckets fix at creation), so the winner Exchange
+            # doubles as the writer's and the create skips its shuffle.
+            winners = winner_agg_bucketed(
+                batch, key, cursor, secondary, ab_id,
+                bucket_expr(key, n_buckets), n_buckets,
+                drop_tombstones=not keep_tombstones,
+            )
+        else:
+            winners = batch_winners(
+                batch, key, cursor, secondary, ab_id,
+                drop_tombstones=not keep_tombstones,
+            )
         if transform_winners is not None:
             winners = transform_winners(winners)
         props: dict | None = {"keep_tombstones": True} if keep_tombstones else None
@@ -124,7 +137,8 @@ def merge_into(
                 "order": {"cursor": cursor, "secondary": list(secondary), "ab_id": ab_id},
             }
         return table.create(
-            winners, key, n_buckets, stream, epoch, epoch_meta, props=props
+            winners, key, n_buckets, stream, epoch, epoch_meta, props=props,
+            aligned=aligned,
         )
 
     # ONE manifest parse per merge: at the 10^10 point the manifest
@@ -162,6 +176,22 @@ def merge_into(
             # COW-created table switched to MoR: the resolution order
             # must be durable before any read_resolved/compact uses it.
             table.want_props(mor=True, order=order)
+        if dedup_impl == "agg":
+            # Bucket-keyed dedup: the winner aggregation's one Exchange
+            # is hash(_bucket) == the delta writer's layout, so the
+            # write runs aligned (no second shuffle, no extra sort) —
+            # one exchange + one sort per epoch instead of two + three.
+            winners = winner_agg_bucketed(
+                conform(batch, target_schema), key, cursor, secondary, ab_id,
+                bucket_expr(key, n_buckets), n_buckets,
+            )
+            if transform_winners is not None:
+                # projections (withColumn / pandas-UDF eval) preserve
+                # the bucket partitioning and ordering — still aligned
+                winners = transform_winners(winners)
+            return table.append_deltas(
+                winners, stream, epoch, epoch_meta, order=order, aligned=True
+            )
         winners = batch_winners(
             conform(batch, target_schema), key, cursor, secondary, ab_id
         )

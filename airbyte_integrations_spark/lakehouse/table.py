@@ -333,7 +333,7 @@ class LakeTable:
 
     def _write_files(
         self,
-        df: DataFrame,
+        df: DataFrame | list[tuple[DataFrame, bool]],
         n_buckets: int,
         key: tuple[str, ...],
         aligned: bool = False,
@@ -351,21 +351,38 @@ class LakeTable:
         e.g. the carried side of a COW merge — narrow scan->filter->
         write, no shuffle). At 10^10 events this halves the MERGE's
         disk traffic: the table payload is written once, not
-        shuffled + written."""
+        shuffled + written.
+
+        A list of (df, aligned) parts writes ALL parts in ONE Spark
+        job: each part is prepared with its own repartition/sort (or
+        none when aligned) and the prepared frames union — a narrow
+        union, so every part keeps its own partitioning and each task
+        still writes its own buckets' files. One write job per COMMIT
+        instead of one per part (the COW merge has two parts; a job
+        per part doubled the sync loop's scheduler round trips)."""
         commit_id = uuid.uuid4().hex
         rel_dir = os.path.join(DATA_DIR, commit_id)
         out_dir = os.path.join(self.root, rel_dir)
-        bucketed = df.withColumn("_bucket", bucket_expr(key, n_buckets))
-        if not aligned:
-            bucketed = (
-                bucketed.repartition(n_buckets, F.col("_bucket"))
-                # Iceberg sort-order analogue: cluster rows within each
-                # bucket file — by key for MERGE locality, or by an
-                # explicit sort order (compact(sort_by=...)) so the
-                # column's per-file zone maps become disjoint and
-                # read_range prunes to O(matching files).
-                .sortWithinPartitions("_bucket", *(sort_cols or key))
-            )
+        parts = df if isinstance(df, list) else [(df, aligned)]
+
+        def prep(part: DataFrame, part_aligned: bool) -> DataFrame:
+            bucketed = part.withColumn("_bucket", bucket_expr(key, n_buckets))
+            if not part_aligned:
+                bucketed = (
+                    bucketed.repartition(n_buckets, F.col("_bucket"))
+                    # Iceberg sort-order analogue: cluster rows within
+                    # each bucket file — by key for MERGE locality, or
+                    # by an explicit sort order (compact(sort_by=...))
+                    # so the column's per-file zone maps become
+                    # disjoint and read_range prunes to O(matching
+                    # files).
+                    .sortWithinPartitions("_bucket", *(sort_cols or key))
+                )
+            return bucketed
+
+        bucketed = prep(*parts[0])
+        for extra in parts[1:]:
+            bucketed = bucketed.unionByName(prep(*extra))
         writer = bucketed.write.partitionBy("_bucket").mode("overwrite")
         if max_records_per_file:
             # sorted buckets split into range-disjoint files, so the
@@ -460,11 +477,13 @@ class LakeTable:
         epoch: int | None = None,
         epoch_meta: dict | None = None,
         props: dict | None = None,
+        aligned: bool = False,
     ) -> int:
-        files = self._write_files(df, n_buckets, key)
+        body = df.drop("_bucket") if aligned else df
+        files = self._write_files(df, n_buckets, key, aligned=aligned)
         manifest = {
             "parent": self.current_version() if self.exists() else None,
-            "schema": df.schema.jsonValue(),
+            "schema": body.schema.jsonValue(),
             "key": list(key),
             "n_buckets": n_buckets,
             "files": files,
@@ -816,19 +835,16 @@ class LakeTable:
         untouched buckets carried forward by reference.
 
         new_data is either one DataFrame or a list of
-        (df, aligned) parts written as separate jobs into the same
+        (df, aligned) parts written in ONE job into the same
         snapshot — the COW merge passes (carried, aligned=True) and
         (merged, aligned=False) so the carried table payload is never
         shuffled (see _write_files)."""
         m = self.manifest()
         parts = new_data if isinstance(new_data, list) else [(new_data, False)]
-        files: dict[str, list[str]] = {}
-        for df, aligned in parts:
-            for b, ps in self._write_files(
-                df, int(m["n_buckets"]), tuple(m["key"]), aligned=aligned,
-                sort_cols=sort_cols, max_records_per_file=max_records_per_file,
-            ).items():
-                files.setdefault(b, []).extend(ps)
+        files = self._write_files(
+            parts, int(m["n_buckets"]), tuple(m["key"]),
+            sort_cols=sort_cols, max_records_per_file=max_records_per_file,
+        )
         new_files = {b: ps for b, ps in m["files"].items() if int(b) not in set(touched)}
         for b, ps in files.items():
             new_files.setdefault(b, []).extend(ps)
@@ -863,6 +879,7 @@ class LakeTable:
         epoch: int | None = None,
         epoch_meta: dict | None = None,
         order: dict | None = None,
+        aligned: bool = False,
     ) -> int:
         """Merge-on-read commit: the batch's per-key winners — tombstone
         rows INCLUDED, acting as Iceberg v2 equality-delete markers on
@@ -874,7 +891,12 @@ class LakeTable:
         folds deltas into the base.
 
         `order` (stored in props on first commit) names the winner
-        ordering: {"cursor", "secondary", "ab_id"}."""
+        ordering: {"cursor", "secondary", "ab_id"}.
+
+        `aligned=True`: the caller asserts `winners` is already
+        bucket-partitioned and key-clustered under THIS table's
+        (key, n_buckets) layout (winner_agg_bucketed), so the file
+        writer skips its repartition+sort."""
         if stream is not None and epoch is not None and self.exists() and self.is_epoch_committed(stream, epoch):
             return self.current_version()
         if not self.exists():
@@ -889,15 +911,24 @@ class LakeTable:
             return self.create(base, ("url",), 32, stream, epoch, epoch_meta, props=props)
         m = self.manifest()
         old_schema = T.StructType.fromJson(m["schema"])
-        target = merge_schemas(old_schema, winners.schema)
+        body = winners.drop("_bucket") if aligned else winners
+        target = merge_schemas(old_schema, body.schema)
         bad = incompatible_widenings(old_schema, target)
         if bad:
             raise ValueError(
                 f"append_deltas cannot widen {bad} over existing files; "
                 "merge_into routes such epochs through the COW rewrite"
             )
+        if aligned and body.schema != target:
+            # conform()'s projection would preserve the physical
+            # partitioning, but the caller bucketed on the UNWIDENED key
+            # values — only byte-identical schemas keep the alignment
+            # premise airtight; anything else takes the shuffled path.
+            aligned = False
+            winners = body
         files = self._write_files(
-            conform(winners, target), int(m["n_buckets"]), tuple(m["key"])
+            conform(winners, target) if not aligned else winners,
+            int(m["n_buckets"]), tuple(m["key"]), aligned=aligned,
         )
         deltas = {b: list(ps) for b, ps in m.get("deltas", {}).items()}
         for b, ps in files.items():
@@ -1397,16 +1428,40 @@ class LakeTable:
         if not fragmented:
             return m["version"]
         has_deltas = any(dmap.get(str(b)) for b in fragmented)
+        aligned = False
         if has_deltas:
             o = self._order()
-            from airbyte_integrations_spark.operators.dedup import winner_agg
-
-            data = winner_agg(
-                self.read(fragmented).unionByName(self.read_deltas(fragmented)),
-                tuple(m["key"]), o["cursor"], tuple(o["secondary"]), o["ab_id"],
+            key = tuple(m["key"])
+            drop_tomb = (
+                "_ab_cdc_deleted_at"
+                in {f["name"] for f in m["schema"]["fields"]}
+                and not self.props().get("keep_tombstones")
             )
-            if "_ab_cdc_deleted_at" in data.columns and not self.props().get("keep_tombstones"):
-                data = data.filter(F.col("_ab_cdc_deleted_at").isNull())
+            if sort_by is None and zorder_by is None:
+                # bucket-keyed fold: the one Exchange is the rewrite's
+                # own layout, so replace_buckets writes aligned (no
+                # second shuffle/sort) — same single-exchange shape as
+                # the MoR epoch write (operators/dedup.
+                # winner_agg_bucketed; equivalence in tests/test_dedup)
+                from airbyte_integrations_spark.operators.dedup import (
+                    winner_agg_bucketed,
+                )
+
+                data = winner_agg_bucketed(
+                    self.read(fragmented).unionByName(self.read_deltas(fragmented)),
+                    key, o["cursor"], tuple(o["secondary"]), o["ab_id"],
+                    bucket_expr(key, int(m["n_buckets"])), int(m["n_buckets"]),
+                    drop_tombstones=drop_tomb,
+                )
+                aligned = True
+            else:
+                from airbyte_integrations_spark.operators.dedup import winner_agg
+
+                data = winner_agg(
+                    self.read(fragmented).unionByName(self.read_deltas(fragmented)),
+                    key, o["cursor"], tuple(o["secondary"]), o["ab_id"],
+                    drop_tombstones=drop_tomb,
+                )
         else:
             data = self.read(fragmented)
         sort_cols: tuple | None = sort_by
@@ -1420,7 +1475,7 @@ class LakeTable:
             bounds = {c: (row[f"lo_{c}"], row[f"hi_{c}"]) for c in zorder_by}
             sort_cols = (zorder_key(bounds, tuple(zorder_by), zorder_bits),)
         return self.replace_buckets(
-            data, fragmented, T.StructType.fromJson(m["schema"]),
+            [(data, aligned)], fragmented, T.StructType.fromJson(m["schema"]),
             sort_cols=sort_cols,
             max_records_per_file=(
                 target_file_rows

@@ -134,6 +134,54 @@ def winner_agg(
     return out
 
 
+def winner_agg_bucketed(
+    df: DataFrame,
+    key: tuple[str, ...],
+    cursor: str,
+    secondary: tuple[str, ...],
+    ab_id: str,
+    bucket: Column,
+    n_buckets: int,
+    bucket_col: str = "_bucket",
+    drop_tombstones: bool = False,
+) -> DataFrame:
+    """winner_agg keyed through the table's bucket id, so the dedup
+    Exchange IS the write layout (guide §2.4: two operations keyed the
+    same way share one exchange).
+
+    Plan: Exchange(hash bucket, n_buckets) -> Sort(bucket, key) ->
+    SortAggregate — one exchange and one sort total, and the output is
+    bucket-pure and key-clustered, exactly what the per-bucket file
+    writer needs, so the write skips its own repartition+sort
+    (aligned). winner_agg alone plans partial-SortAgg (a full local
+    sort) -> Exchange(key) -> Sort -> final -> THEN the writer's
+    Exchange(bucket) + sort — two exchanges and three sorts for the
+    same rows.
+
+    Trade-off vs winner_agg: no below-exchange partial aggregation, so
+    a hot key's rows all cross the wire (bounded by the hottest key's
+    batch share; the generator's zipf-2.5 hottest url is <1% of an
+    epoch, and at the 10^10 point a single key's share only shrinks).
+    The aggregation itself collapses hot keys exactly as winner_agg
+    does (same associative max). Returns winners WITH `bucket_col`.
+    """
+    rs = _rank_struct(df, cursor, secondary, ab_id)
+    agg = (
+        df.withColumn(bucket_col, bucket)
+        .repartition(n_buckets, F.col(bucket_col))
+        .groupBy(F.col(bucket_col), *[F.col(k) for k in key])
+        .agg(F.max(rs).alias("_w"))
+    )
+    cols = [F.col(bucket_col)]
+    for c in df.columns:
+        src = "_w._ab" if c == ab_id else f"_w._row.{c}"
+        cols.append(F.col(src).alias(c))
+    out = agg.select(*cols)
+    if drop_tombstones:
+        out = out.filter(F.col("_ab_cdc_deleted_at").isNull())
+    return out
+
+
 def winner_join(
     df: DataFrame,
     key: tuple[str, ...] = ("url",),

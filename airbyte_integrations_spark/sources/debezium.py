@@ -505,7 +505,11 @@ def events_from_decoded_envelopes(
             src["pos"].alias("_ab_cdc_log_pos"),
         ]
     elif dialect == "mssql":
-        lsn = mssql_lsn(src["change_lsn"])
+        # Snapshot ('r') envelopes carry change_lsn=null with only
+        # commit_lsn set — same coalesce rule as parse_debezium, or
+        # snapshot rows decode to a null position and lsn-based epoch
+        # planning drops or mis-orders them.
+        lsn = mssql_lsn(F.coalesce(src["change_lsn"], src["commit_lsn"]))
         injector = [
             src["commit_lsn"].alias("_ab_cdc_commit_lsn"),
             src["event_serial_no"].alias("_ab_cdc_event_serial_no"),

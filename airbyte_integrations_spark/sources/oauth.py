@@ -165,12 +165,26 @@ def complete_oauth(
     query_params: dict,
     redirect_url: str,
     timeout: float = 30.0,
+    expected_state: str | None = None,
 ) -> dict:
     """completeSourceOAuth (:140-157): extract the code from the
     redirect params, run the token handshake, and shape the platform
     payload — flow outputs nested under the output path with the
     server-side oauth params masked
-    (BaseOAuthFlow.formatOAuthOutput:111-122)."""
+    (BaseOAuthFlow.formatOAuthOutput:111-122).
+
+    ``expected_state``: the state issued at get_consent_url time. When
+    given, a redirect whose ``state`` is absent or mismatched is
+    rejected (CSRF). When omitted the caller owns the check (the
+    reference platform verifies state server-side)."""
+    if expected_state is not None:
+        got = query_params.get("state")
+        if got is None or str(got) != expected_state:
+            raise ValueError(
+                "State mismatch on consent redirect (possible CSRF): "
+                "redirect carries "
+                + ("no state" if got is None else "a different state")
+            )
     out = dict(
         complete_oauth_flow(
             spec, extract_code_parameter(query_params), redirect_url,
@@ -201,6 +215,8 @@ def flow_spec_from_manifest(auth_spec: dict, config: dict) -> OAuthFlowSpec:
         raise ValueError("consent flow needs an oauth2 authenticator block")
     if "consent_url" not in auth_spec:
         raise ValueError("oauth2 block carries no consent_url")
+    if "token_refresh_endpoint" not in auth_spec:
+        raise ValueError("oauth2 block carries no token_refresh_endpoint")
     ns = {"config": config}
     return OAuthFlowSpec(
         consent_url=interpolate(auth_spec["consent_url"], **ns),

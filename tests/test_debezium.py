@@ -585,6 +585,51 @@ def test_mssql_snapshot_null_change_lsn_coalesces_to_commit(spark):
     assert snap["_ab_cdc_lsn"] < streamed["_ab_cdc_lsn"]
 
 
+def test_mssql_snapshot_coalesce_decoded_envelope_path(spark):
+    """Mirror of the JSONL snapshot-coalesce test for envelopes that
+    arrive ALREADY decoded as struct columns (the Avro/Kafka shape,
+    events_from_decoded_envelopes): an MSSQL snapshot envelope with
+    change_lsn=null must coalesce its position to commit_lsn — the
+    'same rules' the docstring promises vs parse_debezium."""
+    from airbyte_integrations_spark.sources.debezium import (
+        events_from_decoded_envelopes,
+    )
+
+    schema = (
+        "before struct<url:string,text:string,lang:string>, "
+        "after struct<url:string,text:string,lang:string>, "
+        "source struct<connector:string,ts_ms:long,snapshot:string,"
+        "db:string,`schema`:string,table:string,commit_lsn:string,"
+        "change_lsn:string,event_serial_no:long>, "
+        "op string, ts_ms long"
+    )
+    rows = [
+        (  # snapshot read: change_lsn absent on the real wire
+            None,
+            ("https://x/1", "t", "en"),
+            ("sqlserver", 1700000000123, "true", "crawl", "dbo", "pages",
+             "0000002a:00000100:0001", None, 1),
+            "r", 1700000000456,
+        ),
+        (  # streamed change after the snapshot
+            None,
+            ("https://x/2", "t", "en"),
+            ("sqlserver", 1700000000123, "false", "crawl", "dbo", "pages",
+             "0000002b:00000010:0001", "0000002b:00000008:0002", 1),
+            "u", 1700000000456,
+        ),
+    ]
+    decoded = spark.createDataFrame(rows, schema)
+    out = {
+        r["url"]: r
+        for r in events_from_decoded_envelopes(decoded, dialect="mssql").collect()
+    }
+    snap, streamed = out["https://x/1"], out["https://x/2"]
+    assert snap["_ab_cdc_lsn"] == (0x2A << 36) + (0x100 << 10) + 1
+    assert streamed["_ab_cdc_lsn"] == (0x2B << 36) + (0x8 << 10) + 2
+    assert snap["_ab_cdc_lsn"] < streamed["_ab_cdc_lsn"]
+
+
 def test_mssql_hex_rendering_is_lowercase_wire_identical(spark):
     """Emitted hex must match io.debezium Lsn.toString byte-for-byte —
     lowercase fixed-width (8/8/4) — so fixtures are wire-identical to

@@ -41,6 +41,40 @@ def test_agg_matches_window(spark):
     assert_frames_equal(a, w)
 
 
+def test_agg_bucketed_matches_window(spark):
+    """The bucket-keyed single-exchange variant (the MoR delta-write
+    default) must produce the same winners as the literal window, be
+    bucket-consistent with the writer's bucket_expr, and keep rows
+    bucket-pure per partition (the aligned-write premise)."""
+    from pyspark.sql import functions as F
+
+    from airbyte_integrations_spark.lakehouse.table import bucket_expr
+    from airbyte_integrations_spark.operators.dedup import winner_agg_bucketed
+
+    ev = _events(spark)
+    b = winner_agg_bucketed(
+        ev, ("url",), "_ab_cdc_lsn",
+        ("_ab_cdc_updated_at", "_airbyte_emitted_at"), "_airbyte_ab_id",
+        bucket_expr(("url",), 16), 16, drop_tombstones=True,
+    )
+    w = winner_window(ev, drop_tombstones=True).toPandas()
+    assert_frames_equal(b.drop("_bucket").toPandas(), w)
+    # bucket column agrees with the writer's rule for every winner
+    assert (
+        b.filter(F.col("_bucket") != bucket_expr(("url",), 16)).count() == 0
+    )
+    # bucket-pure partitions: no bucket id spans two partitions
+    spread = (
+        b.select("_bucket", F.spark_partition_id().alias("pid"))
+        .distinct()
+        .groupBy("_bucket")
+        .count()
+        .filter(F.col("count") > 1)
+        .count()
+    )
+    assert spread == 0
+
+
 def test_join_matches_window(spark):
     ev = _events(spark)
     j = winner_join(ev, drop_tombstones=True).toPandas()

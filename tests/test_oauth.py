@@ -162,6 +162,41 @@ def test_complete_oauth_masks_server_params(token_server):
     assert CLIENT_SECRET not in json.dumps(payload)
 
 
+def test_complete_oauth_state_verification(token_server):
+    """CSRF guard: with expected_state given, a redirect whose state is
+    absent or different is rejected BEFORE any token request; the
+    matching state completes normally (ADVICE r5: the module docstring
+    advertises CSRF protection, so the completion path must offer the
+    check)."""
+    base, state = token_server
+    before = len(state["requests"])
+    with pytest.raises(ValueError, match="State mismatch"):
+        complete_oauth(
+            _spec(base), {"code": "ok-code", "state": "evil"},
+            "https://app.example/cb", expected_state="issued",
+        )
+    with pytest.raises(ValueError, match="State mismatch"):
+        complete_oauth(
+            _spec(base), {"code": "ok-code"},
+            "https://app.example/cb", expected_state="issued",
+        )
+    assert len(state["requests"]) == before  # rejected pre-handshake
+    payload = complete_oauth(
+        _spec(base), {"code": "ok-code", "state": "issued"},
+        "https://app.example/cb", expected_state="issued",
+    )
+    assert payload["credentials"]["refresh_token"] == "rt-1"
+
+
+def test_flow_spec_manifest_missing_token_endpoint_names_field():
+    with pytest.raises(ValueError, match="token_refresh_endpoint"):
+        flow_spec_from_manifest(
+            {"type": "oauth2", "consent_url": "https://x/authorize",
+             "client_id": "a", "client_secret": "b"},
+            {},
+        )
+
+
 def test_missing_refresh_token_fails_without_leaking(token_server):
     base, state = token_server
     state["omit_refresh"] = True

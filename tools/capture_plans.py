@@ -909,6 +909,34 @@ def main() -> None:
         "the window variant exists only as the equivalence oracle",
     )
 
+    # ---- check 48: bucket-keyed MoR dedup — the winner aggregation's
+    # ONE exchange is the delta writer's own bucket layout (guide §2.4:
+    # operations keyed the same way share one exchange), so the delta
+    # write runs aligned with no second shuffle and no extra sort.
+    from airbyte_integrations_spark.lakehouse.table import bucket_expr
+    from airbyte_integrations_spark.operators.dedup import winner_agg_bucketed
+
+    wb_plan = (
+        winner_agg_bucketed(
+            batch, ("url",), "_ab_cdc_lsn",
+            ("_ab_cdc_updated_at", "_airbyte_emitted_at"), "_airbyte_ab_id",
+            bucket_expr(("url",), 32), 32,
+        )
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    check(
+        "MoR epoch dedup keyed on the write bucket: ONE exchange "
+        "(hashpartitioning(_bucket)) shared by aggregation and file "
+        "layout; no url-hash exchange anywhere",
+        wb_plan.count("Exchange hashpartitioning") == 1
+        and "Exchange hashpartitioning(_bucket" in wb_plan
+        and "hashpartitioning(url" not in wb_plan
+        and "max(struct(" in wb_plan,
+        "Exchange hashpartitioning(_bucket, 32) -> Sort(_bucket, url) "
+        "-> SortAggregate(max(struct(ordering..., payload))) -> "
+        "aligned per-bucket write (append_deltas aligned=True)",
+    )
+
     out = ["# PLANS — physical-plan evidence (generated by tools/capture_plans.py)", ""]
     ok_all = True
     for name, ok, ev in CHECKS:
