@@ -598,24 +598,24 @@ def test_mssql_snapshot_coalesce_decoded_envelope_path(spark):
     schema = (
         "before struct<url:string,text:string,lang:string>, "
         "after struct<url:string,text:string,lang:string>, "
-        "source struct<connector:string,ts_ms:long,snapshot:string,"
-        "db:string,`schema`:string,table:string,commit_lsn:string,"
-        "change_lsn:string,event_serial_no:long>, "
+        "source struct<connector:string,ts_ms:long,ts_us:long,"
+        "snapshot:string,db:string,`schema`:string,table:string,"
+        "commit_lsn:string,change_lsn:string,event_serial_no:long>, "
         "op string, ts_ms long"
     )
     rows = [
         (  # snapshot read: change_lsn absent on the real wire
             None,
             ("https://x/1", "t", "en"),
-            ("sqlserver", 1700000000123, "true", "crawl", "dbo", "pages",
-             "0000002a:00000100:0001", None, 1),
+            ("sqlserver", 1700000000123, None, "true", "crawl", "dbo",
+             "pages", "0000002a:00000100:0001", None, 1),
             "r", 1700000000456,
         ),
         (  # streamed change after the snapshot
             None,
             ("https://x/2", "t", "en"),
-            ("sqlserver", 1700000000123, "false", "crawl", "dbo", "pages",
-             "0000002b:00000010:0001", "0000002b:00000008:0002", 1),
+            ("sqlserver", 1700000000123, None, "false", "crawl", "dbo",
+             "pages", "0000002b:00000010:0001", "0000002b:00000008:0002", 1),
             "u", 1700000000456,
         ),
     ]
