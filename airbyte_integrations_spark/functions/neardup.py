@@ -213,9 +213,15 @@ def connected_components(
         .distinct()
         .localCheckpoint()
     )
-    labels = sym.select(F.col("a").alias("node")).distinct().select(
-        "node", F.col("node").alias("component")
-    ).localCheckpoint()
+    # Seed with one propagation step fused into the init aggregation:
+    # label(v) = min(v, min neighbor). Same fixpoint (min label of the
+    # component), one fewer join round for the common shallow clusters.
+    labels = (
+        sym.groupBy(F.col("a").alias("node"))
+        .agg(F.min("b").alias("_mb"))
+        .select("node", F.least("node", "_mb").alias("component"))
+        .localCheckpoint()
+    )
     for _ in range(max_iter):
         incoming = (
             sym.join(labels, sym["a"] == labels["node"])

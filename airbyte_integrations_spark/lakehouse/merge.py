@@ -207,8 +207,14 @@ def merge_into(
     # One row per key after dedup — small relative to the batch; cache it
     # so touched-bucket discovery and the merge share one computation.
     winners = winners.withColumn("_bucket", bucket_expr(key, n_buckets)).persist()
-    # Touched buckets: bounded by n_buckets — metadata, not data.
-    touched = [r["_bucket"] for r in winners.select("_bucket").distinct().collect()]
+    # Touched buckets + winner count in ONE action (bounded by
+    # n_buckets — metadata, not data): the count drives the broadcast
+    # decision below, so the sync loop pays one job here, not two.
+    bucket_counts = (
+        winners.groupBy("_bucket").agg(F.count(F.lit(1)).alias("c")).collect()
+    )
+    touched = [r["_bucket"] for r in bucket_counts]
+    n_winners = sum(r["c"] for r in bucket_counts)
 
     if not touched:
         # Empty batch: still record the epoch (empty-sync state emission,
@@ -241,13 +247,13 @@ def merge_into(
 
     wb = winners.drop("_bucket")
     keys_df = wb.select(*key).distinct()
-    # broadcast_keys=None (default): decide from the ACTUAL key count —
-    # winners are one row per key and already cached, so the count is
-    # free. Small/typical epochs broadcast (keeps the carried payload
+    # broadcast_keys=None (default): decide from the ACTUAL key count
+    # (computed with the touched buckets above — no extra job).
+    # Small/typical epochs broadcast (keeps the carried payload
     # shuffle-free); a 10^8-winner epoch degrades to a shuffled join
     # instead of OOMing the driver. True/False force either way.
     if broadcast_keys is None:
-        broadcast_keys = winners.count() <= max_broadcast_keys
+        broadcast_keys = n_winners <= max_broadcast_keys
     if broadcast_keys:
         keys_df = F.broadcast(keys_df)
     else:

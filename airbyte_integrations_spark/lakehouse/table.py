@@ -197,14 +197,33 @@ class LakeTable:
         paths = [p for ps in manifest["files"].values() for p in ps]
         paths += [p for ps in manifest.get("deltas", {}).values() for p in ps]
         out: dict[str, dict] = {}
+        new_paths = [p for p in paths if p not in prev]
+
+        def _footer(p: str):
+            try:
+                return p, pq.ParquetFile(os.path.join(self.root, p)).metadata
+            except Exception:
+                return p, None  # unreadable footer => no stats, never pruned
+
+        # Footer reads are independent IO — read them concurrently
+        # (pyarrow releases the GIL); sequential reads serialized the
+        # commit path at one footer per round trip.
+        footers: dict[str, object] = {}
+        if len(new_paths) > 1:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=min(8, len(new_paths))) as pool:
+                for p, md in pool.map(_footer, new_paths):
+                    footers[p] = md
+        elif new_paths:
+            footers[new_paths[0]] = _footer(new_paths[0])[1]
         for p in paths:
             if p in prev:
                 out[p] = prev[p]
                 continue
-            try:
-                md = pq.ParquetFile(os.path.join(self.root, p)).metadata
-            except Exception:
-                continue  # unreadable footer => no stats, never pruned
+            md = footers.get(p)
+            if md is None:
+                continue
             idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
             entry: dict[str, list] = {}
             for c in cols:
