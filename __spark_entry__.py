@@ -1399,7 +1399,7 @@ def q_docs_sparse_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         "query_id int, term string",
     )
     vocab = [r.term for r in queries.select("term").distinct().collect()]
-    docs = _spread(load(spark, sf_dir, "documents")).filter(F.col("n_chars") > 0)
+    docs = load(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
     tok = docs.select(
         "doc_id", F.explode(words("text")).alias("term")
     ).filter(F.col("term").isin(vocab))
@@ -1481,7 +1481,7 @@ def q_docs_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from airbyte_integrations_spark.functions.neardup import words
 
-    docs = _spread(load(spark, sf_dir, "documents")).filter(F.col("n_chars") > 0)
+    docs = load(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
     tok = docs.select(
         "doc_id", F.explode(words("text")).alias("token")
     ).filter(F.length("token") > 0)
@@ -2253,7 +2253,7 @@ def q_emb_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ~n_cells/nprobe-fold vs brute force. Rounding-proof ranking:
     floor(cos*1000) with id tiebreaks, as the other ANN queries."""
     tune_session(spark)
-    emb = _spread(load(spark, sf_dir, "embeddings"))
+    emb = load(spark, sf_dir, "embeddings")
     dbl = F.transform(F.col("embedding"), lambda x: x.cast("double"))
     base = emb.select(
         "vec_id",
@@ -2792,7 +2792,7 @@ def q_emb_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     tune_session(spark)
-    base = embeddings_base(_spread(load(spark, sf_dir, "embeddings")))
+    base = embeddings_base(load(spark, sf_dir, "embeddings"))
     a2 = spherical_kmeans(base, seed_k=16, iters=2)
     return a2.groupBy("cell").agg(
         F.count(F.lit(1)).alias("n_members"), F.sum("csim").alias("sum_csim")
@@ -2902,7 +2902,7 @@ def q_docs_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune_session(spark)
     from airbyte_integrations_spark.functions.neardup import simhash64
 
-    docs = _spread(load(spark, sf_dir, "documents")).filter(F.col("n_chars") > 0)
+    docs = load(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
     return docs.select("doc_id", simhash64("text").alias("simhash"))
 
 
@@ -5244,7 +5244,7 @@ def q_emb_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     tune_session(spark)
-    emb = _spread(load(spark, sf_dir, "embeddings"))
+    emb = load(spark, sf_dir, "embeddings")
     base = int_vectors(emb)
     cents = seed_codebook(base, k=4)
     return pq_code_columns(base, cents, m=4, width=16, with_err=True)
@@ -5304,7 +5304,7 @@ def q_emb_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     tune_session(spark)
-    emb = _spread(load(spark, sf_dir, "embeddings"))
+    emb = load(spark, sf_dir, "embeddings")
     base = int_vectors(emb)
     cents = seed_codebook(base, k=4)
     codes = pq_code_columns(base, cents, m=4, width=16, with_err=False)

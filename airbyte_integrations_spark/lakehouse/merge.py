@@ -199,14 +199,32 @@ def merge_into(
             winners = conform(transform_winners(winners), target_schema)
         return table.append_deltas(winners, stream, epoch, epoch_meta, order=order)
 
-    winners = batch_winners(conform(batch, target_schema), key, cursor, secondary, ab_id)
-    if transform_winners is not None:
-        # Expensive row transforms (e.g. html->text extraction) run here,
-        # AFTER dedup: only winners pay, losers are never materialized.
-        winners = conform(transform_winners(winners), target_schema)
+    if dedup_impl == "agg":
+        # Same single-exchange bucket-keyed dedup as the MoR path: one
+        # Exchange(_bucket) + one sort replaces partial-sort ->
+        # Exchange(key) -> sort, and the output already carries _bucket
+        # so the touched-bucket count below is exchange-free.
+        winners = winner_agg_bucketed(
+            conform(batch, target_schema), key, cursor, secondary, ab_id,
+            bucket_expr(key, n_buckets), n_buckets,
+        )
+        if transform_winners is not None:
+            # Expensive row transforms (e.g. html->text extraction) run
+            # here, AFTER dedup: only winners pay. conform drops the
+            # bucket column; recompute it (same deterministic hash).
+            winners = conform(
+                transform_winners(winners), target_schema
+            ).withColumn("_bucket", bucket_expr(key, n_buckets))
+    else:
+        winners = batch_winners(
+            conform(batch, target_schema), key, cursor, secondary, ab_id
+        )
+        if transform_winners is not None:
+            winners = conform(transform_winners(winners), target_schema)
+        winners = winners.withColumn("_bucket", bucket_expr(key, n_buckets))
     # One row per key after dedup — small relative to the batch; cache it
     # so touched-bucket discovery and the merge share one computation.
-    winners = winners.withColumn("_bucket", bucket_expr(key, n_buckets)).persist()
+    winners = winners.persist()
     # Touched buckets + winner count in ONE action (bounded by
     # n_buckets — metadata, not data): the count drives the broadcast
     # decision below, so the sync loop pays one job here, not two.
