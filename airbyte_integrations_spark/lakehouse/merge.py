@@ -290,16 +290,27 @@ def merge_into(
     carried = current.join(keys_df, split_cond, "left_anti")
     contested = current.join(keys_df, split_cond, "left_semi")
 
-    # contested + batch winners are <= 2 rows per contested key — the
-    # exact window is cheap here and resolves ordering ties precisely.
+    # contested + batch winners are <= 2 rows per contested key.
     # keep_tombstones mode (or a table created in it) retains delete
     # rows physically so even NON-monotone redelivery of a pre-delete
     # image cannot resurrect a key; read_live() hides them.
     retain = keep_tombstones or bool(mprops.get("keep_tombstones"))
-    merged = winner_window(
-        contested.unionByName(wb), key, cursor, secondary, ab_id,
-        drop_tombstones=not retain,
-    )
+    if dedup_impl == "agg":
+        # bucket-keyed resolution (equivalence-tested vs the window):
+        # its one Exchange is the writer's layout, so the merged part
+        # writes aligned alongside the carried part.
+        merged = winner_agg_bucketed(
+            contested.unionByName(wb), key, cursor, secondary, ab_id,
+            bucket_expr(key, n_buckets), n_buckets,
+            drop_tombstones=not retain,
+        )
+        merged_aligned = True
+    else:
+        merged = winner_window(
+            contested.unionByName(wb), key, cursor, secondary, ab_id,
+            drop_tombstones=not retain,
+        )
+        merged_aligned = False
     # Two-part commit: the carried table payload is scanned out of
     # bucket-pure files and written back WITHOUT a shuffle
     # (aligned=True); only the merged rows — O(batch keys) — pay the
@@ -311,7 +322,7 @@ def merge_into(
     # hash — writing it unaligned would fan each task across buckets
     # (partitions x buckets tiny files). Shuffled path repartitions.
     carried_aligned = (not has_deltas) and bool(broadcast_keys)
-    parts = [(carried, carried_aligned), (merged, False)]
+    parts = [(carried, carried_aligned), (merged, merged_aligned)]
     try:
         return table.replace_buckets(
             parts, touched, target_schema, stream, epoch, epoch_meta
