@@ -28,7 +28,6 @@ from airbyte_integrations_spark.gen import gen_change_events  # noqa: E402
 from airbyte_integrations_spark.lakehouse.table import bucket_expr  # noqa: E402
 from airbyte_integrations_spark.operators.dedup import (  # noqa: E402
     _rank_struct,
-    _unpack_winner,
     winner_agg,
 )
 from airbyte_integrations_spark.session import get_spark  # noqa: E402
